@@ -1,0 +1,701 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named (spark_fn,
+oracle_sql) pair over the driver's testdata tables.
+
+The driver runs each Spark query AND its DuckDB oracle at sf0.01 and compares
+row count + schema + order-insensitive value hash. Design rules that make the
+hashes match exactly (not approximately):
+
+- **Decimal-exact aggregation.** Floating SUM/AVG is accumulation-order
+  dependent; Spark's partial-agg order is nondeterministic across partitions.
+  Every money aggregate therefore sums in DECIMAL (exact, associative — the
+  same value on 1 partition or 10,000) and casts the final value to double:
+  one deterministic rounding, identical in Spark and DuckDB.
+- **Integral columns** (l_quantity, counts, years) are exact in double, so
+  plain AVG/SUM are already deterministic.
+- **Medians only over integral columns** — Spark ``percentile`` and DuckDB
+  ``quantile_cont`` both interpolate; over integers the midpoint arithmetic
+  is exact in both, so formula differences cannot surface.
+- **Deterministic tie-breaks** on every row_number / top-k.
+- **Timestamps leave as strings or dates** (``date_format`` ↔ ``strftime``)
+  to dodge engine timezone/typing differences.
+- Explicit BIGINT/INTEGER/DOUBLE casts on both sides so schemas line up.
+
+Each docstring cites the reference operator(s) it reproduces (SURVEY §2 ids
++ /root/reference file:line).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.functions import dsum, davg, sentinel_int
+from f1_data_engineering_machine_learning_spark.operators import (
+    anti_join,
+    asof_filter,
+    conditional_avg,
+    conditional_count,
+    conditional_median,
+    current_period_filter,
+    dedup_keep_last,
+    exact_median,
+    label_join,
+    pivot_agg,
+    semi_join,
+    scoped_agg_fanout,
+    top1_per_group,
+    trailing_window_filter,
+)
+
+#: snapshot cutoff used by the point-in-time / trailing / current-period
+#: queries (order dates span 1995-01..2001-08)
+CUTOFF = "1998-06-30"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` normalized to a microsecond TimestampType.
+
+    The testdata writes ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long of
+    epoch-nanos, converted here via ``timestamp_micros(ns / 1000)`` —
+    truncation, matching DuckDB's ns->us behavior."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return ev
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _cond_dsum(cond: Column, col: Column, scale: int = 2) -> Column:
+    """Conditional deterministic sum: SUM(CASE WHEN cond THEN decimal(x) END)."""
+    return F.sum(F.when(cond, col.cast(f"decimal(30,{scale})"))).cast("double")
+
+
+def _cond_davg(cond: Column, col: Column, scale: int = 2) -> Column:
+    """Conditional deterministic avg (exact decimal sum / non-null count)."""
+    return (
+        F.sum(F.when(cond, col.cast(f"decimal(30,{scale})"))).cast("double")
+        / F.count(F.when(cond, col))
+    ).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_customer_per_year",
+    f"""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             o.o_custkey AS o_custkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_year ORDER BY revenue DESC, o_custkey) AS rn
+      FROM rev
+    )
+    SELECT o_year, o_custkey, revenue FROM ranked WHERE rn = 1
+    """,
+)
+def top_customer_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the champions pattern (A1 + W1 + P8 + J1):
+    top customer by lineitem revenue per order-year.
+    Reference: /root/reference/sql/champions.sql:1-25 (SUM + ROW_NUMBER
+    PARTITION BY year + rn=1), transposed to the testdata star schema.
+    Tie-break deterministic by customer key (the reference's tie is
+    nondeterministic — SURVEY §2.5 W1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("o_custkey"),
+        )
+        .agg(dsum("l_extendedprice").alias("revenue"))
+    )
+    return top1_per_group(rev, ["o_year"], [F.desc("revenue"), F.col("o_custkey")])
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                / COUNT(l_extendedprice) AS DOUBLE) AS avg_price
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (P3 + A1-A5 + F8): filter pushdown to
+    the scan, one map-side-combinable groupBy. Covers SUM over derived
+    expressions (/root/reference/sql/feature_store_drivers.sql:43 computes
+    AVG(GridPosition - Position) the same way)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price_dec * (F.lit(1) - disc_dec)).cast("double").alias("sum_disc_price"),
+            F.avg("l_quantity").cast("double").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "asof_order_snapshot",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS qtd_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order_date
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+)
+def asof_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot gate (P3 + A2 + A8): per-customer history as of
+    CUTOFF. Reference: /root/reference/sql/feature_store_drivers.sql:16
+    (``TO_DATE(TO_TIMESTAMP(date)) <= '{date}'``) + lifetime aggregates."""
+    o = asof_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("qtd_orders"),
+        dsum("o_totalprice").alias("total_spend"),
+        F.date_format(F.max(F.to_date("o_orderdate")), "yyyy-MM-dd").alias(
+            "last_order_date"
+        ),
+    )
+
+
+@query(
+    "trailing_year_orders",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS qtd_orders_1y,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend_1y
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+      AND CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+)
+def trailing_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing calendar-year window (P4): calendar INTERVAL arithmetic, not
+    365-day (/root/reference/sql/feature_store_drivers.sql:27,88)."""
+    o = trailing_window_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF, 1)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("qtd_orders_1y"),
+        dsum("o_totalprice").alias("total_spend_1y"),
+    )
+
+
+@query(
+    "current_year_orders",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS qtd_orders_cur,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend_cur
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) >= year(DATE '{CUTOFF}')
+      AND CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+)
+def current_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-period predicate (P5):
+    /root/reference/sql/feature_store_drivers.sql:118."""
+    o = current_period_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF)
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("qtd_orders_cur"),
+        dsum("o_totalprice").alias("total_spend_cur"),
+    )
+
+
+@query(
+    "conditional_supplier_stats",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS qtd_lines,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS qtd_return,
+           CAST(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS avg_qty_f,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+           CAST(quantile_cont(CASE WHEN l_returnflag = 'R' THEN l_quantity END, 0.5) AS DOUBLE) AS med_qty_r
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def conditional_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count / NULL-skipping conditional AVG / exact + conditional
+    median (A3, A5, A6): the feature-store aggregate vocabulary
+    (/root/reference/sql/feature_store_drivers.sql:35-57). Exact
+    ``percentile`` (not approx) ↔ DuckDB ``quantile_cont`` — SURVEY §7
+    'hard parts' (a)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("qtd_lines"),
+        conditional_count(F.col("l_returnflag") == "R").cast("long").alias("qtd_return"),
+        conditional_avg(F.col("l_linestatus") == "F", F.col("l_quantity"))
+        .cast("double")
+        .alias("avg_qty_f"),
+        exact_median("l_quantity").cast("double").alias("med_qty"),
+        conditional_median(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .cast("double")
+        .alias("med_qty_r"),
+    )
+
+
+@query(
+    "customer_scope_fanout",
+    f"""
+    SELECT o_custkey,
+           CAST(SUM(1) AS BIGINT) AS qtdLife,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS totalLife,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                / COUNT(o_totalprice) AS DOUBLE) AS avgSpendLife,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS qtd1y,
+           CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+                         THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS total1y,
+           CAST(CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+                              THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE)
+                / COUNT(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+                             THEN o_totalprice END) AS DOUBLE) AS avgSpend1y,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= year(DATE '{CUTOFF}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS qtdCur,
+           CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= year(DATE '{CUTOFF}')
+                         THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE) AS totalCur,
+           CAST(CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= year(DATE '{CUTOFF}')
+                              THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE)
+                / COUNT(CASE WHEN year(CAST(o_orderdate AS DATE)) >= year(DATE '{CUTOFF}')
+                             THEN o_totalprice END) AS DOUBLE) AS avgSpendCur
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    GROUP BY o_custkey
+    """,
+)
+def customer_scope_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scope aggregate fan-out (A10 + J1) in SINGLE-PASS scale mode.
+
+    The reference computes lifetime / trailing-1y / current-season aggregate
+    blocks as 3 separate GROUP BYs left-joined on the key
+    (/root/reference/sql/feature_store_drivers.sql:30-120,168-170) — 3
+    shuffles + 2 joins. Here each scope is a CASE-WHEN guard inside one
+    aggregate pass: 1 shuffle, 0 joins, identical NULL semantics (scope with
+    no rows → NULL, like the reference's join miss). SURVEY §7 step 3 scale
+    mode."""
+    o = asof_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF)
+    d = F.to_date("o_orderdate")
+    cut = F.lit(CUTOFF).cast("date")
+    scopes = {
+        "Life": F.lit(True),
+        "1y": d >= cut - F.expr("INTERVAL 1 YEAR"),
+        "Cur": F.year(d) >= F.year(cut),
+    }
+    price = F.col("o_totalprice")
+    aggs = {
+        "qtd": lambda c: conditional_count(c).cast("long"),
+        "total": lambda c: _cond_dsum(c, price),
+        "avgSpend": lambda c: _cond_davg(c, price),
+    }
+    out = scoped_agg_fanout(o, ["o_custkey"], scopes, aggs)
+    # reorder to scope-major layout to match the oracle's column list
+    cols = ["o_custkey"] + [f"{a}{s}" for s in scopes for a in aggs]
+    return out.select(*cols)
+
+
+@query(
+    "recent_customer_semi",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+        AND CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    )
+    """,
+)
+def recent_customer_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership join (J5): the reference's ``DriverId IN (SELECT
+    ...)`` active-driver restriction
+    (/root/reference/sql/feature_store_drivers.sql:59,87,117). The membership
+    set is aggregated-small → broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        trailing_window_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF, 1)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return semi_join(c, recent, "c_custkey", broadcast_right=True).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "lapsed_customer_anti",
+    f"""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= DATE '{CUTOFF}' - INTERVAL 1 YEAR
+        AND CAST(o.o_orderdate AS DATE) <= DATE '{CUTOFF}'
+    )
+    """,
+)
+def lapsed_customer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti complement of the membership join: customers with NO order in
+    the trailing year (no reference counterpart; completes the J5 family —
+    SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        trailing_window_filter(_t(spark, sf_dir, "orders"), "o_orderdate", CUTOFF, 1)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return anti_join(c, recent, "c_custkey", broadcast_right=True).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "top_customer_label",
+    f"""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, o.o_custkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), winners AS (
+      SELECT DISTINCT o_custkey FROM (
+        SELECT o_custkey, ROW_NUMBER() OVER (
+          PARTITION BY o_year ORDER BY revenue DESC, o_custkey) AS rn
+        FROM rev) WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           CASE WHEN w.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS fl_top
+    FROM customer c LEFT JOIN winners w ON c.c_custkey = w.o_custkey
+    """,
+)
+def top_customer_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label join + existence flag (J3 + J4): decorate every customer with a
+    binary was-ever-top-customer label — the ABT label semantics
+    (/root/reference/sql/abt_champions.sql:16-21, ``flChamp``). Winner set is
+    tiny by construction → broadcast left join."""
+    c = _t(spark, sf_dir, "customer")
+    winners = top_customer_per_year(spark, sf_dir).select("o_custkey").distinct()
+    return label_join(
+        c, winners, c.c_custkey == winners.o_custkey, "fl_top", "o_custkey"
+    ).select("c_custkey", "fl_top")
+
+
+@query(
+    "dedup_keep_last_events",
+    """
+    SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-LAST (M9): pandas ``drop_duplicates(keep='last')``
+    (/root/reference/scripts/05_ml_model.py:441) as row_number over the
+    reversed total order — plain dropDuplicates has no order guarantee."""
+    ev = _events(spark, sf_dir)
+    return dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot (M8): pandas ``pivot().fillna(0)``
+    (/root/reference/scripts/05_ml_model.py:444-448). Explicit value list —
+    no discovery job, bounded width (module docstring of operators.reshape)."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_agg(ev, ["user_id"], "event_type", kinds, F.count(F.lit(1)), fill=0)
+    return out.select("user_id", *[F.col(k).cast("long").alias(k) for k in kinds])
+
+
+@query(
+    "sentinel_cast_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(TRY_CAST(TRY_CAST(regexp_extract(props, '[0-9]+') AS FLOAT)
+                                      AS INTEGER), 99)) AS BIGINT) AS sum_k,
+           CAST(SUM(COALESCE(TRY_CAST(TRY_CAST(event_type AS FLOAT) AS INTEGER), 99))
+                AS BIGINT) AS sum_sentinel
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sentinel_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel cast (P2): ``COALESCE(INT(FLOAT(x)), 99)`` — the reference's
+    DNF-position handling (/root/reference/sql/feature_store_drivers.sql:5-6).
+    ``sum_k`` parses a numeric substring; ``sum_sentinel`` exercises the
+    unparseable path (always 99)."""
+    ev = _events(spark, sf_dir)
+    k = sentinel_int(F.regexp_extract("props", "[0-9]+", 0))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.sum(sentinel_int(F.col("event_type"))).cast("long").alias("sum_sentinel"),
+    )
+
+
+@query(
+    "distinct_event_days",
+    """
+    SELECT DISTINCT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
+    FROM events
+    """,
+)
+def distinct_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT dimension extraction (A9): the reference's event-date /
+    active-driver dims (/root/reference/sql/feature_store_drivers.sql:19-28,
+    /root/reference/scripts/03_feature_store.py:33)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+    ).distinct()
+
+
+@query(
+    "rollup_lineitem_counts",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (no reference counterpart — SURVEY §2.4 notes the
+    gap; added for engine completeness). Subtotals + grand total in one
+    pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "running_customer_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed aggregate with an explicit ROWS frame (no reference
+    counterpart — reference uses only ROW_NUMBER, SURVEY §2.5; this is the
+    window-native alternative to its per-snapshot re-aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch form of the streaming surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hourly_event_stats",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch form (SURVEY §7 step 7 / §2.10):
+    the streaming module reuses this exact aggregation under readStream with
+    a watermark. Window emitted as string to dodge engine timestamp-tz
+    differences."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by inactivity gap (>30 min), the lag + cumulative-flag
+    idiom (no reference counterpart; batch twin of
+    ``F.session_window`` in the streaming module)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(F.sum("is_new").cast("long").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents / text (north-star LLM-data surface, SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(AVG(len(string_split(text, ' '))) AS DOUBLE) AS avg_tokens,
+           CAST(AVG(n_chars) AS DOUBLE) AS avg_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text statistics per language (north-star text-analysis surface):
+    whitespace token counts + char stats, all JVM-side expressions (integral
+    values → exact in double)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).cast("double").alias("avg_tokens"),
+        F.avg("n_chars").cast("double").alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "exact_dedup_docs",
+    """
+    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content (north-star dedup baseline): group on
+    the text, keep the smallest id. At 100 TB the group key would be
+    ``sha2(text)`` to keep shuffle rows narrow — semantics identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

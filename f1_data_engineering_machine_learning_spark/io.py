@@ -1,0 +1,160 @@
+"""Scans, sinks, and view registration (SURVEY §2.1, S4-S11, S13).
+
+The reference's IO surface (/root/reference/scripts/02_bronze.py:35-109,
+/root/reference/scripts/spark_ops.py:49-96) is: glob-resolved multi-file CSV
+scan (all-string), Delta scan, temp-view registration named by path stem,
+full-overwrite sink with small-file compaction, and a partitioned
+slice-replace sink. All reproduced here, format-agnostic (delta when
+available, parquet otherwise).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from f1_data_engineering_machine_learning_spark.session import delta_enabled
+
+#: the driver's synthetic testdata tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def resolve_glob(pattern: str) -> list[str]:
+    """Expand a glob to a sorted file list; error when empty.
+
+    Reproduces /root/reference/scripts/02_bronze.py:35-75 — Spark would accept
+    the glob natively, but an empty match must be a hard error, not an empty
+    DataFrame.
+    """
+    files = sorted(_glob.glob(os.path.expanduser(pattern)))
+    if not files:
+        raise FileNotFoundError(f"glob matched no files: {pattern!r}")
+    return files
+
+
+def read_csv_all_string(
+    spark: SparkSession, paths: str | list[str], sep: str = ";"
+) -> DataFrame:
+    """Multi-file CSV scan with header and NO schema inference — every column
+    lands as StringType (the bronze contract,
+    /root/reference/scripts/02_bronze.py:97). Typing happens downstream.
+    """
+    if isinstance(paths, str):
+        paths = resolve_glob(paths)
+    return spark.read.csv(paths, sep=sep, header=True)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Load a table by path: Delta when enabled and present, else parquet
+    (/root/reference/scripts/spark_ops.py:62 uses format('delta'))."""
+    if delta_enabled(spark) and os.path.isdir(os.path.join(path, "_delta_log")):
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def register_view(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
+    """Register a table path as a temp view named after the last path segment
+    (/root/reference/scripts/spark_ops.py:49-64)."""
+    name = name or os.path.basename(path.rstrip("/")).split(".")[0]
+    df = read_table(spark, path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic parquet tables from an sf directory."""
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in tables
+    }
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view of the same name."""
+    dfs = load_testdata(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def write_table_overwrite(
+    df: DataFrame,
+    path: str,
+    compact_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Full-overwrite sink with optional small-file compaction.
+
+    The reference always writes ``coalesce(1)`` + ``overwriteSchema``
+    (/root/reference/scripts/02_bronze.py:103-109,
+    /root/reference/scripts/spark_ops.py:87-93) — correct at 10^5 rows,
+    wrong at 100 TB. Here compaction is opt-in (``compact_files``), and at
+    scale the caller should instead leave Spark's natural output
+    parallelism or use a real OPTIMIZE pass.
+    """
+    if compact_files:
+        df = df.coalesce(compact_files)
+    writer = df.write.mode("overwrite")
+    spark = df.sparkSession
+    if delta_enabled(spark):  # pragma: no cover - optional dependency
+        writer = writer.format("delta").option("overwriteSchema", "true")
+    else:
+        writer = writer.format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_partition_slice(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    replace_where: str | None = None,
+) -> None:
+    """Idempotent partitioned slice overwrite — the incremental primitive.
+
+    Delta path: ``replaceWhere`` exactly as
+    /root/reference/scripts/spark_ops.py:169-175. Parquet path: dynamic
+    partition overwrite (session sets
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``), which rewrites
+    only the partitions present in ``df`` — the same idempotency contract
+    provided ``replace_where`` aligns with the partition columns.
+    """
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite").partitionBy(*partition_by)
+    if delta_enabled(spark) and replace_where:  # pragma: no cover
+        writer = writer.format("delta").option("replaceWhere", replace_where)
+    else:
+        writer = writer.format("parquet")
+    writer.save(path)
+
+
+def vacuum(spark: SparkSession, path: str, retention_hours: float = 0.0) -> None:
+    """Delta VACUUM (/root/reference/scripts/spark_ops.py:95-96). No-op on
+    parquet — dynamic partition overwrite already removes superseded files."""
+    if delta_enabled(spark):  # pragma: no cover
+        from delta.tables import DeltaTable  # type: ignore
+
+        spark.conf.set("spark.databricks.delta.retentionDurationCheck.enabled", "false")
+        DeltaTable.forPath(spark, path).vacuum(retention_hours)
+
+
+def read_sql_file(path: str) -> str:
+    """Read a .sql file into a string (/root/reference/scripts/spark_ops.py:8-23)."""
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()

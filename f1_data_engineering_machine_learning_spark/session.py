@@ -1,0 +1,96 @@
+"""SparkSession factory.
+
+The reference builds its session at /root/reference/scripts/spark_ops.py:26-46
+(Delta SQL extension + DeltaCatalog, otherwise stock defaults). Here the
+builder is tuned for the engine's actual execution model:
+
+- AQE on (runtime coalescing, skew-join handling) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans.
+- ANSI off — the reference relies on permissive cast semantics
+  (``COALESCE(INT(FLOAT(Position)), 99)`` over strings like ``"R"``,
+  /root/reference/sql/feature_store_drivers.sql:5-6); ANSI mode would throw
+  instead of yielding NULL.
+- Session timezone pinned to UTC so timestamp semantics are host-independent
+  (and match the DuckDB oracle, which treats parquet timestamps as naive).
+- Arrow enabled for the pandas-UDF path and cheap ``toPandas`` boundaries.
+- Dynamic partition overwrite — the parquet-native equivalent of Delta's
+  ``replaceWhere`` slice overwrite (/root/reference/scripts/spark_ops.py:169-175)
+  used by the incremental ingestor when delta-spark is unavailable.
+
+Delta Lake is optional: if ``delta-spark`` is importable we configure the
+extension exactly like the reference; otherwise everything falls back to
+parquet (the driver's testdata is parquet anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def build_session(
+    app_name: str = "f1_data_engineering_machine_learning_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Mirrors /root/reference/scripts/spark_ops.py:26-46 but with
+    scale-oriented defaults; see module docstring for rationale.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or _default_master())
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+    delta_available = False
+    try:  # pragma: no cover - depends on optional dependency
+        from delta import configure_spark_with_delta_pip  # type: ignore
+
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.catalog.DeltaCatalog",
+        )
+        delta_available = True
+    except ImportError:
+        pass
+
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+
+    if delta_available:  # pragma: no cover
+        from delta import configure_spark_with_delta_pip
+
+        return configure_spark_with_delta_pip(builder).getOrCreate()
+    return builder.getOrCreate()
+
+
+def delta_enabled(spark: SparkSession) -> bool:
+    """True when the session was built with the Delta extension."""
+    return "DeltaSparkSessionExtension" in (
+        spark.conf.get("spark.sql.extensions", "") or ""
+    )

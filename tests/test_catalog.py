@@ -1,0 +1,74 @@
+"""Catalog smoke + semantics tests on sf0.001.
+
+The full oracle equivalence check lives in tools/selfcheck.py (and the
+driver's own gate); these tests assert structural invariants cheaply.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_data_engineering_machine_learning_spark import catalog
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = catalog.queries(), catalog.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(catalog.queries()))
+def test_query_runs_nonempty(spark, sf_dir, name):
+    df = catalog.queries()[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+def test_flagship_one_row_per_year(spark, sf_dir):
+    rows = catalog.top_customer_per_year(spark, sf_dir).collect()
+    years = [r.o_year for r in rows]
+    assert len(years) == len(set(years))
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_scope_fanout_nesting(spark, sf_dir):
+    """Trailing/current scopes are subsets of lifetime; NULL when empty."""
+    for r in catalog.customer_scope_fanout(spark, sf_dir).collect():
+        assert r.qtdLife >= r.qtd1y >= 0
+        assert r.qtdLife >= r.qtdCur >= 0
+        if r.qtd1y == 0:
+            assert r.total1y is None and r.avgSpend1y is None
+        if r.qtdCur == 0:
+            assert r.totalCur is None and r.avgSpendCur is None
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    from f1_data_engineering_machine_learning_spark.io import load_testdata
+
+    n_customers = load_testdata(spark, sf_dir, ("customer",))["customer"].count()
+    n_semi = catalog.recent_customer_semi(spark, sf_dir).count()
+    n_anti = catalog.lapsed_customer_anti(spark, sf_dir).count()
+    assert n_semi + n_anti == n_customers
+
+
+def test_label_join_flags_are_binary(spark, sf_dir):
+    vals = {
+        r.fl_top for r in catalog.top_customer_label(spark, sf_dir).collect()
+    }
+    assert vals <= {0, 1} and 1 in vals
+
+
+def test_dedup_keep_last_is_max_ts(spark, sf_dir):
+    """Keeper must carry the max (ts, event_id) of its group."""
+    from pyspark.sql import functions as F
+
+    ev = catalog._events(spark, sf_dir)
+    expected = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("event_id"))
+    )
+    got = catalog.dedup_keep_last_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id"
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -1,0 +1,119 @@
+"""Unit tests for the operator library over tiny constructed frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.functions import (
+    davg,
+    dsum,
+    sentinel_int,
+    str_to_date,
+    years_back,
+)
+from f1_data_engineering_machine_learning_spark.operators import (
+    asof_filter,
+    conditional_avg,
+    conditional_count,
+    dedup_keep_last,
+    exact_median,
+    top1_per_group,
+    trailing_window_filter,
+)
+
+
+def test_sentinel_int(spark):
+    df = spark.createDataFrame(
+        [("1.0",), ("3",), ("R",), (None,), ("",)], ["x"]
+    ).select(sentinel_int("x").alias("v"))
+    assert [r.v for r in df.collect()] == [1, 3, 99, 99, 99]
+
+
+def test_str_to_date_and_years_back(spark):
+    df = spark.createDataFrame([("2024-03-02 15:00:00",)], ["d"]).select(
+        str_to_date("d").alias("d")
+    )
+    assert df.collect()[0].d == dt.date(2024, 3, 2)
+    # calendar-year arithmetic: leap-day clamps, not 365-day subtraction
+    leap = spark.createDataFrame([(dt.date(2024, 2, 29),)], ["d"]).select(
+        years_back("d", 1).alias("b")
+    )
+    assert leap.collect()[0].b == dt.date(2023, 2, 28)
+
+
+def test_asof_and_trailing_filters(spark):
+    rows = [
+        ("2020-01-01 12:00:00",),
+        ("2021-06-30 00:00:00",),
+        ("2021-07-01 00:00:00",),
+    ]
+    df = spark.createDataFrame(rows, ["ts"])
+    assert asof_filter(df, "ts", "2021-06-30").count() == 2
+    assert trailing_window_filter(df, "ts", "2021-06-30", 1).count() == 1
+
+
+def test_conditional_agg_null_semantics(spark):
+    df = spark.createDataFrame(
+        [("race", 1.0), ("race", 3.0), ("sprint", 10.0)], ["kind", "pos"]
+    )
+    out = df.groupBy().agg(
+        conditional_count(F.col("kind") == "race").alias("n_race"),
+        conditional_avg(F.col("kind") == "race", F.col("pos")).alias("avg_race"),
+        conditional_avg(F.col("kind") == "quali", F.col("pos")).alias("avg_quali"),
+    ).collect()[0]
+    assert out.n_race == 2
+    assert out.avg_race == 2.0
+    assert out.avg_quali is None  # NULL-skipping contract, not 0
+
+
+def test_exact_median_interpolates(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], ["x"])
+    assert df.agg(exact_median("x").alias("m")).collect()[0].m == 2.5
+
+
+def test_top1_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("b", 3, 1.0)], ["g", "k", "v"]
+    )
+    got = top1_per_group(df, ["g"], [F.desc("v"), F.col("k")]).collect()
+    assert {(r.g, r.k) for r in got} == {("a", 1), ("b", 3)}
+
+
+def test_dedup_keep_last(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "old"), ("u", 2, "new"), ("v", 5, "only")], ["k", "seq", "val"]
+    )
+    got = {r.k: r.val for r in dedup_keep_last(df, ["k"], ["seq"]).collect()}
+    assert got == {"u": "new", "v": "only"}
+
+
+def test_dsum_davg_partition_invariant(spark):
+    """Decimal-exact aggregates must not change with partitioning."""
+    data = [(float(f"{i}.{i % 100:02d}"),) for i in range(1, 2001)]
+    a = (
+        spark.createDataFrame(data, ["x"])
+        .repartition(1)
+        .agg(dsum("x").alias("s"), davg("x").alias("a"))
+        .collect()[0]
+    )
+    b = (
+        spark.createDataFrame(data, ["x"])
+        .repartition(37)
+        .agg(dsum("x").alias("s"), davg("x").alias("a"))
+        .collect()[0]
+    )
+    assert a.s == b.s and a.a == b.a
+
+
+def test_label_join_existence(spark):
+    from f1_data_engineering_machine_learning_spark.operators import label_join
+
+    base = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    labels = spark.createDataFrame([(2,), (3,)], ["lid"])
+    out = label_join(
+        base, labels, base.id == labels.lid, "fl", "lid"
+    ).select("id", "fl")
+    assert {(r.id, r.fl) for r in out.collect()} == {(1, 0), (2, 1), (3, 1)}
