@@ -582,6 +582,90 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: snapshot series dates for order_snapshot_series
+_SNAP_DATES = [
+    "1996-12-31",
+    "1997-06-30",
+    "1997-12-31",
+    "1998-06-30",
+    "1998-12-31",
+    "1999-06-30",
+    "1999-12-31",
+    "2000-06-30",
+]
+
+
+@query(
+    "order_snapshot_series",
+    f"""
+    WITH dates(d) AS (
+      VALUES {", ".join(f"(DATE '{d}')" for d in _SNAP_DATES)}
+    ), expl AS (
+      SELECT d.d AS dref, o.o_custkey, o.o_totalprice,
+             CAST(o.o_orderdate AS DATE) AS od
+      FROM orders o JOIN dates d ON CAST(o.o_orderdate AS DATE) <= d.d
+    )
+    SELECT strftime(dref, '%Y-%m-%d') AS dtRef, o_custkey,
+           CAST(SUM(1) AS BIGINT) AS qtd_life,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_life,
+           CAST(SUM(CASE WHEN od >= dref - INTERVAL 90 DAY THEN 1 END) AS BIGINT)
+             AS qtd_90d,
+           CAST(SUM(CASE WHEN od >= dref - INTERVAL 90 DAY
+                         THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE)
+             AS total_90d
+    FROM expl GROUP BY 1, 2
+    """,
+)
+def order_snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot SERIES in one pass — the generic engine behind
+    the reference's feature store (/root/reference/sql/feature_store_drivers.sql
+    + the per-date loop at /root/reference/scripts/spark_ops.py:189-191),
+    run in scale mode: broadcast date dim x facts, one shuffle for all 8
+    snapshots (plans/snapshot.py)."""
+    from f1_data_engineering_machine_learning_spark.plans.snapshot import (
+        SnapshotSpec,
+        scoped_count,
+        snapshot_single_pass,
+    )
+
+    price = F.col("o_totalprice")
+    spec = SnapshotSpec(
+        entity_keys=["o_custkey"],
+        date_col="o_orderdate",
+        scopes={
+            "life": lambda ref, d: d <= ref,
+            "90d": lambda ref, d: d >= ref - F.expr("INTERVAL 90 DAY"),
+        },
+        aggs=[
+            ("qtd_life", "life", scoped_count()),
+            (
+                "total_life",
+                "life",
+                lambda c: F.sum(F.when(c, price.cast("decimal(30,2)"))).cast(
+                    "double"
+                ),
+            ),
+            ("qtd_90d", "90d", scoped_count()),
+            (
+                "total_90d",
+                "90d",
+                lambda c: F.sum(F.when(c, price.cast("decimal(30,2)"))).cast(
+                    "double"
+                ),
+            ),
+        ],
+    )
+    out = snapshot_single_pass(_t(spark, sf_dir, "orders"), spec, _SNAP_DATES)
+    return out.select(
+        F.date_format("dtRef", "yyyy-MM-dd").alias("dtRef"),
+        "o_custkey",
+        F.col("qtd_life").cast("long").alias("qtd_life"),
+        "total_life",
+        F.col("qtd_90d").cast("long").alias("qtd_90d"),
+        "total_90d",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics (batch form of the streaming surface)
 # ---------------------------------------------------------------------------
