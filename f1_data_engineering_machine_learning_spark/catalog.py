@@ -765,6 +765,245 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_score_sql(lang: str, words: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"t -> list_contains({arr}, t))) AS DOUBLE) "
+        f"/ len(regexp_split_to_array(text, '\\s+'))"
+    )
+
+
+def _text_profile_oracle() -> str:
+    from f1_data_engineering_machine_learning_spark.dataops.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    scores = {
+        lang: _lang_score_sql(lang, words) for lang, words in STOPWORDS.items()
+    }
+    score_cols = ",\n           ".join(
+        f"CAST({scores[lang]} AS DOUBLE) AS score_{lang}" for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for lang in langs:
+        pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+             CAST(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS DOUBLE) AS punct_ratio,
+             {score_cols}
+      FROM documents
+    ), scored AS (
+      SELECT *, {pred} AS lang_pred,
+             CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+                  WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_ok,
+             CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END AS punct_ok,
+             CASE WHEN {best} > 0 THEN 1.0 ELSE 0.2 END AS stop_ok,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM base
+    )
+    SELECT doc_id, n_tokens, n_tokens_bpe, punct_ratio,
+           {", ".join("score_" + lang for lang in langs)},
+           lang_pred,
+           CAST((len_ok + punct_ok + stop_ok) / 3.0 AS DOUBLE) AS quality,
+           fingerprint
+    FROM scored
+    """
+
+
+@query("doc_text_profile", _text_profile_oracle())
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis (north-star text surface): whitespace +
+    BPE-ish token counts, punctuation ratio, per-language stopword scores,
+    heuristic language ID, composite quality score, MD5 content
+    fingerprint — all JVM-side expressions (dataops/text.py)."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        STOPWORDS,
+        text_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs, "text")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("int").alias("n_tokens_bpe"),
+        "punct_ratio",
+        *[f"score_{lang}" for lang in STOPWORDS],
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+@query(
+    "ngram_jaccard_pairs_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS s
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i, j,
+           CAST(CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs >= 0.5 via inverted
+    shingle index (north-star dedup; dataops/dedup.py). The testdata plants
+    near-duplicates (max pair jaccard ~0.99 vs p99 ~0.03)."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@query(
+    "minhash_dedup_pairs_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS s
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i, j,
+           CAST(CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = i
+    JOIN sizes sb ON sb.doc_id = j
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def minhash_dedup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (candidate buckets -> exact Jaccard
+    verification, dataops/dedup.py). The oracle is the EXACT pairwise
+    result: with 32 hashes / 8 bands, recall at the planted duplicates'
+    similarity (~0.9+) is >0.999, so LSH output == exhaustive output here —
+    verified deterministic (hash seeds are fixed)."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=8, k=3, verify_threshold=0.5
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_reduce(list_transform(list_zip(qv, cv),
+                                             p -> p[1] * p[2]), (a, b) -> a + b)
+                  / (sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)))
+                  AS DOUBLE) AS cosine_sim
+      FROM q JOIN c ON query_id != neighbor_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 20 query vectors (north-star
+    similarity search baseline, dataops/similarity.py). Dot product as a
+    sequential array fold — deterministic accumulation order makes Spark
+    and DuckDB agree bitwise."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query("simhash_dup_candidates_docs")
+def simhash_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates, Hamming <= 3, via 16-bit-chunk
+    pigeonhole (dataops/dedup.py). Rows-only check: the 64-bit sketch is
+    xxhash64-based, which no external oracle reproduces."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+@query("embedding_lsh_topk")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via MLlib BucketedRandomProjectionLSH
+    (dataops/similarity.py) for 20 query vectors. Rows-only check (LSH
+    recall is probabilistic by design; seeded for reproducibility)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 neighbors (KMeans coarse quantizer +
+    probed buckets, dataops/similarity.py) for 20 query vectors. Rows-only
+    check (KMeans assignment is seeded but engine-specific)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, n_probe=4
+    )
+
+
 @query(
     "exact_dedup_docs",
     """

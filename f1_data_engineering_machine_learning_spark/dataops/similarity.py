@@ -1,0 +1,200 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Three tiers, trading recall for scan cost:
+
+- ``cosine_topk`` — brute force: broadcast the query set against the corpus,
+  fold the dot product with array expressions (JVM, deterministic
+  element-order accumulation), per-query top-k via window. Exact; O(Q x N).
+  The baseline every ANN variant is measured against.
+- ``lsh_topk`` — MLlib BucketedRandomProjectionLSH: hash both sides,
+  approxSimilarityJoin prunes to colliding buckets. Sub-linear scans at the
+  cost of recall; seeded, so reproducible.
+- ``ivf_topk`` — inverted-file index: KMeans coarse quantizer, corpus
+  bucketed by nearest centroid, queries probe the ``n_probe`` nearest
+  centroids only — the classic IVF-Flat layout, built from MLlib + joins.
+  At 100 TB the corpus is written bucketed/partitioned by centroid id so a
+  probe touches only its partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.operators.windows import topk_per_group
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic accumulation order
+    (element order), identical across partitionings and engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return (dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))).cast("double")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (the small side by construction); the corpus scan
+    stays partition-parallel, and per-query top-k is a window with
+    deterministic (similarity desc, neighbor id) ordering."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_sim"), F.col("neighbor_id")],
+        k,
+        rn_col="rank",
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate neighbors via random-projection LSH (Euclidean proxy for
+    cosine on normalized vectors). Returns (query_id, neighbor_id, dist)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    q = queries.select(
+        F.col(id_col).alias("id"), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.id").alias("query_id"),
+        F.col("datasetB.id").alias("neighbor_id"),
+        F.col("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return topk_per_group(
+        pairs, ["query_id"], [F.col("dist"), F.col("neighbor_id")], k, rn_col="rank"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-Flat: coarse-quantize the corpus with KMeans, probe only the
+    ``n_probe`` closest centroids per query, exact cosine within probes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    model = km.fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "__cvec", F.col("prediction").alias("centroid")
+    )
+
+    centroids = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, ["centroid", "centroid_vec"]
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q_cent = (
+        q.join(F.broadcast(cent_df))
+        .withColumn(
+            "cdist", cosine(F.col("__qvec"), F.col("centroid_vec"))
+        )
+    )
+    probes = topk_per_group(
+        q_cent,
+        ["query_id"],
+        [F.desc("cdist"), F.col("centroid")],
+        n_probe,
+        rn_col="__pr",
+    ).select("query_id", "centroid", "__qvec")
+
+    scored = (
+        probes.join(assigned, "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_sim"), F.col("neighbor_id")],
+        k,
+        rn_col="rank",
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (all pairs —
+    use the LSH/IVF variants to bound candidates at scale)."""
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("i", "j", "cosine_sim")
+    )

@@ -1,0 +1,150 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+fingerprinting.
+
+Everything here is built-in ``pyspark.sql.functions`` expressions — they run
+inside whole-stage codegen with zero Python in the row path, which is what
+makes them viable over 100 TB of documents. Higher-order array functions
+(``transform``/``filter``/``aggregate``) replace what would otherwise be
+UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: minimal stopword marker sets for the n-gram/stopword language heuristic.
+#: Tiny on purpose: the operator contract is "score by marker-token overlap",
+#: not linguistic completeness — swap in real lists at deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"),
+    "de": ("der", "die", "das", "und", "von", "zu", "mit", "den", "ein", "für"),
+}
+
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count — the cheap size estimate used for budget
+    accounting in data pipelines."""
+    return F.size(tokens(col, lowercase=False))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: word-piece-like segments = alphanumeric runs
+    plus standalone punctuation (a regex proxy for subword tokenizers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_PATTERN, ""))
+    return (n_punct.cast("double") / F.length(c)).cast("double")
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens (with duplicates) present in the language's marker
+    set — counted via ``filter`` over the token array, JVM-side."""
+    marker = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(marker, t)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return (stopword_hits(col, lang).cast("double") / token_count(col)).cast(
+        "double"
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap scores (the n-gram heuristic's
+    vocabulary form): fraction of tokens in each language's marker set."""
+    return {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax language with deterministic tie-break (first in STOPWORDS
+    order wins); ``default`` when no marker matched at all."""
+    scores = lang_scores(col)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit(default)
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit(default)).otherwise(expr)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation sanity +
+    stopword presence. The standard cheap pre-filter before expensive
+    dedup/classification stages."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    p = punct_ratio(c)
+    punct_ok = F.when(p <= 0.2, F.lit(1.0)).otherwise(F.lit(0.3))
+    any_stop = F.greatest(
+        *[stopword_ratio(c, lang) for lang in STOPWORDS]
+    )
+    stop_ok = F.when(any_stop > 0, F.lit(1.0)).otherwise(F.lit(0.2))
+    return ((len_ok + punct_ok + stop_ok) / F.lit(3.0)).cast("double")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """MD5 of normalized content — the exact-dup fingerprint. MD5 (not
+    xxhash64) so external systems/oracles reproduce it byte-for-byte."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles of the normalized token stream (the unit for
+    MinHash/Jaccard near-dup detection). Pure array expressions:
+    transform over a 0..n-k index sequence, concat of slices."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def min_shingle_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Deterministic document sketch: lexicographic min of the shingle MD5s
+    (a 1-hash MinHash — the building block the full MinHash generalizes)."""
+    return F.array_min(
+        F.transform(shingles(col, k), lambda s: F.md5(s.cast("binary")))
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection: all per-document text-analysis columns."""
+    out = df.withColumn("n_tokens", token_count(text_col))
+    out = out.withColumn("n_tokens_bpe", bpe_ish_token_count(text_col))
+    out = out.withColumn("punct_ratio", punct_ratio(text_col))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"score_{lang}", stopword_ratio(text_col, lang))
+    out = out.withColumn("lang_pred", lang_id(text_col))
+    out = out.withColumn("quality", quality_score(text_col))
+    out = out.withColumn("fingerprint", content_fingerprint(text_col))
+    return out

@@ -1,0 +1,137 @@
+"""Unit + behavior tests for the LLM-data operators (dataops/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.dataops import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the old barn today"),
+        (1, "The quick brown fox jumps over the lazy dog near the old barn again"),  # near-dup of 0
+        (2, "completely different content about spark shuffles and partitions"),
+        (3, "El perro corre por la calle y el gato duerme en la casa de la abuela"),
+        (4, "The quick brown fox jumps over the lazy dog near the old barn today"),  # exact dup of 0
+        (5, "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("one",)], ["text"])
+    got = df.select(
+        text.token_count("text").alias("n"),
+        text.bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert [r.n for r in got] == [3, 1]
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[3] == "es"
+    assert got[5] == "und"  # no marker tokens at all
+
+
+def test_quality_score_bounds(docs):
+    vals = [r.q for r in docs.select(text.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # the one-char doc must score strictly lower than a real sentence
+    by_id = {r.doc_id: r.q for r in docs.select(
+        "doc_id", text.quality_score("text").alias("q")).collect()}
+    assert by_id[5] < by_id[0]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], ["text"]
+    ).select(text.content_fingerprint("text").alias("fp"))
+    a, b = [r.fp for r in df.collect()]
+    assert a == b  # case + whitespace normalization collapse
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], ["text"])
+    got = df.select(text.shingles("text", 3).alias("s")).collect()
+    assert got[0].s == ["a b c", "b c d"]
+    assert got[1].s == ["a"]  # shorter than k -> whole text
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r.keeper_id: r.n_copies for r in out}
+    assert groups[0] == 2  # docs 0 and 4 are identical
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    got = {(r.i, r.j) for r in pairs.collect()}
+    assert (0, 1) in got  # near-dup
+    assert (0, 4) in got  # exact dup (jaccard 1.0)
+    assert (0, 2) not in got
+
+
+def test_minhash_matches_exact_on_high_similarity(docs):
+    mh = {
+        (r.i, r.j)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.i, r.j)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert mh == exact
+
+
+def test_simhash_identical_and_near(docs):
+    sims = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sims[0] == sims[4]  # identical text -> identical sketch
+    cand = {(r.i, r.j): r.hamming for r in dedup.simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3).collect()}
+    assert cand.get((0, 4)) == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df.filter(F.col("vec_id") == 0), df, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cosine_sim > 0.99
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, emb, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6  # probing half the centroids must recover most
+
+
+def test_lsh_topk_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(q, emb, k=3).collect()
+    assert len(out) > 0
+    assert all(r.query_id != r.neighbor_id for r in out)
