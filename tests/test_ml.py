@@ -1,0 +1,78 @@
+"""MLlib stage tests on the F1 fixture ABT (SURVEY §5 rebuild item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.ml import (
+    SPRINT_GAIN_FEATURES,
+    SPRINT_POSITION_FEATURES,
+    group_random_split,
+    impute_sentinels,
+    oot_split,
+    train_champion_model,
+)
+from f1_data_engineering_machine_learning_spark.pipeline import (
+    abt_champions,
+    champions,
+    driver_feature_store,
+    event_dates,
+)
+from f1_data_engineering_machine_learning_spark.pipeline.fixtures import results_fixture
+
+
+@pytest.fixture(scope="module")
+def abt(spark):
+    results = results_fixture(spark)
+    fs = driver_feature_store(results, event_dates(results), mode="single_pass")
+    return abt_champions(fs, champions(results), oot_bound=2024).cache()
+
+
+def test_sentinel_feature_lists():
+    assert len(SPRINT_POSITION_FEATURES) == 12
+    assert len(SPRINT_GAIN_FEATURES) == 6
+
+
+def test_oot_split_partitions(abt):
+    pool, oot = oot_split(abt, oot_year=2023)
+    assert pool.filter(F.col("dtYear") >= 2023).count() == 0
+    assert oot.filter(F.col("dtYear") != 2023).count() == 0
+    assert pool.count() + oot.count() == abt.count()
+
+
+def test_group_split_integrity(abt):
+    train, test = group_random_split(abt, seed=42)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == abt.count()
+    tr = {(r.DriverId, r.dtYear) for r in train.select("DriverId", "dtYear").distinct().collect()}
+    te = {(r.DriverId, r.dtYear) for r in test.select("DriverId", "dtYear").distinct().collect()}
+    assert tr.isdisjoint(te)  # a driver-year never straddles the split
+    assert 0.05 < n_test / (n_train + n_test) < 0.5  # ~0.2 with small-N noise
+    # determinism given the seed
+    train2, _ = group_random_split(abt, seed=42)
+    assert train2.count() == n_train
+
+
+def test_impute_sentinels(abt):
+    imp = impute_sentinels(abt)
+    for c in SPRINT_POSITION_FEATURES + SPRINT_GAIN_FEATURES:
+        assert imp.filter(F.col(c).isNull()).count() == 0
+
+
+def test_train_champion_model(abt):
+    result = train_champion_model(abt, oot_year=2023)
+    assert result["metrics"]["train"]["roc_auc"] > 0.5
+    assert 0 <= result["metrics"]["train"]["accuracy"] <= 1
+    assert "oot" in result["metrics"]
+    assert len(result["importances"]) > 0
+    top_name, top_imp = result["importances"][0]
+    assert top_imp > 0
+    # scoring stays distributed and bounded
+    from f1_data_engineering_machine_learning_spark.ml import score
+
+    scored = score(result["model"], impute_sentinels(abt))
+    probs = scored.agg(
+        F.min("proba").alias("lo"), F.max("proba").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= probs.lo and probs.hi <= 1.0
