@@ -582,6 +582,129 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "global_top_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def global_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (O4): ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + k-row merge, no full
+    sort). The reference does this driver-side in pandas
+    (/root/reference/scripts/05_ml_model.py:260-266); here it's
+    distributed."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import topk
+
+    c = _t(spark, sf_dir, "customer")
+    return topk(c, [F.desc("c_acctbal"), F.col("c_custkey")], 10).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "union_order_year_slices",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             'early' AS slice
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) <= 1996
+      UNION ALL
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             'late' AS slice
+      FROM orders WHERE year(CAST(o_orderdate AS DATE)) >= 2000
+    )
+    """,
+)
+def union_order_year_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical union by name (U1/U2): pandas ``pd.concat``
+    (/root/reference/scripts/05_ml_model.py:414) as ``unionByName``."""
+    from f1_data_engineering_machine_learning_spark.operators.reshape import union_all
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    base = ["o_orderkey", "o_custkey"]
+    early = o.filter(F.year(d) <= 1996).select(
+        *base, F.col("o_totalprice").cast("double"), F.lit("early").alias("slice")
+    )
+    late = o.filter(F.year(d) >= 2000).select(
+        *base, F.col("o_totalprice").cast("double"), F.lit("late").alias("slice")
+    )
+    return union_all([early, late])
+
+
+@query(
+    "event_date_expr_join",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day, daily.n_events,
+           CASE WHEN dim.event_type IS NOT NULL THEN 1 ELSE 0 END AS had_errors
+    FROM daily LEFT JOIN dim ON daily.d = dim.d
+    """,
+)
+def event_date_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join on a date EXPRESSION (J2): the reference joins
+    ``TO_DATE(t1.dtRef) = TO_DATE(t4.dtEvent)`` to recover the round number
+    (/root/reference/sql/feature_store_drivers.sql:171); here daily counts
+    join an error-day dim on the derived date, + existence flag (J4)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.to_date("ts").alias("d2"), "event_type")
+        .distinct()
+    )
+    joined = daily.join(F.broadcast(dim), F.col("d") == F.col("d2"), "left")
+    return joined.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.when(F.col("event_type").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "had_errors"
+        ),
+    )
+
+
+@query(
+    "pivot_event_avg_value",
+    """
+    SELECT user_id,
+           CAST(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE)
+                / COUNT(CASE WHEN event_type = 'click' THEN value END) AS DOUBLE) AS click,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE)
+                / COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) AS purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a value aggregate (M8's ``pivot(values=...)`` form,
+    /root/reference/scripts/05_ml_model.py:444-448) — deterministic decimal
+    avg inside the pivot cells; NULL cells kept (no fill) to exercise the
+    sparse case."""
+    ev = _events(spark, sf_dir)
+    out = pivot_agg(
+        ev,
+        ["user_id"],
+        "event_type",
+        ["click", "purchase"],
+        _cond_davg(F.lit(True), F.col("value")),
+        fill=None,
+    )
+    return out.select("user_id", "click", "purchase")
+
+
 #: snapshot series dates for order_snapshot_series
 _SNAP_DATES = [
     "1996-12-31",

@@ -1,0 +1,44 @@
+"""sql_runner + end-to-end pipeline runner tests."""
+
+from __future__ import annotations
+
+from f1_data_engineering_machine_learning_spark.pipeline.fixtures import results_fixture
+from f1_data_engineering_machine_learning_spark.sql_runner import run_sql, run_sql_file
+
+
+def test_run_sql_brace_template(spark):
+    results_fixture(spark).createOrReplaceTempView("results")
+    df = run_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM results WHERE year = '{year}'",
+        {"year": "2022"},
+    )
+    assert df.collect()[0].n > 0
+
+
+def test_run_sql_parameterized(spark):
+    results_fixture(spark).createOrReplaceTempView("results")
+    df = run_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM results WHERE year = :year",
+        {"year": "2022"},
+    )
+    assert df.collect()[0].n > 0
+
+
+def test_run_sql_file(spark, tmp_path):
+    results_fixture(spark).createOrReplaceTempView("results")
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT DriverId, COUNT(*) AS n FROM results GROUP BY 1")
+    assert run_sql_file(spark, str(p)).count() > 0
+
+
+def test_pipeline_runner_end_to_end(spark, tmp_path):
+    from f1_data_engineering_machine_learning_spark.pipeline.run import run_pipeline
+
+    summary = run_pipeline(spark, str(tmp_path / "wd"), oot_year=2023)
+    assert summary["n_abt_rows"] > 0
+    assert len(summary["top5"]) == 5
+    assert summary["metrics"]["train"]["roc_auc"] > 0.5
+    assert (tmp_path / "wd" / "top5_history.csv").exists()
+    assert (tmp_path / "wd" / "bar_race.csv").exists()
