@@ -70,10 +70,13 @@ def ngram_jaccard_pairs(
     intersection counts -> |A|+|B|-inter denominator. The self-join
     shuffles on the shingle, so hot shingles dominate: at scale cap or
     drop shingles above a document-frequency bound before joining
-    (df_cap param kept explicit here)."""
+    (df_cap param kept explicit here). The shingle frame feeds three
+    consumers (sizes + both join sides) — persisted so the explode+distinct
+    shuffle runs once."""
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("i"), "s")
@@ -198,6 +201,7 @@ def minhash_dedup_pairs(
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     ai = sh.select(F.col("id").alias("i"), F.col("s").alias("si"))
