@@ -92,6 +92,14 @@ def main() -> int:
             problems.append(
                 f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
             )
+        else:
+            dt_mismatch = [
+                (c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in sdf.columns
+                if str(sdf[c].dtype) != str(odf[c].dtype)
+            ]
+            if dt_mismatch:
+                problems.append(f"dtypes differ: {dt_mismatch}")
         if not problems:
             a, b = _rows_key(sdf), _rows_key(odf)
             if a != b:
