@@ -583,6 +583,77 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "string_filter_orders",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) <= DATE '{CUTOFF}'
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def string_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string predicate filter (P7): the reference passes raw SQL
+    strings to ``df.filter`` (/root/reference/scripts/03_feature_store.py:31,
+    /root/reference/scripts/05_ml_model.py:305) — identical mechanism
+    here, parsed by Catalyst into the same pushed-down predicates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            f"to_date(o_orderdate) >= '1997-01-01' AND "
+            f"to_date(o_orderdate) <= '{CUTOFF}' AND o_orderstatus = 'F'"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "selected_pairs_inner_join",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+      FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    JOIN pairs p ON o.o_custkey = p.o_custkey
+                AND CAST(year(o.o_orderdate) AS INTEGER) = p.o_year
+    """,
+)
+def selected_pairs_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join on a composite (entity, period) key (J6): the reference's
+    train/test merge attaches sampled driver-years back to their rows
+    (/root/reference/scripts/05_ml_model.py:79-80). The pair set is small
+    and aggregated -> broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    o_year = F.year("o_orderdate").cast("int")
+    pairs = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey", o_year.alias("o_year"))
+        .distinct()
+    )
+    return (
+        o.withColumn("o_year", o_year)
+        .join(F.broadcast(pairs), ["o_custkey", "o_year"], "inner")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_year",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
+
+
+@query(
     "global_top_customers",
     """
     SELECT c_custkey, c_name, c_acctbal
