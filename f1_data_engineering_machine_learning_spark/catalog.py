@@ -61,6 +61,9 @@ _ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin the session tz so date extraction from timestamps matches the
+    # (naive) DuckDB oracle even under a non-UTC driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
