@@ -1166,6 +1166,23 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_stats_scale_mode")
+def approx_stats_scale_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB alternates to the exact aggregates: HLL
+    ``approx_count_distinct`` (vs COUNT DISTINCT's full shuffle of keys)
+    and t-digest ``percentile_approx`` (vs the sort-buffering exact
+    percentile). Rows-only check — sketches are engine-specific by nature;
+    the EXACT twins are the oracle-checked queries
+    (conditional_supplier_stats, distinct_event_days). Included so both
+    modes are first-class: exact when contractual, sketch at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query("simhash_dup_candidates_docs")
 def simhash_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates, Hamming <= 3, via 16-bit-chunk
