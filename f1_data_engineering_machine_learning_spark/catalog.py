@@ -1166,6 +1166,63 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_constraint_report",
+    """
+    WITH scalar AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+             CAST(SUM(CASE WHEN lang IS NULL
+                            OR lang NOT IN ('en','es','fr','de','zh')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1
+                            OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN NOT (n_chars = length(text)) OR n_chars IS NULL
+                            OR text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_len
+      FROM documents
+    ), uniq AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS v
+      FROM (SELECT doc_id, COUNT(*) AS cnt FROM documents GROUP BY doc_id)
+    )
+    SELECT 'not_null(text)' AS constraint, n AS n_rows, v_text AS n_violations FROM scalar
+    UNION ALL SELECT 'in_set(lang)', n, v_lang FROM scalar
+    UNION ALL SELECT 'in_range(n_chars)', n, v_range FROM scalar
+    UNION ALL SELECT 'n_chars_matches_text', n, v_len FROM scalar
+    UNION ALL SELECT 'unique(doc_id)', n, v FROM uniq
+    """,
+)
+def doc_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (dataops/quality.py): five constraints
+    over documents evaluated in one aggregation pass (+1 groupBy for the
+    uniqueness check) — the guardrail stage of a training-data pipeline."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        check_constraints,
+        expr,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return check_constraints(
+        docs,
+        [
+            not_null("text"),
+            in_set("lang", ["en", "es", "fr", "de", "zh"]),
+            in_range("n_chars", 1, 100000),
+            expr(
+                "n_chars_matches_text",
+                F.col("n_chars").isNotNull()
+                & F.col("text").isNotNull()
+                & (F.col("n_chars") == F.length("text")),
+            ),
+            unique("doc_id"),
+        ],
+    )
+
+
 @query("approx_stats_scale_mode")
 def approx_stats_scale_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB alternates to the exact aggregates: HLL

@@ -1,0 +1,92 @@
+"""Data-quality constraint checking over arbitrary tables.
+
+The guardrail stage of a training-data pipeline: declarative constraints
+evaluated in ONE aggregation pass (every check is a conditional count —
+map-side combinable, no per-constraint jobs), emitting a long-format
+violations report. At 100 TB this runs as a single scan over the table,
+typically piggybacked on an ingest job.
+
+Constraint kinds:
+- ``not_null(col)``
+- ``unique(col)``          (needs one extra groupBy on the column)
+- ``in_set(col, values)``
+- ``in_range(col, lo, hi)``
+- ``expr(name, bool_col)`` — arbitrary boolean expression, True = valid
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Constraint:
+    name: str
+    valid: Column | None  # None => handled specially (unique)
+    unique_col: str | None = None
+
+
+def not_null(col: str) -> Constraint:
+    return Constraint(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_set(col: str, values: list) -> Constraint:
+    return Constraint(
+        f"in_set({col})", F.col(col).isNotNull() & F.col(col).isin(values)
+    )
+
+
+def in_range(col: str, lo, hi) -> Constraint:
+    return Constraint(
+        f"in_range({col})",
+        F.col(col).isNotNull() & (F.col(col) >= lo) & (F.col(col) <= hi),
+    )
+
+
+def expr(name: str, valid: Column) -> Constraint:
+    return Constraint(name, valid)
+
+
+def unique(col: str) -> Constraint:
+    return Constraint(f"unique({col})", None, unique_col=col)
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Long-format report: (constraint, n_rows, n_violations). All
+    non-unique constraints evaluate in one pass; each unique() adds one
+    groupBy on its column (counting rows in duplicated groups)."""
+    spark = df.sparkSession
+    scalar = [c for c in constraints if c.valid is not None]
+    uniques = [c for c in constraints if c.unique_col is not None]
+
+    reports = []
+    if scalar:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.when(~c.valid, 1).otherwise(0)).alias(f"v{i}")
+            for i, c in enumerate(scalar)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        reports += [
+            (c.name, int(row["__n"]), int(row[f"v{i}"]))
+            for i, c in enumerate(scalar)
+        ]
+    for c in uniques:
+        dup = (
+            df.groupBy(c.unique_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .agg(
+                F.sum("__cnt").alias("__n"),
+                F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(0)).alias(
+                    "__v"
+                ),
+            )
+            .collect()[0]
+        )
+        reports.append((c.name, int(dup["__n"] or 0), int(dup["__v"] or 0)))
+
+    return spark.createDataFrame(
+        reports, "constraint string, n_rows long, n_violations long"
+    )

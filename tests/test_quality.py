@@ -1,0 +1,53 @@
+"""Constraint checker: violations detected and counted correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.dataops.quality import (
+    check_constraints,
+    expr,
+    in_range,
+    in_set,
+    not_null,
+    unique,
+)
+
+
+def test_constraints_count_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (1, "en", 20),      # duplicate id
+            (2, None, 5),       # null lang
+            (3, "xx", -1),      # bad lang + out-of-range
+            (4, "fr", 100),
+        ],
+        ["id", "lang", "n"],
+    )
+    report = {
+        r.constraint: (r.n_rows, r.n_violations)
+        for r in check_constraints(
+            df,
+            [
+                not_null("lang"),
+                in_set("lang", ["en", "fr"]),
+                in_range("n", 0, 50),
+                expr("n_even", F.col("n") % 2 == 0),
+                unique("id"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(lang)"] == (5, 1)
+    assert report["in_set(lang)"] == (5, 2)      # null + 'xx'
+    assert report["in_range(n)"] == (5, 2)       # -1 and 100
+    assert report["n_even"] == (5, 2)            # n=5 and n=-1 are odd
+    assert report["unique(id)"] == (5, 2)        # both rows of id=1
+
+
+def test_clean_table_no_violations(spark):
+    df = spark.createDataFrame([(1, "en"), (2, "fr")], ["id", "lang"])
+    report = check_constraints(
+        df, [not_null("lang"), unique("id"), in_set("lang", ["en", "fr"])]
+    )
+    assert report.filter(F.col("n_violations") > 0).count() == 0
