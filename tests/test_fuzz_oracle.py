@@ -1,0 +1,83 @@
+"""Oracle fuzzer: seeded random aggregation queries over orders, run on
+Spark (DataFrame API) and DuckDB (SQL), compared exactly. Guards the
+decimal-exactness machinery and cast conventions across a much wider query
+space than the hand-written catalog."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.functions import davg, dsum
+from tests.util_compare import assert_frames_equal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DIMS = ["o_orderstatus", "o_orderpriority"]
+YEARS = list(range(1995, 2002))
+
+
+def _rand_spec(rng: random.Random) -> dict:
+    return {
+        "group": rng.sample(DIMS, rng.randint(1, 2)),
+        "year_lo": rng.choice(YEARS),
+        "year_hi": rng.choice(YEARS),
+        "min_price": rng.choice([None, 50_000, 150_000, 300_000]),
+        "aggs": rng.sample(["n", "total", "avg", "max_price", "n_distinct_cust"], 3),
+    }
+
+
+def _spark_query(spark, spec):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    d = F.year(F.to_date("o_orderdate"))
+    df = df.filter((d >= spec["year_lo"]) & (d <= spec["year_hi"]))
+    if spec["min_price"]:
+        df = df.filter(F.col("o_totalprice") >= spec["min_price"])
+    agg_map = {
+        "n": F.count(F.lit(1)).alias("n"),
+        "total": dsum("o_totalprice").alias("total"),
+        "avg": davg("o_totalprice").alias("avg"),
+        "max_price": F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+        "n_distinct_cust": F.count_distinct("o_custkey").alias("n_distinct_cust"),
+    }
+    return df.groupBy(*spec["group"]).agg(*[agg_map[a] for a in spec["aggs"]])
+
+
+def _duck_query(con, spec):
+    agg_map = {
+        "n": "CAST(COUNT(*) AS BIGINT) AS n",
+        "total": "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total",
+        "avg": "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)"
+        " / COUNT(o_totalprice) AS DOUBLE) AS avg",
+        "max_price": "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS max_price",
+        "n_distinct_cust": "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)"
+        " AS n_distinct_cust",
+    }
+    where = (
+        f"year(CAST(o_orderdate AS DATE)) BETWEEN {spec['year_lo']}"
+        f" AND {spec['year_hi']}"
+    )
+    if spec["min_price"]:
+        where += f" AND o_totalprice >= {spec['min_price']}"
+    sql = (
+        f"SELECT {', '.join(spec['group'])}, "
+        f"{', '.join(agg_map[a] for a in spec['aggs'])} "
+        f"FROM read_parquet('{SF_DIR}/orders.parquet') "
+        f"WHERE {where} GROUP BY {', '.join(spec['group'])}"
+    )
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_agg_query_matches_duckdb(spark, seed):
+    rng = random.Random(seed)
+    spec = _rand_spec(rng)
+    got = _spark_query(spark, spec).toPandas()
+    want = _duck_query(duckdb.connect(), spec)
+    assert_frames_equal(got, want, f"fuzz seed={seed} spec={spec}")
