@@ -42,3 +42,17 @@ def test_pipeline_runner_end_to_end(spark, tmp_path):
     assert summary["metrics"]["train"]["roc_auc"] > 0.5
     assert (tmp_path / "wd" / "top5_history.csv").exists()
     assert (tmp_path / "wd" / "bar_race.csv").exists()
+
+
+def test_pipeline_runner_incremental_mode_agrees(spark, tmp_path):
+    """The incremental (per-date slice) materialization must produce the
+    same ABT row count as the single-pass mode — the reference's mechanism
+    and the scale mode are interchangeable end to end."""
+    from f1_data_engineering_machine_learning_spark.pipeline.run import run_pipeline
+
+    a = run_pipeline(spark, str(tmp_path / "sp"), oot_year=2023)
+    b = run_pipeline(
+        spark, str(tmp_path / "inc"), oot_year=2023, incremental=True
+    )
+    assert a["n_abt_rows"] == b["n_abt_rows"]
+    assert a["n_snapshots"] == b["n_snapshots"]
