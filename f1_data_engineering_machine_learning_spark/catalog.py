@@ -657,6 +657,85 @@ def selected_pairs_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regional_supplier_volume",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE year(CAST(o.o_orderdate AS DATE)) = 1997
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-way star join: fact (lineitem) against a chain of
+    shrinking dimensions (orders-filtered year, supplier, nation, region).
+    The dims are broadcast (verified in tests: >=3 BroadcastHashJoins, no
+    sort-merge) so the fact table is never shuffled for the join — the
+    pattern that survives a 100x fact-table scale-up unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year(F.to_date("o_orderdate")) == 1997
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "brand_share_of_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS brand_revenue,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END)
+                AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_share_of_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-flavored: fact x broadcast part dim with a conditional
+    (LIKE-guarded) revenue aggregate — string predicate pushed into the
+    aggregation, NULL when a brand has no promo lines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1) - disc)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("brand_revenue"),
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev))
+            .cast("double")
+            .alias("promo_revenue"),
+        )
+    )
+
+
+@query(
     "global_top_customers",
     """
     SELECT c_custkey, c_name, c_acctbal

@@ -1,0 +1,57 @@
+"""Plan-shape assertions: the properties PLANS.md documents, as tests."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from f1_data_engineering_machine_learning_spark import catalog
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(catalog.regional_supplier_volume(spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+    assert "SortMergeJoin" not in plan  # the fact table is never shuffled
+
+
+def test_asof_predicate_pushes_to_scan(spark, sf_dir):
+    plan = _plan(catalog.asof_order_snapshot(spark, sf_dir))
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate", plan)
+
+
+def test_column_pruning_reads_minimal_schema(spark, sf_dir):
+    plan = _plan(catalog.asof_order_snapshot(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"o_custkey", "o_totalprice", "o_orderdate"}
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(catalog.global_top_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full sort for top-k
+
+
+def test_minhash_equals_exact_at_bench_scale(spark):
+    """The minhash oracle claim (LSH == exhaustive at planted-dup
+    similarity) verified at the bench scale factor too, not just sf0.01."""
+    sf = "/root/testdata/sf0.1"
+    mh = {
+        (r.i, r.j)
+        for r in catalog.minhash_dedup_pairs_docs(spark, sf).collect()
+    }
+    exact = {
+        (r.i, r.j)
+        for r in catalog.ngram_jaccard_pairs_docs(spark, sf).collect()
+    }
+    assert mh == exact
+    assert len(exact) > 0
