@@ -657,6 +657,81 @@ def selected_pairs_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_sequence",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(o_orderdate AS DATE)) AS INTEGER) AS date_rank,
+           CAST(datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+           strftime(first_value(CAST(o_orderdate AS DATE)) OVER w, '%Y-%m-%d')
+             AS first_order_date,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                        o_orderkey) AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    """,
+)
+def customer_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth beyond the reference's single ROW_NUMBER
+    (SURVEY §2.5 notes the gap): row_number, rank (with ties), lag deltas,
+    first_value, ntile — one window pass, deterministic orderings."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    w_date = Window.partitionBy("o_custkey").orderBy(d)
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)"), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.rank().over(w_date).alias("date_rank"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.date_format(F.first(d).over(w), "yyyy-MM-dd").alias("first_order_date"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+    )
+
+
+@query(
+    "customer_name_strings",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(c_name, '#', '-') AS name_dashed,
+           concat_ws('|', c_mktsegment, trim(c_name)) AS seg_name,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           CAST(position('#' IN c_name) AS INTEGER) AS hash_pos
+    FROM customer
+    """,
+)
+def customer_name_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (beyond the reference's scalar surface,
+    SURVEY §2.8 notes no string ops): case, substring, pad, replace,
+    concat_ws, length, position — all codegen expressions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.trim(F.col("c_name"))).alias(
+            "seg_name"
+        ),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("hash_pos"),
+    )
+
+
+@query(
     "regional_supplier_volume",
     """
     SELECT r.r_name, n.n_name,
