@@ -657,6 +657,68 @@ def selected_pairs_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_90d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+)
+def rolling_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval ROLLING window as a window FUNCTION — the
+    alternative SURVEY §2.5 notes the reference lacks (its 'rolling'
+    features are re-aggregation per snapshot). Spark's rangeBetween needs a
+    numeric ordering, so the date is projected to epoch days; DuckDB uses
+    RANGE ... INTERVAL directly — same frame, same rows."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+    )
+
+
+@query(
+    "event_props_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (`get_json_object` ↔ DuckDB
+    `json_extract_string`) — the props payload parsed and aggregated
+    JVM-side, no UDF. Beyond the reference's scalar surface (no JSON ops,
+    SURVEY §2.8)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(k, F.lit(0))).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "customer_order_sequence",
     """
     SELECT o_custkey, o_orderkey,
