@@ -657,6 +657,44 @@ def selected_pairs_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "loyal_customers_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998
+    """,
+)
+def loyal_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.7 notes the reference has none):
+    customers active in both 1997 and 1998."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    y97 = o.filter(yr == 1997).select("o_custkey")
+    y98 = o.filter(yr == 1998).select("o_custkey")
+    return y97.intersect(y98)
+
+
+@query(
+    "churned_customers_except",
+    """
+    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998
+    """,
+)
+def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (absent from the reference, SURVEY §2.7): customers
+    active in 1997 but not 1998."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    y97 = o.filter(yr == 1997).select("o_custkey")
+    y98 = o.filter(yr == 1998).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # leftover multiset copies of keys present in both years
+    return y97.subtract(y98)
+
+
+@query(
     "rolling_90d_spend",
     """
     SELECT o_orderkey, o_custkey,

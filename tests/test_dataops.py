@@ -96,6 +96,12 @@ def test_minhash_matches_exact_on_high_similarity(docs):
 def test_simhash_identical_and_near(docs):
     sims = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert sims[0] == sims[4]  # identical text -> identical sketch
+    # both implementations produce the same sketch
+    via_udf = {
+        r.id: r.simhash
+        for r in dedup.simhash(docs, "doc_id", "text", impl="pandas_udf").collect()
+    }
+    assert sims == via_udf
     cand = {(r.i, r.j): r.hamming for r in dedup.simhash_candidates(
         docs, "doc_id", "text", max_hamming=3).collect()}
     assert cand.get((0, 4)) == 0
