@@ -556,6 +556,62 @@ def rollup_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with a GROUPING() disambiguator (no reference
+    counterpart — completes the grouping-sets family with rollup). The
+    grouping id distinguishes a real NULL key from a subtotal row."""
+    o = _t(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+    ).cast("int")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("grouping_id"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@query(
+    "quantile_spread_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75,
+           CAST(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)
+                AS DOUBLE) AS iqr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_spread_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fraction exact percentiles (q25/q50/q75 + IQR) — generalizes
+    the reference's median-only surface
+    (/root/reference/sql/feature_store_drivers.sql:46). Exact over the
+    integral quantity column, so quarter-point interpolation is
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = lambda f: F.percentile("l_quantity", F.lit(f)).cast("double")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        q(0.25).alias("q25"),
+        q(0.50).alias("q50"),
+        q(0.75).alias("q75"),
+        (q(0.75) - q(0.25)).cast("double").alias("iqr"),
+    )
+
+
+@query(
     "running_customer_spend",
     """
     SELECT o_orderkey, o_custkey,

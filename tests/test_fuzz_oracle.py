@@ -81,3 +81,47 @@ def test_random_agg_query_matches_duckdb(spark, seed):
     got = _spark_query(spark, spec).toPandas()
     want = _duck_query(duckdb.connect(), spec)
     assert_frames_equal(got, want, f"fuzz seed={seed} spec={spec}")
+
+
+JOIN_DIMS = ["c_mktsegment", "o_orderstatus"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_join_query_matches_duckdb(spark, seed):
+    """Random orders x customer join-aggregations: join type, group key,
+    acctbal filter and aggregate set all drawn from the seed."""
+    rng = random.Random(1000 + seed)
+    group = rng.choice(JOIN_DIMS)
+    how = rng.choice(["inner", "left"])
+    min_bal = rng.choice([None, 0, 5000])
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    if min_bal is not None:
+        c = c.filter(F.col("c_acctbal") >= min_bal)
+    joined = o.join(c, o.o_custkey == c.c_custkey, how)
+    got = (
+        joined.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_custkey").alias("n_matched"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .toPandas()
+    )
+
+    bal = f"WHERE c_acctbal >= {min_bal}" if min_bal is not None else ""
+    sql = f"""
+    SELECT {group},
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM read_parquet('{SF_DIR}/orders.parquet') o
+    {how.upper()} JOIN (SELECT * FROM read_parquet('{SF_DIR}/customer.parquet') {bal}) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY {group}
+    """
+    con = duckdb.connect()
+    want = con.sql(sql).df()
+    assert_frames_equal(got, want, f"join-fuzz seed={seed} {group} {how} {min_bal}")
