@@ -1550,6 +1550,86 @@ def approx_stats_scale_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocabulary_top_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), per_doc AS (
+      SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), tc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS term_count FROM toks GROUP BY token
+    ), dc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_count
+      FROM (SELECT DISTINCT doc_id, token FROM per_doc) GROUP BY token
+    )
+    SELECT tc.token, term_count, doc_count
+    FROM tc JOIN dc ON tc.token = dc.token
+    ORDER BY term_count DESC, tc.token
+    LIMIT 50
+    """,
+)
+def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by term frequency with doc
+    frequency (dataops/text.py::vocabulary) — the Zipf-skewed aggregation
+    every text pipeline starts with; deterministic (count, token)
+    tie-break."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocabulary(docs, "text")
+    return vocab.orderBy(F.desc("term_count"), F.col("token")).limit(50)
+
+
+@query(
+    "signup_purchase_funnel",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signed_up,
+           CAST(SUM(CASE WHEN first_signup IS NOT NULL
+                          AND first_purchase > first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM stages
+    """,
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: users whose first purchase follows their
+    first signup — conditional min-timestamp stages then ordering
+    comparison, two aggregation passes, no self-join (the naive funnel is
+    an events-to-events self-join; this shape scales linearly)."""
+    ev = _events(spark, sf_dir)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias(
+            "n_signed_up"
+        ),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
 @query("simhash_dup_candidates_docs")
 def simhash_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates, Hamming <= 3, via 16-bit-chunk

@@ -137,6 +137,39 @@ def min_shingle_fingerprint(col: Column | str, k: int = 3) -> Column:
     )
 
 
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(col: Column | str, redact_pii: bool = True) -> Column:
+    """Curation-time cleanup: strip URLs, optionally redact emails (PII),
+    collapse whitespace. Pure regexp_replace chain — codegen, order
+    documented (URLs first so an URL containing an @ doesn't leave a
+    half-redacted token behind)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, URL_PATTERN, " ")
+    if redact_pii:
+        c = F.regexp_replace(c, EMAIL_PATTERN, "<email>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: (token, term_count, doc_count). One explode + one
+    groupBy; at 100 TB this is the classic Zipf-skewed aggregation — the
+    hot head tokens are exactly what AQE skew handling (or a stopword
+    pre-filter) absorbs."""
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    # term count from all occurrences; doc count from per-document distinct
+    per_doc = df.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("term_count"))
+    dc = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_count"))
+    return tc.join(dc, "token").filter(F.col("term_count") >= min_count)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All per-document text-analysis columns, single-tokenization plan.
 

@@ -107,6 +107,29 @@ def test_simhash_identical_and_near(docs):
     assert cand.get((0, 4)) == 0
 
 
+def test_clean_text_redacts(spark):
+    df = spark.createDataFrame(
+        [("see https://ex.com/a?b=1 and mail bob@corp.io   now",)], ["text"]
+    )
+    got = df.select(text.clean_text("text").alias("t")).collect()[0].t
+    assert "https" not in got and "ex.com" not in got
+    assert "bob@corp.io" not in got and "<email>" in got
+    assert "  " not in got
+
+
+def test_vocabulary_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c")], ["doc_id", "text"]
+    )
+    vocab = {
+        r.token: (r.term_count, r.doc_count)
+        for r in text.vocabulary(df).collect()
+    }
+    assert vocab["a"] == (3, 2)
+    assert vocab["b"] == (1, 1)
+    assert vocab["c"] == (1, 1)
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0]),
