@@ -1584,6 +1584,65 @@ def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_salient_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_count
+      FROM (SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+            FROM documents)
+      GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(CAST(tf.tf AS DOUBLE) * n.n_docs / df.doc_count AS DOUBLE) AS score
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, score, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 by a log-free tf-idf score
+    (``tf * N / doc_freq`` — same ordering as tf-idf for fixed tf, exact
+    across engines where ``log`` would differ in ulps). One explode, two
+    aggregations, a broadcast-sized term-frequency join."""
+    docs = _t(spark, sf_dir, "documents")
+    from f1_data_engineering_machine_learning_spark.dataops.text import tokens as _toks
+
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(_toks("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("doc_count"))
+        .cast("double")
+        .alias("score"),
+    )
+    from f1_data_engineering_machine_learning_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored, ["doc_id"], [F.desc("score"), F.col("token")], 3, rn_col="rn"
+    ).select("doc_id", "token", "score", F.col("rn").cast("int").alias("rn"))
+
+
+@query(
     "signup_purchase_funnel",
     """
     WITH stages AS (
