@@ -967,6 +967,67 @@ def brand_share_of_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_urgent_order_revenue",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_urgent_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dimension filter -> fact join -> per-order
+    revenue -> global top-10 (TakeOrderedAndProject after the aggregate —
+    only 10 rows ever reach the driver side of the final exchange)."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import topk
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+    return topk(rev, [F.desc("revenue"), F.col("o_orderkey")], 10)
+
+
+@query(
+    "priority_supplier_diversity",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def priority_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT over two columns per group (TPC-H-Q16 flavor):
+    Catalyst plans multi-distinct via expand — the exact twin of the HLL
+    sketch in approx_stats_scale_mode."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "global_top_customers",
     """
     SELECT c_custkey, c_name, c_acctbal

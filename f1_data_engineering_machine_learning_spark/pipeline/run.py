@@ -97,6 +97,33 @@ def run_pipeline(
     }
 
 
+def score_future(
+    spark: SparkSession,
+    workdir: str,
+    model,
+    from_date: str,
+    k: int = 5,
+):
+    """Future scoring — the reference's final stage
+    (/root/reference/scripts/05_ml_model.py:301-310): re-read the feature
+    store, keep snapshots strictly after the training cutoff
+    (``dtRef > from_date``, the P7 string filter), score, return the top-k
+    candidates per snapshot date. Stays distributed; only the k rows per
+    date are collected by callers."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import topk_per_group
+
+    fs = spark.read.parquet(f"{workdir}/feature_store_drivers")
+    future = fs.filter(f"dtRef > '{from_date}'")
+    scored = score(model, impute_sentinels(future))
+    return topk_per_group(
+        scored.select("dtRef", "DriverId", "proba"),
+        ["dtRef"],
+        [F.desc("proba"), F.col("DriverId")],
+        k,
+        rn_col="rank",
+    )
+
+
 def main() -> None:
     from f1_data_engineering_machine_learning_spark.session import build_session
 

@@ -64,14 +64,30 @@ def session_stats_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first occurrence of each key within
+    the watermark horizon (``dropDuplicates`` over a watermarked stream
+    bounds the dedup state — without the watermark, state grows forever).
+    The streaming twin of dataops.dedup.exact_dedup for the ingest path."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain everything currently available through the streaming engine
     into an in-memory table and return it (test/backfill harness; a real
-    deployment writes to a sink with a trigger instead)."""
+    deployment writes to a sink with a trigger instead). ``complete`` for
+    aggregations; ``append`` for row-level operators (dedup, maps)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

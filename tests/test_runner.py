@@ -44,6 +44,52 @@ def test_pipeline_runner_end_to_end(spark, tmp_path):
     assert (tmp_path / "wd" / "bar_race.csv").exists()
 
 
+def test_future_scoring(spark, tmp_path):
+    """The reference's final stage: score snapshots after the training
+    cutoff (/root/reference/scripts/05_ml_model.py:301-310)."""
+    from f1_data_engineering_machine_learning_spark.ml import (
+        impute_sentinels,
+        train_champion_model,
+    )
+    from f1_data_engineering_machine_learning_spark.pipeline.run import (
+        run_pipeline,
+        score_future,
+    )
+
+    wd = str(tmp_path / "wd")
+    run_pipeline(spark, wd, oot_year=2023)
+    import pyspark.sql.functions as F
+
+    abt = spark.read.parquet(f"{wd}/abt_champions")
+    model = train_champion_model(abt, oot_year=2023)["model"]
+    top = score_future(spark, wd, model, from_date="2023-06-01", k=3)
+    rows = top.collect()
+    assert len(rows) > 0
+    assert all(r.dtRef > "2023-06-01" for r in rows)
+    assert all(1 <= r.rank <= 3 for r in rows)
+    assert all(0.0 <= r.proba <= 1.0 for r in rows)
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    from f1_data_engineering_machine_learning_spark import catalog
+    from f1_data_engineering_machine_learning_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import dedup_stream
+
+    src = str(tmp_path / "events_dup")
+    ev = catalog._events(spark, sf_dir)
+    # duplicate the source: every event twice
+    ev.unionByName(ev).write.parquet(src)
+    deduped = run_available_now(
+        dedup_stream(read_event_stream(spark, src), ["event_id"]),
+        "dedup_stream_t",
+        output_mode="append",
+    )
+    assert deduped.count() == ev.count()
+
+
 def test_pipeline_runner_incremental_mode_agrees(spark, tmp_path):
     """The incremental (per-date slice) materialization must produce the
     same ABT row count as the single-pass mode — the reference's mechanism
