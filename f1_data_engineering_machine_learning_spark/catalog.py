@@ -1594,6 +1594,42 @@ def doc_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_column_profile",
+    """
+    SELECT * FROM (
+      SELECT 'o_custkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders
+    )
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (dataops/quality.py::table_profile):
+    per-column null/distinct/min/max in one aggregation pass. Doubles are
+    stringified via repr-stable formatting on both engines (numeric
+    values here are exact)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import table_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return table_profile(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
 @query("approx_stats_scale_mode")
 def approx_stats_scale_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB alternates to the exact aggregates: HLL

@@ -54,6 +54,40 @@ def unique(col: str) -> Constraint:
     return Constraint(f"unique({col})", None, unique_col=col)
 
 
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile in ONE aggregation pass: per column —
+    row count, null count, exact distinct count, min/max (stringified for
+    a uniform long-format report). The exact distincts make this a full
+    expand-aggregate; at 100 TB swap in approx_count_distinct (the
+    catalog's approx_stats_scale_mode shows the sketch twin)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dist{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    report_rows = [
+        (
+            c,
+            int(row["__n"]),
+            int(row[f"__null{i}"]),
+            int(row[f"__dist{i}"]),
+            row[f"__min{i}"],
+            row[f"__max{i}"],
+        )
+        for i, c in enumerate(cols)
+    ]
+    return df.sparkSession.createDataFrame(
+        report_rows,
+        "column string, n_rows long, n_null long, n_distinct long, "
+        "min_value string, max_value string",
+    )
+
+
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     """Long-format report: (constraint, n_rows, n_violations). All
     non-unique constraints evaluate in one pass; each unique() adds one

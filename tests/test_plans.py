@@ -41,6 +41,26 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no full sort for top-k
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Year-partitioned layout + year predicate => PartitionFilters prune
+    the scan to one directory (the physical property the feature store's
+    dtYear partitioning exists for)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.withColumn("o_year", F.year(F.to_date("o_orderdate"))).write.partitionBy(
+        "o_year"
+    ).parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    plan = _plan(q)
+    assert re.search(r"PartitionFilters: \[.*o_year.*1997", plan)
+    # and the pruned read returns exactly the 1997 slice
+    expected = o.filter(F.year(F.to_date("o_orderdate")) == 1997).count()
+    assert q.count() == expected
+
+
 def test_minhash_equals_exact_at_bench_scale(spark):
     """The minhash oracle claim (LSH == exhaustive at planted-dup
     similarity) verified at the bench scale factor too, not just sf0.01."""
