@@ -1740,6 +1740,50 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_asof_click",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id AS click_id, CAST(value AS DOUBLE) AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           c.click_id AS click_id_asof,
+           c.click_value AS click_value_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/asof.py): each purchase matched to the user's
+    latest click at-or-before it. Spark has no native as-of join — this is
+    the union-and-carry implementation (one shuffle, no row explosion);
+    the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, making this a
+    row-for-row cross-engine check of a custom operator."""
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").cast("double").alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", ["click_id", "click_value"]
+    )
+    return out.select(
+        "event_id", "user_id", "value", "click_id_asof", "click_value_asof"
+    )
+
+
+@query(
     "signup_purchase_funnel",
     """
     WITH stages AS (
