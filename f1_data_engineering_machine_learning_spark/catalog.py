@@ -1740,6 +1740,58 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_in_quarter_ranges",
+    """
+    WITH quarters AS (
+      SELECT CAST(q AS TIMESTAMP) AS q_start,
+             CAST(q + INTERVAL 3 MONTH AS TIMESTAMP) AS q_end,
+             strftime(q, '%Y-%m-%d') AS quarter
+      FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-10-01',
+                                          INTERVAL 3 MONTH)) AS q)
+    )
+    SELECT quarter,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders o JOIN quarters qs
+      ON o.o_orderdate >= qs.q_start AND o.o_orderdate < qs.q_end
+    GROUP BY quarter
+    """,
+)
+def orders_in_quarter_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN (operators/range_join.py): orders matched to the quarter
+    interval containing them, via the BUCKETED strategy (quantize ->
+    explode intervals -> equi-join -> refine) — the formulation that scales
+    when both sides are large; oracle is the plain BETWEEN join."""
+    from f1_data_engineering_machine_learning_spark.operators.range_join import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    quarters = (
+        spark.createDataFrame(
+            [(f"{y}-{m:02d}-01",) for y in range(1995, 2002) for m in (1, 4, 7, 10)],
+            ["q"],
+        )
+        .select(
+            F.col("q").cast("timestamp").alias("q_start"),
+            F.add_months(F.col("q").cast("date"), 3).cast("timestamp").alias("q_end"),
+            F.date_format(F.col("q").cast("date"), "yyyy-MM-dd").alias("quarter"),
+        )
+    )
+    joined = range_join(
+        o,
+        quarters,
+        "o_orderdate",
+        "q_start",
+        "q_end",
+        strategy="bucketed",
+        bucket_seconds=86400 * 30,
+    )
+    return joined.groupBy("quarter").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@query(
     "purchase_asof_click",
     """
     WITH purchases AS (

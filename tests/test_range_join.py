@@ -1,0 +1,90 @@
+"""Range join: strategy equivalence + half-open boundary semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.operators.range_join import range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _fixtures(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == w1 start (inclusive)
+            (2, _ts("2024-01-05 12:00:00")),  # inside w1
+            (3, _ts("2024-01-10 00:00:00")),  # == w1 end (exclusive) == w2 start
+            (4, _ts("2024-02-20 00:00:00")),  # in no window
+        ],
+        ["id", "ts"],
+    )
+    windows = spark.createDataFrame(
+        [
+            ("w1", _ts("2024-01-01 00:00:00"), _ts("2024-01-10 00:00:00")),
+            ("w2", _ts("2024-01-10 00:00:00"), _ts("2024-01-20 00:00:00")),
+        ],
+        ["name", "start", "end"],
+    )
+    return left, windows
+
+
+def test_half_open_boundaries_broadcast(spark):
+    left, windows = _fixtures(spark)
+    got = {
+        r.id: r.name
+        for r in range_join(left, windows, "ts", "start", "end").collect()
+    }
+    assert got == {1: "w1", 2: "w1", 3: "w2"}  # id 4 dropped (inner)
+
+
+def test_bucketed_equals_broadcast(spark):
+    left, windows = _fixtures(spark)
+    a = sorted(
+        (r.id, r.name)
+        for r in range_join(left, windows, "ts", "start", "end").collect()
+    )
+    b = sorted(
+        (r.id, r.name)
+        for r in range_join(
+            left, windows, "ts", "start", "end",
+            strategy="bucketed", bucket_seconds=86400,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_left_join_null_extends(spark):
+    left, windows = _fixtures(spark)
+    got = {
+        r.id: r.name
+        for r in range_join(
+            left, windows, "ts", "start", "end",
+            how="left", strategy="bucketed", bucket_seconds=86400,
+        ).collect()
+    }
+    assert got[4] is None and len(got) == 4
+
+
+def test_events_to_session_windows(spark, sf_dir):
+    """Real-data closure: events range-joined to hour windows reproduce the
+    hourly counts."""
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    ev = catalog._events(spark, sf_dir)
+    hours = (
+        ev.select(F.date_trunc("hour", "ts").alias("start"))
+        .distinct()
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = range_join(ev, hours, "ts", "start", "end", strategy="bucketed",
+                        bucket_seconds=3600)
+    got = joined.groupBy("start").agg(F.count(F.lit(1)).alias("n"))
+    want = ev.groupBy(F.date_trunc("hour", "ts").alias("start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
