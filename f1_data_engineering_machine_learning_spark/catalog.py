@@ -1740,6 +1740,46 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_event_rollup_cascade",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+                AS DOUBLE) AS avg_v,
+           CAST(MIN(value) AS DOUBLE) AS min_v,
+           CAST(MAX(value) AS DOUBLE) AS max_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def daily_event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style CASCADED rollup (plans/rollup.py): the daily level
+    is composed FROM the hourly pre-aggregate, never from raw — exact
+    because only composable partials (count / decimal sum / min / max)
+    cascade, with avg finalized at read time. The oracle aggregates raw
+    directly: cascade == direct is the correctness contract."""
+    from f1_data_engineering_machine_learning_spark.plans.rollup import (
+        cascade,
+        finalize,
+    )
+
+    ev = _events(spark, sf_dir)
+    day = cascade(ev, "ts", ["event_type"], "value", levels=("hour", "day"))["day"]
+    out = finalize(day)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "total",
+        "avg_v",
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
+
+
+@query(
     "orders_in_quarter_ranges",
     """
     WITH quarters AS (

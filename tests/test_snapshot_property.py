@@ -64,3 +64,23 @@ def test_loop_equals_single_pass_random(spark, seed):
     b["dtRef"] = b["dtRef"].astype(str)
     assert_frames_equal(a, b, f"snapshot-equivalence seed={seed}")
     assert len(a) > 0
+
+
+def test_rollup_cascade_equals_direct(spark, sf_dir):
+    """Each cascaded level must equal the same aggregation from raw."""
+    from f1_data_engineering_machine_learning_spark import catalog
+    from f1_data_engineering_machine_learning_spark.plans.rollup import (
+        cascade,
+        rollup_level,
+    )
+    from tests.util_compare import assert_frames_equal
+
+    ev = catalog._events(spark, sf_dir)
+    levels = cascade(ev, "ts", ["event_type"], "value", levels=("minute", "hour", "day"))
+    for level in ("hour", "day"):
+        direct = rollup_level(ev, level, "ts", ["event_type"], "value").toPandas()
+        composed = levels[level].toPandas()
+        for df in (direct, composed):
+            df["bucket"] = df["bucket"].astype(str)
+            df["sum_v"] = df["sum_v"].astype(float)
+        assert_frames_equal(composed, direct, f"cascade@{level}")
