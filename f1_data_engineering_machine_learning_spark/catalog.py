@@ -1740,6 +1740,25 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mod_sampled_docs",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id % 7 = 3
+    """,
+)
+def mod_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible modulo-slice sampling (dataops/sampling.py::mod_sample):
+    the keep decision is a pure function of the key — identical on any
+    cluster shape, re-run, or external system (unlike seeded df.sample,
+    which is partition-layout dependent)."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import mod_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mod_sample(docs, "doc_id", 7, 3).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "daily_event_rollup_cascade",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

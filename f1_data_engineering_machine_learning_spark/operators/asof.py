@@ -56,6 +56,12 @@ def asof_join(
                  before (<=), matching DuckDB ASOF JOIN.
     """
     on = list(on)
+    for c in [*on, ts_col]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"column {c!r} must exist on both sides")
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"value_cols missing from right side: {missing}")
     # tag order decides timestamp ties: right first (0) => <= semantics,
     # left first => right rows at the same ts are not yet visible (<)
     right_tag, left_tag = (0, 1) if not strict else (1, 0)

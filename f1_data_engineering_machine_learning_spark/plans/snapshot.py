@@ -130,7 +130,21 @@ def scoped_sum(value: Column | str, cond_inner: Column | None = None) -> AggBuil
 _ACTIVITY_COL = "__activity"
 
 
+def _validate(spec: SnapshotSpec) -> None:
+    unknown = {s for _, s, _ in spec.aggs} - set(spec.scopes)
+    if unknown:
+        raise ValueError(
+            f"aggs reference unknown scopes {sorted(unknown)}; "
+            f"declared scopes: {sorted(spec.scopes)}"
+        )
+    if spec.activity_scope is not None and spec.activity_scope not in spec.scopes:
+        raise ValueError(
+            f"activity_scope {spec.activity_scope!r} is not a declared scope"
+        )
+
+
 def _agg_exprs(spec: SnapshotSpec, dt_ref: Column, fact_date: Column) -> list[Column]:
+    _validate(spec)
     conds = {name: fn(dt_ref, fact_date) for name, fn in spec.scopes.items()}
     exprs = [
         builder(conds[scope_name]).alias(out_col)

@@ -106,3 +106,28 @@ def test_group_split_empty_side_impossible(spark):
     )
     train, test = group_random_split(df)
     assert train.count() + test.count() == 3
+
+
+def test_snapshot_spec_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame([("a", "2024-01-01", 1.0)], "k string, d string, v double")
+    bad = SnapshotSpec(
+        entity_keys=["k"],
+        date_col="d",
+        scopes={"life": lambda ref, d: d <= ref},
+        aggs=[("n", "nope", scoped_count())],
+    )
+    with _pytest.raises(ValueError, match="unknown scopes"):
+        snapshot_single_pass(facts, bad, ["2024-02-01"]).collect()
+
+
+def test_asof_join_validation(spark):
+    import pytest as _pytest
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01")], "k long, ts string")
+    right = spark.createDataFrame([(1, "2024-01-01", 2.0)], "k long, ts string, v double")
+    with _pytest.raises(ValueError, match="value_cols missing"):
+        asof_join(left, right, ["k"], "ts", ["missing_col"])
