@@ -556,6 +556,62 @@ def rollup_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_quantity_correlation",
+    """
+    WITH comp AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
+           CAST((n * sum_xy - sum_x * sum_y)
+                / (sqrt(n * sum_x2 - sum_x * sum_x)
+                   * sqrt(n * sum_y2 - sum_y * sum_y)) AS DOUBLE) AS corr_qty_price
+    FROM comp
+    """,
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Pearson correlation: the moment components
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL — exact and
+    order-independent — and the final coefficient is one deterministic
+    double expression over identical components on both engines. (Built-in
+    ``corr`` accumulates in floating point and drifts with partitioning —
+    unusable under an exact-match gate; this is the decomposition that
+    makes second-order statistics reproducible at any scale.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    comp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sum_x"),
+        F.sum(y).cast("double").alias("sum_y"),
+        F.sum(x * y).cast("double").alias("sum_xy"),
+        F.sum(x * x).cast("double").alias("sum_x2"),
+        F.sum(y * y).cast("double").alias("sum_y2"),
+    )
+    n = F.col("n")
+    corr = (
+        (n * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        / (
+            F.sqrt(n * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+            * F.sqrt(n * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y"))
+        )
+    ).cast("double")
+    return comp.select(
+        "l_returnflag", "n", "sum_x", "sum_y", "sum_xy",
+        corr.alias("corr_qty_price"),
+    )
+
+
+@query(
     "cube_order_counts",
     """
     SELECT o_orderstatus, o_orderpriority,

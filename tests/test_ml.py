@@ -76,3 +76,24 @@ def test_train_champion_model(abt):
         F.min("proba").alias("lo"), F.max("proba").alias("hi")
     ).collect()[0]
     assert 0.0 <= probs.lo and probs.hi <= 1.0
+
+
+def test_text_classifier_separable(spark):
+    """HashingTF->IDF->LR pipeline learns a separable synthetic corpus."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.ml.text_clf import train_text_classifier
+
+    rng = random.Random(42)
+    en = "the and of to in is that with for on time work world life".split()
+    es = "el la de que y en un una los por como para con su al".split()
+    rows = []
+    for i in range(200):
+        vocab, label = (en, 0) if i % 2 == 0 else (es, 1)
+        rows.append((" ".join(rng.choices(vocab, k=12)), label))
+    df = spark.createDataFrame(rows, ["text", "label"])
+    model, acc = train_text_classifier(df, num_features=1 << 10)
+    assert acc > 0.95
+    # scoring is distributed and schema-stable
+    scored = model.transform(df)
+    assert "prediction" in scored.columns
