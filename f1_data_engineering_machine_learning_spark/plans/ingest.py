@@ -98,3 +98,46 @@ class IncrementalIngestor:
         if delta_enabled(spark):  # pragma: no cover
             return spark.read.format("delta").load(self.path)
         return spark.read.parquet(self.path)
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """MERGE-style upsert: rows matching ``keys`` are replaced, others
+    appended. Delta path uses a real MERGE; parquet path rewrites via
+    anti-join + union through a temp sibling (atomic swap) — correct, but
+    a full-table rewrite, which is why the partitioned slice overwrite
+    (IncrementalIngestor) is the preferred incremental primitive when
+    updates align with a partition column. Keys must be unique within
+    ``updates`` (last-writer ambiguity otherwise — caller's contract)."""
+    import os
+    import shutil
+
+    keys = list(keys)
+    if delta_enabled(spark):  # pragma: no cover - optional dependency
+        from delta.tables import DeltaTable  # type: ignore
+
+        target = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            target.alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    if not os.path.exists(path):
+        updates.write.parquet(path)
+        return
+    current = spark.read.parquet(path)
+    kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+    merged = kept.unionByName(updates)
+    tmp = path + ".__upsert_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -216,3 +216,26 @@ def test_ingestor_idempotent(f1, tmp_path, spark):
     ing.exec(dates[1:])  # re-run one slice — must replace, not append
     second = ing.read().toPandas()
     assert_frames_equal(first, second, "ingestor-idempotency")
+
+
+def test_upsert_table(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys appended, idempotent."""
+    from f1_data_engineering_machine_learning_spark.plans.ingest import upsert_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "name", "v"]
+    )
+    upsert_table(spark, path, base, ["id"])
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    upsert_table(spark, path, updates, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+    # idempotent: re-applying the same updates changes nothing
+    upsert_table(spark, path, updates, ["id"])
+    again = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
