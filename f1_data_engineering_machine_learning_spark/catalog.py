@@ -1686,20 +1686,75 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(o, ["o_custkey", "o_orderstatus", "o_totalprice"])
 
 
-@query("approx_stats_scale_mode")
+@query(
+    "lineitem_distinct_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT half of the exact/sketch pair (see
+    approx_stats_scale_mode): COUNT DISTINCT + exact interpolated median
+    per return flag, fully value-oracled. l_quantity is integral so the
+    median midpoint arithmetic is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        exact_median(F.col("l_quantity").cast("double")).cast("double").alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "approx_stats_scale_mode",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS hll_err_ok,
+           TRUE AS tdigest_err_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_stats_scale_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB alternates to the exact aggregates: HLL
     ``approx_count_distinct`` (vs COUNT DISTINCT's full shuffle of keys)
     and t-digest ``percentile_approx`` (vs the sort-buffering exact
-    percentile). Rows-only check — sketches are engine-specific by nature;
-    the EXACT twins are the oracle-checked queries
-    (conditional_supplier_stats, distinct_event_days). Included so both
-    modes are first-class: exact when contractual, sketch at scale."""
+    percentile), graded against their exact twins IN-QUERY: the output
+    carries booleans asserting the HLL estimate is within 5% relative
+    error and the approx median within 5% of the exact one. The oracle
+    encodes the CLAIM (every group within bounds, i.e. TRUE) and Spark
+    computes the FACT — a sketch-accuracy regression flips a value the
+    driver hashes. Exact values live in lineitem_distinct_stats."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # two aggregation passes joined on the (3-row) group key: folding
+    # count_distinct in with the percentiles would plan an Expand that
+    # doubles every input row before the shuffle — measured 13 s vs 2 s
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_med_qty"),
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "approx_med_qty"
+        ),
         F.count(F.lit(1)).alias("n"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        exact_median(F.col("l_quantity").cast("double")).alias("exact_med_qty"),
+    )
+    both = approx.join(exact, "l_returnflag")
+    rel = lambda a, b: F.abs(a.cast("double") - b.cast("double")) / b.cast("double")
+    return both.select(
+        "l_returnflag",
+        "n",
+        (rel(F.col("approx_parts"), F.col("exact_parts")) <= 0.05).alias("hll_err_ok"),
+        (rel(F.col("approx_med_qty"), F.col("exact_med_qty")) <= 0.05).alias(
+            "tdigest_err_ok"
+        ),
     )
 
 
@@ -2011,24 +2066,111 @@ def simhash_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_lsh_topk")
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via MLlib BucketedRandomProjectionLSH
-    (dataops/similarity.py) for 20 query vectors. Rows-only check (LSH
-    recall is probabilistic by design; seeded for reproducibility)."""
-    from f1_data_engineering_machine_learning_spark.dataops.similarity import lsh_topk
+    (dataops/similarity.py) for 20 query vectors, each row stamped with the
+    query's recall@5 against the exact baseline (``ann_recall_at_k``) — the
+    quality contract is part of the output, so a recall regression changes
+    visible values. Rows-only check (MLlib LSH internals are engine-
+    specific; the fully value-oracled ANN path is embedding_rp_lsh_topk)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        ann_recall_at_k,
+        cosine_topk,
+        lsh_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = lsh_topk(q, emb, k=5)
+    recall = ann_recall_at_k(approx, cosine_topk(q, emb, k=5), k=5)
+    return approx.join(recall.select("query_id", "recall_at_k"), "query_id").select(
+        "query_id", "neighbor_id", "dist", F.col("rank").cast("int").alias("rank"),
+        "recall_at_k",
+    )
 
 
 @query("embedding_ivf_topk")
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-5 neighbors (KMeans coarse quantizer +
-    probed buckets, dataops/similarity.py) for 20 query vectors. Rows-only
-    check (KMeans assignment is seeded but engine-specific)."""
-    from f1_data_engineering_machine_learning_spark.dataops.similarity import ivf_topk
+    probed buckets, dataops/similarity.py) for 20 query vectors, stamped
+    with per-query recall@5 vs the exact baseline (see embedding_lsh_topk).
+    Rows-only check (KMeans assignment is seeded but engine-specific)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        ann_recall_at_k,
+        cosine_topk,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, n_probe=4
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+    recall = ann_recall_at_k(approx, cosine_topk(q, emb, k=5), k=5)
+    return approx.join(recall.select("query_id", "recall_at_k"), "query_id").select(
+        "query_id", "neighbor_id", "cosine_sim",
+        F.col("rank").cast("int").alias("rank"), "recall_at_k",
+    )
+
+
+@query(
+    "embedding_rp_lsh_topk",
+    """
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), tables AS (
+      SELECT unnest(range(0, 4)) AS t
+    ), planes AS (
+      SELECT t, unnest(range(0, 8)) AS p FROM tables
+    ), plane_signs AS (
+      SELECT t, p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN ((1103515245 * (d + 97 * p + 389 * t) + 12345)
+                          % 2147483648) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END) AS signs
+      FROM planes
+    ), proj AS (
+      SELECT vec_id, t, p,
+             list_reduce(list_transform(list_zip(v, signs),
+                                        z -> z[1] * z[2]), (a, b) -> a + b) AS pr
+      FROM vecs CROSS JOIN plane_signs
+    ), buckets AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN pr >= 0 THEN 1 << p ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_reduce(list_transform(list_zip(a.v, b.v),
+                                             z -> z[1] * z[2]), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+                  AS DOUBLE) AS cosine_sim
+      FROM cand JOIN vecs a ON a.vec_id = query_id
+                JOIN vecs b ON b.vec_id = neighbor_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN with engine-reproducible hyperplanes
+    (dataops/similarity.py::rp_lsh_topk): the pseudo-random plane signs come
+    from an integer LCG, so DuckDB re-derives the SAME buckets, the SAME
+    candidate set, and the SAME cosine re-rank — a full value-hash oracle
+    for an approximate-nearest-neighbor pipeline (not just rows-only)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        rp_lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = rp_lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_tables=4, n_planes=8, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
     )
 
 

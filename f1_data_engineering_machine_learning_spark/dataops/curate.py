@@ -34,6 +34,7 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -41,29 +42,45 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     prev_sum = None
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+    prev_cached = None
+    try:
+        for _ in range(max_rounds):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .persist()
-        )
-        # labels only ever decrease, so an unchanged sum == convergence —
-        # one cheap aggregate per round instead of a join-based diff
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+            labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            # labels only ever decrease, so an unchanged sum == convergence —
+            # one cheap aggregate per round instead of a join-based diff.
+            # The agg also materializes this round's cache, so the previous
+            # round's cache can be released immediately (bounded memory:
+            # at most two label generations cached at any moment).
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        # hand back a lineage-truncated copy so the loop's cache entries can
+        # all be dropped — localCheckpoint blocks are GC-managed, CacheManager
+        # entries are not (they'd pin executor memory for the session life)
+        out = labels.localCheckpoint(eager=True)
+        return out
+    finally:
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        edges.unpersist()
 
 
 def curate_documents(

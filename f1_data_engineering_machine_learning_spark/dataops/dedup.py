@@ -30,6 +30,9 @@ from f1_data_engineering_machine_learning_spark.dataops.text import (
     shingles,
     tokens,
 )
+from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -63,21 +66,43 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Pairs (i < j) whose k-shingle Jaccard similarity >= threshold.
 
     inverted index: distinct (id, shingle) -> self-join on shingle ->
-    intersection counts -> |A|+|B|-inter denominator. The self-join
-    shuffles on the shingle, so hot shingles dominate: at scale cap or
-    drop shingles above a document-frequency bound before joining
-    (df_cap param kept explicit here). The shingle frame feeds three
-    consumers (sizes + both join sides) — persisted so the explode+distinct
-    shuffle runs once."""
+    intersection counts -> |A|+|B|-inter denominator.
+
+    The self-join shuffles on the shingle and produces O(df^2) rows per
+    shingle, so one boilerplate shingle shared by a million documents is
+    the classic dedup scale-killer. ``df_cap`` bounds it: shingles whose
+    document frequency exceeds the cap are dropped from the index AND from
+    the per-document sizes before joining, so the similarity is Jaccard
+    over the capped shingle universe. Trade-off (standard in the dedup
+    literature): near-ubiquitous shingles carry almost no similarity
+    signal, so recall loss is marginal while worst-case join cost drops
+    from O(max_df^2) to O(df_cap^2) per shingle. ``None`` = exact,
+    uncapped (small corpora / oracle verification).
+
+    The shingle frame feeds three consumers (sizes + both join sides);
+    no explicit cache — the three branches share a canonically identical
+    distinct-exchange subtree, which Catalyst's ReuseExchange rule
+    collapses so the explode+distinct shuffle executes once per action."""
+    df = ensure_min_parallelism(df)
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
-        .persist()
     )
+    if df_cap is not None:
+        # document frequency per shingle; keep only shingles under the cap.
+        # left_semi keeps the (id, s) row shape so downstream is unchanged.
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("i"), "s")
     b = sh.select(F.col("id").alias("j"), "s")
@@ -125,6 +150,7 @@ def minhash_signatures(
     alternative — n x array_min(transform(shingles)) nested array
     expressions — re-evaluates the shingle array n times per row and runs
     ~50x slower; measured.)"""
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     ).distinct()
@@ -147,10 +173,21 @@ def minhash_band_buckets(
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """(band, bucket) -> member ids, for buckets with >1 member. The LSH
     candidate structure: docs sharing any band bucket are candidate dups.
-    rows_per_band = n_hashes // bands controls the similarity knee."""
+    rows_per_band = n_hashes // bands controls the similarity knee.
+
+    ``max_bucket`` bounds degenerate buckets (empty docs, boilerplate — one
+    shared band hash over millions of rows): membership counts are computed
+    FIRST and oversized buckets are discarded before any ``collect_list``,
+    so the executor never builds a multi-million-element array and the
+    downstream pair explosion is capped at O(max_bucket^2) per bucket.
+    A dropped bucket's members are near-identical to each other anyway —
+    exact dedup (cheap, runs before LSH in the curation pipeline) is the
+    right tool for them; ``None`` disables the bound. Counting and
+    collecting share one exchange via ReuseExchange."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
     banded = sig.select(
@@ -172,10 +209,15 @@ def minhash_band_buckets(
             )
         ).alias("band", "bucket"),
     )
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    keep = counts.filter(F.col("n") > 1)
+    if max_bucket is not None:
+        keep = keep.filter(F.col("n") <= max_bucket)
     return (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+        banded.join(keep, ["band", "bucket"])
+        .groupBy("band", "bucket", "n")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .select("band", "bucket", "ids", "n")
     )
 
 
@@ -187,11 +229,20 @@ def minhash_dedup_pairs(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float = 0.5,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: band buckets -> candidate pairs
     (distinct across bands) -> EXACT Jaccard verification of candidates
-    only. Returns verified (i, j, jaccard) pairs."""
-    buckets = minhash_band_buckets(df, id_col, text_col, n_hashes, bands, k)
+    only. Returns verified (i, j, jaccard) pairs. ``max_bucket`` caps
+    degenerate LSH buckets before the ids x ids pair explosion (see
+    minhash_band_buckets) — per-bucket pair cost is O(max_bucket^2), not
+    O(corpus^2). No explicit cache on the shingle frame: its distinct
+    exchange is shared across the three verification consumers via
+    ReuseExchange (no session-lifetime cache to leak)."""
+    df = ensure_min_parallelism(df)
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, n_hashes, bands, k, max_bucket=max_bucket
+    )
     pairs = (
         buckets.select(F.explode(F.col("ids")).alias("i"), "ids")
         .select("i", F.explode(F.col("ids")).alias("j"))
@@ -201,7 +252,6 @@ def minhash_dedup_pairs(
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
-        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     ai = sh.select(F.col("id").alias("i"), F.col("s").alias("si"))
@@ -273,6 +323,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, impl: str = "jvm") -> Dat
     - ``impl='pandas_udf'``: the Arrow-batched NumPy majority vote — kept
       as the reference shape for sketches that genuinely need Python.
     """
+    df = ensure_min_parallelism(df)
     if impl == "pandas_udf":
         token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
         return df.select(

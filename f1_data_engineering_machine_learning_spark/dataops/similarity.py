@@ -188,6 +188,117 @@ def ivf_topk(
     )
 
 
+def _rp_sign(t: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in {-1, +1} from a
+    pure-integer LCG over (table, plane, dim). Integer arithmetic only, so
+    ANY engine reproduces it exactly — the property that lets a DuckDB
+    oracle re-derive the same hyperplanes and value-check the whole ANN
+    pipeline (catalog ``embedding_rp_lsh_topk``), unlike library LSH whose
+    internals no second engine can replay."""
+    return 1.0 if ((1103515245 * (d + 97 * p + 389 * t) + 12345) % 2147483648) % 2 == 1 else -1.0
+
+
+def _rp_bucket(vec: Column, t: int, n_planes: int, dim: int) -> Column:
+    """LSH bucket id for one hash table: ``n_planes`` sign bits of random
+    projections, packed into an int. The projection is a sequential fold
+    (element order) so the float accumulation is engine-reproducible."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(_rp_sign(t, p, d)) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-projection LSH top-k with engine-reproducible hyperplanes.
+
+    Same sub-linear candidate structure as ``lsh_topk`` (sign-bit buckets,
+    ``n_tables`` independent tables, exact cosine re-rank of candidates
+    only) but every source of randomness is the integer LCG above — fully
+    deterministic and re-derivable by a second engine, so this ANN path is
+    VALUE-oracled, not rows-only. Scale shape: bucket assignment is a
+    map-only projection (no shuffle); the candidate equi-join shuffles
+    (table, bucket) keys, never the O(Q x N) cross product."""
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
+    )
+    q_b = q.select(
+        "query_id",
+        "__qvec",
+        F.posexplode(
+            F.array(*[_rp_bucket(F.col("__qvec"), t, n_planes, dim) for t in range(n_tables)])
+        ).alias("t", "bucket"),
+    )
+    c_b = c.select(
+        "neighbor_id",
+        "__cvec",
+        F.posexplode(
+            F.array(*[_rp_bucket(F.col("__cvec"), t, n_planes, dim) for t in range(n_tables)])
+        ).alias("t", "bucket"),
+    )
+    cand = (
+        q_b.join(c_b, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_sim"), F.col("neighbor_id")],
+        k,
+        rn_col="rank",
+    )
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one: |approx ∩ exact| / k on (query_id, neighbor_id). The quality
+    contract every ANN variant is graded on — emitted as query output so a
+    recall regression changes visible values, not just a hidden test."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k)).cast("double").alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

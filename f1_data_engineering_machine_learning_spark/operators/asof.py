@@ -12,8 +12,12 @@ Implementation is the union-and-carry idiom, NOT a range join:
 1. tag left and right rows and union them on (key, ts) — one dataset,
 2. sort within key by (ts, tag) — right rows order before left rows on
    timestamp ties so an equal-timestamp fact is visible (>= semantics),
-3. ``last(value, ignorenulls=True)`` over the running window carries the
-   most recent right-side values forward onto every subsequent left row,
+3. ``last(struct(values), ignorenulls=True)`` over the running window
+   carries the most recent right-side ROW forward onto every subsequent
+   left row — a single struct, not per-column carries, so (a) a NULL in
+   the matched row is preserved rather than papered over by an older
+   non-null value and (b) all carried values come from the same right
+   row, matching DuckDB ASOF JOIN row-level semantics exactly,
 4. keep the left rows.
 
 Cost: ONE shuffle of |left| + |right| rows on the key (the window sort).
@@ -67,19 +71,24 @@ def asof_join(
     right_tag, left_tag = (0, 1) if not strict else (1, 0)
 
     left_cols = [c for c in left.columns]
+    # one struct per right row: the carry is atomic, so NULL fields inside
+    # the matched row survive and no output row mixes two right rows
+    rvals_type = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rvals")
+    ).schema["__rvals"].dataType
     tagged_left = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(left_tag).alias("__tag"),
         F.struct(*left_cols).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(rvals_type).alias("__rvals"),
     )
     tagged_right = right.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
         F.lit(None).cast(tagged_left.schema["__left"].dataType).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rvals"),
     )
 
     unioned = tagged_left.unionByName(tagged_right)
@@ -91,13 +100,10 @@ def asof_join(
     carried = unioned.select(
         "__tag",
         "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in value_cols
-        ],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__carried"),
     )
     out = carried.filter(F.col("__tag") == left_tag).select(
         *[F.col(f"__left.{c}").alias(c) for c in left_cols],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out

@@ -38,32 +38,44 @@ def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFram
     return df.withColumn(salt_col, (F.rand(seed=7) * n_salts).cast("int"))
 
 
+_COMBINERS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys: groupBy(keys + salt) then
-    groupBy(keys). ``aggs`` maps output column -> phase-1 aggregate; phase 2
-    re-combines with the matching combiner (sum->sum, count->sum, min->min,
-    max->max — pass the phase-1 expression, combiners are inferred from the
-    expression name by convention: use ``F.sum``/``F.count``/``F.min``/
-    ``F.max`` only)."""
+    groupBy(keys). ``aggs`` maps output column -> ``(phase1_expr, combiner)``
+    where ``combiner`` is one of ``'sum' | 'count' | 'min' | 'max'``
+    (count re-combines by summation). The combiner is EXPLICIT — inferring
+    it from the expression's string form is unreliable (and impossible
+    under Spark Connect), and a silent wrong default corrupts results;
+    unrecognized combiners raise instead."""
+    parsed: dict[str, tuple[Column, str]] = {}
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise TypeError(
+                f"aggs[{name!r}] must be (phase1_expr, combiner) — e.g. "
+                f"(F.sum('v'), 'sum'); got {type(spec).__name__}"
+            )
+        expr, combiner = spec
+        if combiner not in _COMBINERS:
+            raise ValueError(
+                f"aggs[{name!r}]: unknown combiner {combiner!r} "
+                f"(expected one of {sorted(_COMBINERS)})"
+            )
+        parsed[name] = (expr, combiner)
+
     salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+        *[expr.alias(name) for name, (expr, _) in parsed.items()]
     )
-    combiners = []
-    for name, expr in aggs.items():
-        fn_name = expr._jc.toString() if hasattr(expr, "_jc") else ""
-        if fn_name.startswith(("min(", "MIN(")):
-            combiners.append(F.min(name).alias(name))
-        elif fn_name.startswith(("max(", "MAX(")):
-            combiners.append(F.max(name).alias(name))
-        else:  # sum and count both re-combine by summation
-            combiners.append(F.sum(name).alias(name))
-    return phase1.groupBy(*keys).agg(*combiners)
+    return phase1.groupBy(*keys).agg(
+        *[_COMBINERS[comb](name).alias(name) for name, (_, comb) in parsed.items()]
+    )
 
 
 def salted_join(

@@ -73,7 +73,7 @@ def build_session(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
         ).config(
             "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.catalog.DeltaCatalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
         delta_available = True
     except ImportError:

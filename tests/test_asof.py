@@ -44,6 +44,27 @@ def test_asof_basic_and_edges(spark):
     assert strict[3] == 100.0
 
 
+def test_asof_null_in_matched_row_preserved(spark):
+    """A NULL inside the matched (latest) right row must surface as NULL —
+    not be papered over by an older non-null value — and with several
+    value_cols every carried value must come from the SAME right row
+    (DuckDB ASOF JOIN row-level semantics)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 12:00:00"))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 10:00:00"), 100.0, "old"),
+            # latest matching row: val is NULL, tag is new
+            ("u", _ts("2024-01-01 11:00:00"), None, "new"),
+        ],
+        ["k", "ts", "val", "tag"],
+    )
+    row = asof_join(left, right, ["k"], "ts", ["val", "tag"]).collect()[0]
+    assert row.tag_asof == "new"
+    assert row.val_asof is None  # NOT 100.0 from the older row
+
+
 def test_asof_preserves_left_rowcount(spark, sf_dir):
     from f1_data_engineering_machine_learning_spark import catalog
     from pyspark.sql import functions as F

@@ -77,6 +77,72 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (0, 2) not in got
 
 
+def test_ngram_df_cap_drops_hot_shingle(spark):
+    """Planted hot shingle: every doc shares one boilerplate prefix whose
+    shingles would dominate the self-join. With df_cap below the corpus
+    size those shingles are dropped from index AND sizes; unrelated docs
+    that only share boilerplate stop pairing, while a true near-dup pair
+    (similar in its non-boilerplate content) survives."""
+    boiler = "terms of service apply to all users of this site"
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 0
+        (2, boiler + " one two three four five six seven eight"),
+        (3, boiler + " red orange yellow green blue indigo violet pink"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r.i, r.j)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3
+        ).collect()
+    }
+    # boilerplate alone makes everything look similar
+    assert (0, 2) in uncapped and (0, 3) in uncapped
+    capped = {
+        (r.i, r.j)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.3, df_cap=3
+        ).collect()
+    }
+    assert (0, 1) in capped  # true near-dup survives the cap
+    assert (0, 2) not in capped and (0, 3) not in capped  # boilerplate pairs gone
+
+
+def test_minhash_max_bucket_bounds_degenerate_bucket(spark):
+    """Degenerate LSH bucket: many identical docs share every band hash.
+    With max_bucket below the clone count the bucket is discarded before
+    collect_list (no O(n^2) pair explosion); a distinct near-dup pair in a
+    small bucket is still found."""
+    clone = "identical boilerplate document body repeated verbatim many times over"
+    rows = [(i, clone) for i in range(20)]
+    rows += [
+        (100, "a genuinely unique document about spark adaptive query execution"),
+        (101, "a genuinely unique document about spark adaptive query planning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    buckets = dedup.minhash_band_buckets(
+        docs, "doc_id", "text", max_bucket=10
+    ).collect()
+    assert all(r.n <= 10 for r in buckets)  # the 20-clone bucket is gone
+    pairs = {
+        (r.i, r.j)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in pairs  # small-bucket near-dup still detected
+    assert not any(i < 20 and j < 20 for i, j in pairs)  # clones excluded
+    # uncapped: the clone bucket IS enumerated (sanity for the default path)
+    unbounded = {
+        (r.i, r.j)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", verify_threshold=0.5, max_bucket=None
+        ).collect()
+    }
+    assert (0, 1) in unbounded
+
+
 def test_minhash_matches_exact_on_high_similarity(docs):
     mh = {
         (r.i, r.j)
@@ -164,3 +230,46 @@ def test_lsh_topk_runs(spark, sf_dir):
     out = similarity.lsh_topk(q, emb, k=3).collect()
     assert len(out) > 0
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_rp_lsh_topk_deterministic_and_high_recall(spark, sf_dir):
+    """The LCG-hyperplane LSH: (a) two runs produce identical output
+    (deterministic by construction — no library randomness), (b) recall@5
+    vs brute force is high at this scale, (c) every returned neighbor's
+    similarity matches the exact cosine (the re-rank is exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    run1 = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in similarity.rp_lsh_topk(q, emb, k=5).collect()
+    )
+    run2 = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in similarity.rp_lsh_topk(q, emb, k=5).collect()
+    )
+    assert run1 == run2
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    got = {(i, j) for i, j, _ in run1}
+    assert len(brute & got) / len(brute) >= 0.6
+
+
+def test_ann_recall_at_k_math(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+    )
+    got = {
+        r.query_id: (r.n_hits, r.recall_at_k)
+        for r in similarity.ann_recall_at_k(approx, exact, k=2).collect()
+    }
+    assert got == {1: (1, 0.5), 2: (2, 1.0)}
+    # a query whose approx result found nothing still appears, at recall 0
+    empty = similarity.ann_recall_at_k(
+        approx.filter(F.col("query_id") == 1), exact, k=2
+    )
+    assert {r.query_id: r.recall_at_k for r in empty.collect()}[2] == 0.0

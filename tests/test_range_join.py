@@ -70,6 +70,27 @@ def test_left_join_null_extends(spark):
     assert got[4] is None and len(got) == 4
 
 
+def test_left_join_null_payload_not_duplicated(spark):
+    """A matched left row carrying a NULL in a payload column must appear
+    exactly once — the miss detection is id-based (null-safe), not an
+    anti-join over raw columns where NULL != NULL would re-emit it."""
+    _, windows = _fixtures(spark)
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-05 12:00:00")),  # NULL payload, inside w1
+            (2, "x", _ts("2024-02-20 00:00:00")),  # miss
+        ],
+        ["id", "payload", "ts"],
+    )
+    rows = range_join(
+        left, windows, "ts", "start", "end",
+        how="left", strategy="bucketed", bucket_seconds=86400,
+    ).collect()
+    assert len(rows) == 2
+    got = {r.id: r.name for r in rows}
+    assert got == {1: "w1", 2: None}
+
+
 def test_events_to_session_windows(spark, sf_dir):
     """Real-data closure: events range-joined to hour windows reproduce the
     hourly counts."""

@@ -37,11 +37,22 @@ def test_salted_agg_matches_plain(skewed):
         for r in salted_agg(
             skewed,
             ["k"],
-            {"s": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+            {
+                "s": (F.sum("v"), "sum"),
+                "n": (F.count("v"), "count"),
+                "mx": (F.max("v"), "max"),
+            },
             n_salts=8,
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_agg_rejects_bad_combiner(skewed):
+    with pytest.raises(ValueError, match="unknown combiner"):
+        salted_agg(skewed, ["k"], {"s": (F.sum("v"), "avg")})
+    with pytest.raises(TypeError, match="phase1_expr, combiner"):
+        salted_agg(skewed, ["k"], {"s": F.sum("v")})
 
 
 def test_salted_join_matches_plain(spark, skewed):
