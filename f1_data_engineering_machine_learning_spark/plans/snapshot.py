@@ -198,7 +198,12 @@ def snapshot_single_pass(
     sequence of date strings."""
     spark = facts.sparkSession
     if not isinstance(dates, DataFrame):
-        dates_df = spark.createDataFrame([(str(d),) for d in dates], [DT_REF])
+        # explode of a literal array, not createDataFrame: keeps the dim
+        # inside Catalyst (Range -> Generate, whole-stage codegen) instead
+        # of a Scan ExistingRDD the optimizer treats as opaque
+        dates_df = spark.range(1).select(
+            F.explode(F.array(*[F.lit(str(d)) for d in dates])).alias(DT_REF)
+        )
     else:
         dates_df = dates
     dates_df = dates_df.select(F.col(DT_REF).cast("date").alias(DT_REF))

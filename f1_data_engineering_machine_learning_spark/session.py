@@ -30,6 +30,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+#: Delta Lake integration classes (exactly the reference's pair,
+#: /root/reference/scripts/spark_ops.py:39-41). The catalog implementation
+#: lives under the ``sql.delta.catalog`` package — NOT ``sql.catalog`` —
+#: a wrong value here breaks every catalog operation once Delta loads.
+DELTA_SQL_EXTENSION = "io.delta.sql.DeltaSparkSessionExtension"
+DELTA_CATALOG_CLASS = "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+
 
 def _default_master() -> str:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -70,10 +77,9 @@ def build_session(
         from delta import configure_spark_with_delta_pip  # type: ignore
 
         builder = builder.config(
-            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+            "spark.sql.extensions", DELTA_SQL_EXTENSION
         ).config(
-            "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            "spark.sql.catalog.spark_catalog", DELTA_CATALOG_CLASS
         )
         delta_available = True
     except ImportError:
