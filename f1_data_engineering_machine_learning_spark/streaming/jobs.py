@@ -77,6 +77,63 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+#: RocksDB-backed streaming state (bundled with Spark since 3.2). The
+#: default HDFS-backed provider keeps every key's state on the JVM heap —
+#: fine for small windows, an OOM at 100 TB-scale key cardinality. RocksDB
+#: spills state to local disk with incremental checkpointing; flipping the
+#: provider changes NO query semantics, so jobs are written provider-
+#: agnostic and the choice is a deployment conf.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch stateful streaming queries started AFTER this call to the
+    RocksDB state store (or back to the default)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if enabled:
+        spark.conf.set(key, ROCKSDB_STATE_PROVIDER)
+    else:
+        spark.conf.unset(key)
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    output_mode: str = "update",
+):
+    """Streaming materialized view via ``foreachBatch`` + keyed upsert.
+
+    Each micro-batch's changed rows are MERGEd into the target table on
+    ``keys`` (plans/ingest.py::upsert_table — Delta MERGE when available,
+    atomic parquet rewrite otherwise), so the table converges to the
+    current aggregate state: the standard pattern for maintaining a
+    queryable table from an ``update``-mode aggregation, which no built-in
+    file sink supports (file sinks are append-only). The checkpoint makes
+    delivery effectively-once: a replayed batch re-upserts the same keys
+    idempotently. Runs with ``availableNow`` and blocks until drained.
+    """
+    from f1_data_engineering_machine_learning_spark.plans.ingest import upsert_table
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, path, batch_df, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

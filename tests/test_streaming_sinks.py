@@ -1,0 +1,83 @@
+"""foreachBatch upsert sink (streaming materialized view) + RocksDB state.
+
+Both are deployment-grade seams: the upsert sink is how an update-mode
+aggregation becomes a queryable table (file sinks are append-only), and
+the RocksDB provider is the state backend that survives large key
+cardinality. The provider swap must not change results — asserted here by
+running the same aggregation under both backends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.streaming import read_event_stream
+from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+    foreach_batch_upsert,
+    hourly_event_stats_stream,
+    run_available_now,
+    use_rocksdb_state,
+)
+
+
+def _write_batch(spark, path, ids):
+    spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 10}:00:00", i % 3, "click" if i % 2 else "view",
+          float(i), "{}") for i in ids],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(path)
+
+
+def test_foreach_batch_upsert_converges_to_batch_aggregate(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, range(0, 60))
+
+    counts = (
+        read_event_stream(spark, src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    foreach_batch_upsert(counts, table, ["event_type"], ckpt, output_mode="update")
+    got = {r.event_type: r.n for r in spark.read.parquet(table).collect()}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # more data arrives: the restarted stream upserts the SAME keys with
+    # refreshed totals — the table converges, it does not append duplicates
+    _write_batch(spark, src, range(60, 100))
+    foreach_batch_upsert(counts, table, ["event_type"], ckpt, output_mode="update")
+    got2 = {r.event_type: r.n for r in spark.read.parquet(table).collect()}
+    assert got2 == {"click": 50, "view": 50}
+    assert spark.read.parquet(table).count() == 2  # one row per key, upserted
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, range(0, 40))
+    stream = hourly_event_stats_stream(read_event_stream(spark, src))
+
+    default_rows = sorted(
+        (r.hour_ts, r.event_type, r.n, r.total_value)
+        for r in run_available_now(stream, "agg_default").collect()
+    )
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider")
+        )
+        rocks_rows = sorted(
+            (r.hour_ts, r.event_type, r.n, r.total_value)
+            for r in run_available_now(stream, "agg_rocksdb").collect()
+        )
+    finally:
+        use_rocksdb_state(spark, enabled=False)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
