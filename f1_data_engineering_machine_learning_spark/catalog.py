@@ -2192,3 +2192,129 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query(
+    "token_budget_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin,
+           n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    """,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data assembly
+    (dataops/packing.py::pack_by_token_budget): shard by id, running token
+    total per shard, 2048-token bins from each document's start offset.
+    Deterministic cumulative-offset binning — the distributed stand-in for
+    sequential greedy packing (module docstring has the trade-off)."""
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        pack_by_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_by_token_budget(
+        docs, "doc_id", F.size(F.split("text", " ")), budget=2048, n_shards=8
+    )
+
+
+@query(
+    "benchmark_contamination_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 3),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              || ' ' || toks[i+3] || ' ' || toks[i+4])
+                    END) AS s
+      FROM docs
+    ), bench AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+    ), corp AS (
+      SELECT * FROM sh WHERE doc_id % 50 != 0
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM corp GROUP BY doc_id
+    ), hit AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM corp c JOIN bench b ON c.s = b.s GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           CAST(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / t.n_shingles
+                AS DOUBLE) AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def benchmark_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dataops/decontam.py): every 50th document
+    plays the eval set; the rest of the corpus is scored by the fraction
+    of its distinct 5-shingles appearing in that set. The planted near-dup
+    clusters make some corpus docs contaminated by construction. Exact-
+    string shingles here for oracle parity; the scale path joins on
+    xxhash64 fingerprints (hash_shingles=True) with the benchmark side
+    broadcast."""
+    from f1_data_engineering_machine_learning_spark.dataops.decontam import (
+        benchmark_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return benchmark_contamination(
+        corpus, bench, "doc_id", "text", k=5, hash_shingles=False
+    )
+
+
+@query(
+    "doc_repetition_profile",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS s
+      FROM docs
+    ), per AS (
+      SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS total_shingles,
+           CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+           CAST(MAX(c) AS BIGINT) AS top_shingle_count,
+           CAST(CAST(MAX(c) AS DOUBLE) / SUM(c) AS DOUBLE) AS rep_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detector
+    (dataops/text.py::repetition_profile): hottest-3-shingle share per
+    document — the looped-boilerplate / degenerate-generation signal a
+    curation pass filters on."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        repetition_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text", k=3)

@@ -1,0 +1,70 @@
+"""Benchmark decontamination: n-gram overlap between a corpus and an
+evaluation set.
+
+The standard pre-training hygiene pass: any training document sharing
+k-token shingles with a benchmark/eval document is flagged (and usually
+dropped) so evaluation numbers aren't inflated by memorized test items.
+
+Scale shape: the benchmark side is tiny relative to the corpus (thousands
+of eval items vs billions of documents), so its distinct shingle set is
+BROADCAST — the corpus scan stays map-side, no corpus-wide shuffle for
+the probe. With ``hash_shingles=True`` (the default, and the only sane
+setting at 100 TB) both sides join on 8-byte xxhash64 fingerprints
+instead of raw shingle strings, shrinking the broadcast and the probe
+keys ~10x; the exact-string variant exists for engine-portable
+verification (the DuckDB oracle cannot reproduce xxhash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.dataops.text import shingles
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-corpus-document overlap with the benchmark shingle set:
+    (id, n_shingles, n_shared, contamination) where ``contamination`` is
+    the fraction of the document's distinct k-shingles that appear in ANY
+    benchmark document. Zero-overlap documents are kept (contamination
+    0.0) so the output is a complete per-document report, filterable at
+    any threshold."""
+    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    corp_sh = (
+        corpus.select(
+            F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+        )
+        .select("id", key(F.col("s")).alias("s"))
+        .distinct()
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("s"))
+        .select(key(F.col("s")).alias("s"))
+        .distinct()
+    )
+    totals = corp_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).cast("double").alias("contamination"),
+        )
+    )

@@ -222,3 +222,31 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": content_fingerprint(text_col),
         }
     ).drop("__toks")
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Intra-document repetition: per document, total vs distinct k-shingle
+    counts and the hottest shingle's share — the cheap detector for looped
+    boilerplate / degenerate generation (a high ``rep_ratio`` document is
+    usually machine junk a curation pass drops).
+
+    Output: (id, total_shingles, distinct_shingles, top_shingle_count,
+    rep_ratio = top/total). One explode + two aggregations, all JVM-side;
+    the (id, shingle) groupBy is map-side combinable so shuffle volume is
+    bounded by the distinct-shingle count, not the token count."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+    )
+    per = sh.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("total_shingles"),
+            F.count(F.lit(1)).cast("long").alias("distinct_shingles"),
+            F.max("c").cast("long").alias("top_shingle_count"),
+            (F.max("c").cast("double") / F.sum("c")).cast("double").alias("rep_ratio"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
