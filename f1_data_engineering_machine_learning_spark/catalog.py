@@ -2318,3 +2318,46 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return repetition_profile(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "corpus_mixture_sample",
+    """
+    WITH tot AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS toks
+      FROM documents GROUP BY lang
+    ), tgt(lang, w) AS (
+      VALUES ('en', 0.4), ('es', 0.15), ('fr', 0.15), ('de', 0.15), ('zh', 0.15)
+    ), s AS (
+      SELECT MIN(toks / w) AS scale FROM tot JOIN tgt USING (lang)
+    ), fr AS (
+      SELECT lang, LEAST(1.0, w * scale / toks) AS frac
+      FROM tot JOIN tgt USING (lang) CROSS JOIN s
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN fr USING (lang)
+    WHERE d.doc_id % 100 < CAST(FLOOR(frac * 100) AS BIGINT)
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (dataops/sampling.py::mixture_sample): keep
+    fractions computed so output token shares hit the target language mix
+    (en 40% / others 15%), keep decision by ``doc_id % 100`` threshold —
+    deterministic integer arithmetic the oracle replays exactly. The
+    driver-side part is one |domains|-row aggregate; the filter is a
+    map-only scan."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = {"en": 0.4, "es": 0.15, "fr": 0.15, "de": 0.15, "zh": 0.15}
+    sampled, _ = mixture_sample(
+        docs, "lang", F.size(F.split("text", " ")), target, key="doc_id",
+        resolution=100,
+    )
+    return sampled.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )

@@ -65,3 +65,50 @@ def stratified_sample(
         frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
     keep_below = (frac * resolution).cast("long")
     return df.filter(_bucket(key, resolution, salt) < keep_below)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weight: Column,
+    target: Mapping[str, float],
+    key: str,
+    resolution: int = 100,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Domain-mixture sampling: downsample each domain so the OUTPUT
+    weight shares match ``target`` (e.g. token-share per language — the
+    pre-training mixture knob). Returns (sampled rows, per-domain keep
+    fractions).
+
+    Math: with current weights W_d and targets t_d, the largest achievable
+    total is ``scale = min_d(W_d / t_d)``; each domain keeps fraction
+    ``t_d * scale / W_d`` (<= 1 — sampling only removes; upweighting is a
+    repeat-factor concern, not a filter). Domains absent from ``target``
+    are dropped.
+
+    The per-domain totals are one tiny aggregate collected to the driver
+    (rows = |domains|); the keep decision is ``key % resolution <
+    floor(frac * resolution)`` — pure integer/IEEE arithmetic any engine
+    reproduces (unlike seeded RNG or engine-specific hashes), which is
+    what makes the sample auditable and value-oracle-checkable. Use a
+    hash-distributed integer key; resolution bounds the fraction
+    granularity."""
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(domain_col).agg(F.sum(weight)).collect()
+        if r[0] in target and r[1]
+    }
+    missing = set(target) - set(totals)
+    if missing:
+        raise ValueError(f"target domains absent from data: {sorted(missing)}")
+    scale = min(totals[d] / target[d] for d in totals)
+    fractions = {d: min(1.0, target[d] * scale / totals[d]) for d in totals}
+    thresh = F.lit(None)
+    expr = None
+    for d, frac in fractions.items():
+        cond = F.col(domain_col) == d
+        t = F.lit(int(frac * resolution))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(F.lit(0))
+    out = df.filter(F.pmod(F.col(key), F.lit(resolution)) < thresh)
+    return out, fractions

@@ -77,6 +77,42 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def click_attribution_stream(
+    events: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each purchase attributed to the same user's
+    clicks within ``max_lag`` before it — last-touch attribution as a
+    STREAMING join. Both sides carry watermarks and the join condition
+    time-bounds the click relative to the purchase, which is what lets the
+    engine expire click state (an unbounded stream-stream join would hold
+    every click forever; the time bound turns state into a sliding
+    ``watermark + max_lag`` window). Batch twin: the same join on the
+    static frames (parity-tested)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"), "value")
+        .withWatermark("ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("purchase_id", "user_id", "ts", "click_id", "click_ts", "value")
+
+
 #: RocksDB-backed streaming state (bundled with Spark since 3.2). The
 #: default HDFS-backed provider keeps every key's state on the JVM heap —
 #: fine for small windows, an OOM at 100 TB-scale key cardinality. RocksDB

@@ -40,3 +40,36 @@ def test_stratified_sample_per_class(spark, sf_dir):
         if lang != "en":
             assert after.get(lang) == n
     assert after.get("en", 0) < before["en"] * 0.6
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    import pytest
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        mixture_sample,
+    )
+
+    # en has 4x the tokens of es: target a 50/50 token mix -> en keeps ~25%
+    rows = [(i, "en", 100) for i in range(400)] + [
+        (1000 + i, "es", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    sampled, fractions = mixture_sample(
+        df, "lang", F.col("n_tokens"), {"en": 0.5, "es": 0.5}, key="doc_id"
+    )
+    assert fractions["es"] == 1.0
+    assert fractions["en"] == pytest.approx(0.25)
+    got = {
+        r.lang: r.t
+        for r in sampled.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    total = sum(got.values())
+    assert got["en"] / total == pytest.approx(0.5, abs=0.02)
+    # determinism: same rows on re-run
+    again, _ = mixture_sample(
+        df, "lang", F.col("n_tokens"), {"en": 0.5, "es": 0.5}, key="doc_id"
+    )
+    assert sorted(r.doc_id for r in sampled.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, "lang", F.col("n_tokens"), {"zz": 1.0}, key="doc_id")

@@ -59,6 +59,33 @@ def test_foreach_batch_upsert_converges_to_batch_aggregate(spark, tmp_path):
     assert spark.read.parquet(table).count() == 2  # one row per key, upserted
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        click_attribution_stream,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, range(0, 80))  # even ids view->no, odd click
+    # add purchases by the same users shortly after some clicks
+    spark.createDataFrame(
+        [(1000 + i, f"2024-01-01 0{i % 10}:10:00", i % 3, "purchase",
+          9.99, "{}") for i in range(10)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(src)
+
+    streamed = run_available_now(
+        click_attribution_stream(read_event_stream(spark, src)),
+        "attribution",
+        output_mode="append",
+    )
+    # the same plan over the static frame is the batch twin (watermarks
+    # are no-ops on batch DataFrames)
+    batch = click_attribution_stream(spark.read.parquet(src))
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_rocksdb_state_store_matches_default(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(spark, src, range(0, 40))
