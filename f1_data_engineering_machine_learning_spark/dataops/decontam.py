@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from f1_data_engineering_machine_learning_spark.dataops.text import shingles
+from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 
 
 def benchmark_contamination(
@@ -38,6 +41,7 @@ def benchmark_contamination(
     0.0) so the output is a complete per-document report, filterable at
     any threshold."""
     key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    corpus = ensure_min_parallelism(corpus)
     corp_sh = (
         corpus.select(
             F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")

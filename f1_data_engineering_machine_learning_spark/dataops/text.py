@@ -236,7 +236,11 @@ def repetition_profile(
     rep_ratio = top/total). One explode + two aggregations, all JVM-side;
     the (id, shingle) groupBy is map-side combinable so shuffle volume is
     bounded by the distinct-shingle count, not the token count."""
-    sh = df.select(
+    from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
     per = sh.groupBy("id", "s").agg(F.count(F.lit(1)).alias("c"))

@@ -256,6 +256,30 @@ def test_rp_lsh_topk_deterministic_and_high_recall(spark, sf_dir):
     assert len(brute & got) / len(brute) >= 0.6
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The at-rest IVF layout: corpus partitioned by centroid id on disk,
+    probes carry a static partition predicate — the scan must show
+    PartitionFilters (files of unprobed centroids are never listed/read)
+    and results must match the in-memory IVF at the same parameters."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_probe_indexed(q, idx, k=5, n_probe=4)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[centroid#\d+ IN \(", plan), plan
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    mem = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            q, emb, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert got == mem  # same quantizer seed + params -> identical neighbors
+
+
 def test_ann_recall_at_k_math(spark):
     exact = spark.createDataFrame(
         [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
