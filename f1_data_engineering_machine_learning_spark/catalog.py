@@ -2361,3 +2361,56 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "daily_user_value_gapfill",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, ts, value FROM events
+    ), lastd AS (
+      SELECT user_id, d, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, d ORDER BY ts DESC, value DESC) AS rn
+        FROM ev) WHERE rn = 1
+    ), b AS (
+      SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev
+    ), days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ), users AS (
+      SELECT DISTINCT user_id FROM ev
+    ), sc AS (
+      SELECT user_id, d FROM users CROSS JOIN days
+    ), j AS (
+      SELECT sc.user_id, sc.d, l.value
+      FROM sc LEFT JOIN lastd l ON sc.user_id = l.user_id AND sc.d = l.d
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CAST(last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS value_ff,
+           value IS NOT NULL AS observed
+    FROM j
+    """,
+)
+def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (operators/gapfill.py): dense per-user daily
+    scaffold over the events month, each day carrying the last observed
+    event value forward (LOCF) with an ``observed`` flag. Verified against
+    DuckDB's ``last_value(x IGNORE NULLS)`` — the operator Spark lacks
+    natively, composed from sequence+explode and a running window."""
+    from f1_data_engineering_machine_learning_spark.operators.gapfill import gap_fill
+
+    ev = _events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    daily = dedup_keep_last(
+        ev.select("user_id", "d", "ts", "value"), ["user_id", "d"], ["ts", "value"]
+    ).drop("ts")
+    out = gap_fill(daily, ["user_id"], "d", ["value"])
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("value_ff").cast("double").alias("value_ff"),
+        "observed",
+    )

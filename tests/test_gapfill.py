@@ -1,0 +1,54 @@
+"""Gap fill: scaffold density, LOCF semantics, leading-gap behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.operators.gapfill import (
+    date_scaffold,
+    forward_fill,
+    gap_fill,
+)
+
+
+def _d(s):
+    return dt.date.fromisoformat(s)
+
+
+def test_gap_fill_dense_and_carried(spark):
+    obs = spark.createDataFrame(
+        [
+            ("a", _d("2024-01-01"), 1.0),
+            ("a", _d("2024-01-04"), 4.0),  # 2nd/3rd missing -> carry 1.0
+            ("b", _d("2024-01-03"), 9.0),  # b starts late -> leading NULLs
+        ],
+        ["user", "d", "value"],
+    )
+    out = gap_fill(obs, ["user"], "d", ["value"]).collect()
+    assert len(out) == 8  # 2 users x 4 days dense
+    got = {(r.user, str(r.d)): (r.value_ff, r.observed) for r in out}
+    assert got[("a", "2024-01-02")] == (1.0, False)  # carried, not observed
+    assert got[("a", "2024-01-03")] == (1.0, False)
+    assert got[("a", "2024-01-04")] == (4.0, True)
+    assert got[("b", "2024-01-01")] == (None, False)  # leading gap stays NULL
+    assert got[("b", "2024-01-04")] == (9.0, False)
+
+
+def test_scaffold_respects_explicit_bounds(spark):
+    obs = spark.createDataFrame([("a", _d("2024-01-02"), 1.0)], ["user", "d", "v"])
+    sc = date_scaffold(obs, ["user"], F.col("d"), "2024-01-01", "2024-01-05")
+    assert sc.count() == 5
+
+
+def test_forward_fill_multiple_columns_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, None), ("a", 2, None, "x"), ("a", 3, 30.0, None)],
+        ["user", "t", "v", "s"],
+    )
+    out = {r.t: (r.v_ff, r.s_ff) for r in
+           forward_fill(df, ["user"], "t", ["v", "s"]).collect()}
+    assert out[1] == (10.0, None)
+    assert out[2] == (10.0, "x")
+    assert out[3] == (30.0, "x")
