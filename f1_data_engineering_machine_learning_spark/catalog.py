@@ -2414,3 +2414,30 @@ def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_ff").cast("double").alias("value_ff"),
         "observed",
     )
+
+
+@query(
+    "order_price_histogram",
+    """
+    SELECT bucket,
+           CAST(bucket * 20000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 20000.0 AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    GROUP BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram (dataops/quality.py::numeric_histogram):
+    fixed 20k-wide buckets — partial histograms from any data slice merge
+    by bucket id, the property that makes distribution profiling cheap at
+    100 TB (no global min/max pass, no sort)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return numeric_histogram(o, "o_totalprice", 20000.0)

@@ -124,3 +124,30 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     return spark.createDataFrame(
         reports, "constraint string, n_rows long, n_violations long"
     )
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, bucket_width: float, origin: float = 0.0
+) -> DataFrame:
+    """Equi-width histogram: (bucket, lo, hi, n) with fixed-width buckets
+    anchored at ``origin`` — one map-side-combinable aggregation, shuffle
+    rows = distinct buckets (bounded by range/width, independent of data
+    volume). Fixed widths rather than data-derived bounds keep the
+    histogram composable: partial histograms from different slices/days
+    merge by summing counts on the bucket id."""
+    b = F.floor((F.col(col) - F.lit(origin)) / F.lit(bucket_width)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(origin) + F.col("bucket") * F.lit(bucket_width))
+            .cast("double")
+            .alias("lo"),
+            (F.lit(origin) + (F.col("bucket") + 1) * F.lit(bucket_width))
+            .cast("double")
+            .alias("hi"),
+            "n",
+        )
+    )

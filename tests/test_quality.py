@@ -51,3 +51,24 @@ def test_clean_table_no_violations(spark):
         df, [not_null("lang"), unique("id"), in_set("lang", ["en", "fr"])]
     )
     assert report.filter(F.col("n_violations") > 0).count() == 0
+
+
+def test_numeric_histogram_buckets_and_mergeability(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(5.0,), (15.0,), (15.5,), (25.0,), (None,)], ["v"]
+    )
+    got = {r.bucket: (r.lo, r.hi, r.n) for r in
+           numeric_histogram(df, "v", 10.0).collect()}
+    assert got == {0: (0.0, 10.0, 1), 1: (10.0, 20.0, 2), 2: (20.0, 30.0, 1)}
+    # fixed-origin buckets: histograms of two slices merge by bucket id
+    a = numeric_histogram(df.limit(2), "v", 10.0)
+    b = numeric_histogram(df.subtract(df.limit(2)), "v", 10.0)
+    merged = (
+        a.unionByName(b).groupBy("bucket").sum("n").withColumnRenamed("sum(n)", "n")
+    )
+    total = {r.bucket: r.n for r in merged.collect()}
+    assert sum(total.values()) == 4
