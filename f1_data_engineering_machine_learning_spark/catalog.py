@@ -1701,12 +1701,20 @@ def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXACT half of the exact/sketch pair (see
     approx_stats_scale_mode): COUNT DISTINCT + exact interpolated median
     per return flag, fully value-oracled. l_quantity is integral so the
-    median midpoint arithmetic is exact in both engines."""
+    median midpoint arithmetic is exact in both engines. Two aggregation
+    passes joined on the 3-row key: count_distinct alongside a percentile
+    in one agg plans an Expand that doubles every input row pre-shuffle
+    (same trap measured at 13s in approx_stats_scale_mode)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    distinct_half = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    median_half = li.groupBy("l_returnflag").agg(
         exact_median(F.col("l_quantity").cast("double")).cast("double").alias("med_qty"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return distinct_half.join(median_half, "l_returnflag").select(
+        "l_returnflag", "n_parts", "med_qty", "n"
     )
 
 
