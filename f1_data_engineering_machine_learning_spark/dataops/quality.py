@@ -55,27 +55,37 @@ def unique(col: str) -> Constraint:
 
 
 def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """ANALYZE-style column profile in ONE aggregation pass: per column —
-    row count, null count, exact distinct count, min/max (stringified for
-    a uniform long-format report). The exact distincts make this a full
-    expand-aggregate; at 100 TB swap in approx_count_distinct (the
-    catalog's approx_stats_scale_mode shows the sketch twin)."""
+    """ANALYZE-style column profile: per column — row count, null count,
+    exact distinct count, min/max (stringified for a uniform long-format
+    report).
+
+    Plan shape: count/null/min/max for ALL columns run in one
+    aggregation pass; each exact distinct count runs as its own
+    column-pruned job. Folding several ``count_distinct``s on different
+    columns into the shared agg would plan an Expand that replicates
+    every input row once per distinct column — (1+n_cols)x the row
+    volume through the shuffle; separate single-distinct aggregations
+    have no Expand and each scan reads exactly one column. At 100 TB
+    swap in approx_count_distinct (the catalog's approx_stats_scale_mode
+    shows the sketch twin) to drop the extra passes entirely."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null{i}"),
-            F.count_distinct(F.col(c)).alias(f"__dist{i}"),
             F.min(F.col(c)).cast("string").alias(f"__min{i}"),
             F.max(F.col(c)).cast("string").alias(f"__max{i}"),
         ]
     row = df.agg(*aggs).collect()[0]
+    distincts = {
+        c: df.agg(F.count_distinct(F.col(c))).collect()[0][0] for c in cols
+    }
     report_rows = [
         (
             c,
             int(row["__n"]),
             int(row[f"__null{i}"]),
-            int(row[f"__dist{i}"]),
+            int(distincts[c]),
             row[f"__min{i}"],
             row[f"__max{i}"],
         )
