@@ -2095,21 +2095,93 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_topk")
+_DUCK_COS = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(x, y) -> x + y) "
+    "/ (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y)) "
+    "* sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y)))"
+)
+
+
+@query(
+    "embedding_ivf_topk",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS centroid, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT neighbor_id, centroid FROM (
+        SELECT c.vec_id AS neighbor_id, cent.centroid,
+               {_DUCK_COS.format(a="c.v", b="cent.cv")} AS cdist,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_DUCK_COS.format(a="c.v", b="cent.cv")} DESC,
+                          cent.centroid) AS rn
+        FROM vecs c CROSS JOIN cent)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 20
+    ), probes AS (
+      SELECT query_id, centroid FROM (
+        SELECT query_id, centroid,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {_DUCK_COS.format(a="qv", b="cv")} DESC,
+                          centroid) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn <= 4
+    ), approx AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST(rnk AS INTEGER) AS rank FROM (
+        SELECT p.query_id, a.neighbor_id,
+               CAST({_DUCK_COS.format(a="qa.v", b="nb.v")} AS DOUBLE) AS cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_DUCK_COS.format(a="qa.v", b="nb.v")} DESC,
+                          a.neighbor_id) AS rnk
+        FROM probes p JOIN assigned a ON p.centroid = a.centroid
+        JOIN vecs qa ON qa.vec_id = p.query_id
+        JOIN vecs nb ON nb.vec_id = a.neighbor_id
+        WHERE p.query_id != a.neighbor_id)
+      WHERE rnk <= 5
+    ), exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DUCK_COS.format(a="q.qv", b="c2.v")} DESC,
+                          c2.vec_id) AS rn
+        FROM q JOIN vecs c2 ON q.query_id != c2.vec_id)
+      WHERE rn <= 5
+    ), recall AS (
+      SELECT a.query_id,
+             CAST(CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE) / 5
+                  AS DOUBLE) AS recall_at_k
+      FROM approx a LEFT JOIN exact_topk e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id
+    )
+    SELECT a.query_id, a.neighbor_id, a.cosine_sim, a.rank, r.recall_at_k
+    FROM approx a JOIN recall r ON a.query_id = r.query_id
+    """,
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-5 neighbors (KMeans coarse quantizer +
-    probed buckets, dataops/similarity.py) for 20 query vectors, stamped
-    with per-query recall@5 vs the exact baseline (see embedding_lsh_topk).
-    Rows-only check (KMeans assignment is seeded but engine-specific)."""
+    """IVF-Flat approximate top-5 neighbors for 20 query vectors, stamped
+    with per-query recall@5 vs the exact baseline — FULLY value-oracled:
+    the coarse quantizer is deterministic (the 16 smallest-id corpus
+    vectors, a FAISS-style sampled quantizer), assignment/probing/re-rank
+    are sequential float folds, so DuckDB re-derives the identical inverted
+    lists, probe sets, ranking, AND recall numbers
+    (dataops/similarity.py::ivf_topk_deterministic). The KMeans-quantizer
+    variant (``ivf_topk``) keeps its recall contract in pytest — MLlib
+    centroids are engine-internal, so that path cannot be value-oracled."""
     from f1_data_engineering_machine_learning_spark.dataops.similarity import (
         ann_recall_at_k,
         cosine_topk,
-        ivf_topk,
+        ivf_topk_deterministic,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    approx = ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+    approx = ivf_topk_deterministic(q, emb, k=5, n_centroids=16, n_probe=4)
     recall = ann_recall_at_k(approx, cosine_topk(q, emb, k=5), k=5)
     return approx.join(recall.select("query_id", "recall_at_k"), "query_id").select(
         "query_id", "neighbor_id", "cosine_sim",

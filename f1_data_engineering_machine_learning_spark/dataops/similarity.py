@@ -278,6 +278,112 @@ def rp_lsh_topk(
     )
 
 
+def _f64_lit(x: float) -> str:
+    """A SQL double literal that round-trips ``x`` exactly (repr is the
+    shortest exact decimal; CAST of that string re-reads the same bits)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _cos_sql(vec_expr: str, arr_sql: str) -> str:
+    """Cosine of a vector column against one literal double array, as a SQL
+    expression string: sequential folds only, so every engine (and the
+    DuckDB oracle) reproduces the accumulation bit-for-bit."""
+    dot = (
+        f"aggregate(zip_with({vec_expr}, {arr_sql}, (x, y) -> x * y), "
+        f"0.0D, (a, x) -> a + x)"
+    )
+    nv = f"sqrt(aggregate({vec_expr}, 0.0D, (a, x) -> a + x * x))"
+    nc = f"sqrt(aggregate({arr_sql}, 0.0D, (a, x) -> a + x * x))"
+    return f"({dot} / ({nv} * {nc}))"
+
+
+def ivf_topk_deterministic(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat top-k with a DETERMINISTIC, engine-reproducible coarse
+    quantizer: the centroids are the ``n_centroids`` smallest-id corpus
+    vectors (a sampled quantizer, as FAISS permits — IVF does not require
+    KMeans), so a second engine can re-derive the exact same partitioning,
+    probes, and ranking. This is the value-oracled twin of ``ivf_topk``
+    (whose KMeans quantizer is MLlib-internal and only rows-checkable).
+
+    Scale shape — one shuffle total:
+    - centroid list is collected driver-side (tiny: n_centroids vectors) and
+      embedded as ONE parsed literal array expression (same py4j-storm
+      avoidance as ``_rp_bucket``);
+    - corpus assignment is a map-only per-row argmax fold over that array —
+      no shuffle, no window: the classic "assignment is embarrassingly
+      parallel" property IVF needs at 100 TB;
+    - query probing is a map-only sort/slice over the same array, then the
+      candidate join broadcasts the (query, centroid) probe list against the
+      assigned corpus — shuffle-free;
+    - the only exchange is the final per-query top-k window over candidates
+      (|Q| x n_probe bucket sizes, not |corpus|).
+
+    Ties: assignment keeps the smallest centroid id at equal cosine;
+    ranking breaks equal similarity by neighbor id — both mirrored in the
+    catalog oracle SQL."""
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ]
+    cent_arr = ", ".join(
+        f"named_struct('cid', {cid}, 'cv', array({', '.join(_f64_lit(x) for x in vec)}))"
+        for cid, vec in cents
+    )
+    cent_arr = f"array({cent_arr})"
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
+    )
+    # per-row argmax over the literal centroid array: strictly-greater keeps
+    # the earliest (smallest cid, array is id-ordered) on ties
+    cos_c = _cos_sql("__cvec", "c.cv")
+    assign_expr = (
+        f"aggregate({cent_arr}, "
+        f"named_struct('s', CAST(NULL AS DOUBLE), 'cid', -1), "
+        f"(acc, c) -> CASE WHEN acc.s IS NULL OR {cos_c} > acc.s "
+        f"THEN named_struct('s', {cos_c}, 'cid', c.cid) ELSE acc END).cid"
+    )
+    assigned = c.withColumn("centroid", F.expr(assign_expr))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
+    )
+    # per-query centroid ranking: sort structs (neg-cosine asc, cid asc),
+    # keep the first n_probe, explode into probe rows — all map-side
+    cos_q = _cos_sql("__qvec", "c.cv")
+    probe_expr = (
+        f"slice(array_sort(transform({cent_arr}, "
+        f"c -> named_struct('negs', -({cos_q}), 'cid', c.cid))), 1, {n_probe})"
+    )
+    probes = q.select(
+        "query_id",
+        "__qvec",
+        F.explode(F.expr(probe_expr)).alias("__p"),
+    ).select("query_id", "__qvec", F.col("__p.cid").alias("centroid"))
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_sim"), F.col("neighbor_id")],
+        k,
+        rn_col="rank",
+    )
+
+
 def ann_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

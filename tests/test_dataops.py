@@ -224,6 +224,45 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.6  # probing half the centroids must recover most
 
 
+def test_ivf_deterministic_exhaustive_probe_equals_brute_force(spark, sf_dir):
+    """With n_probe == n_centroids every inverted list is scanned, so the
+    deterministic-quantizer IVF must reproduce the brute-force top-k
+    EXACTLY (ids and similarities) — the correctness anchor that lets the
+    catalog query carry a full DuckDB value oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in similarity.ivf_topk_deterministic(
+            q, emb, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert ivf == brute
+
+
+def test_ivf_deterministic_partial_probe_recall(spark, sf_dir):
+    """Sub-linear mode (n_probe < n_centroids): output is a subset-quality
+    approximation — every returned similarity is the exact cosine, and
+    recall@5 vs brute force stays high at this scale."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk_deterministic(
+            q, emb, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert len(brute & got) / len(brute) >= 0.5
+
+
 def test_lsh_topk_runs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
