@@ -2275,6 +2275,101 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_exact_dedup_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), batch AS (
+      SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+    ), cf AS (
+      SELECT text, MIN(doc_id) AS keeper_id FROM corpus GROUP BY text
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS batch_id,
+           CAST(cf.keeper_id AS BIGINT) AS keeper_id
+    FROM batch b JOIN cf ON b.text = cf.text
+    """,
+)
+def incremental_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact dedup (dataops/dedup.py::
+    incremental_exact_dedup): a new batch — the docs with id >= 400 plus 10
+    re-crawled copies of corpus docs under shifted ids — is checked against
+    the existing corpus (id < 400) by content fingerprint. Only the 10
+    re-crawls collide; bodies never shuffle (16-byte fingerprints do)."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = (
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        .unionByName(docs.filter(F.col("doc_id") >= 400).select("doc_id", "text"))
+    )
+    out = incremental_exact_dedup(batch, corpus, "doc_id", "text")
+    return out.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+    )
+
+
+@query(
+    "incremental_minhash_pairs_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS s
+      FROM docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id >= 400 AND b.doc_id < 400
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           CAST(CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = batch_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def incremental_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup detection (dataops/dedup.py::
+    incremental_minhash_dedup_pairs): new docs (id >= 400) LSH-banded
+    against the existing corpus (id < 400) — corpus x corpus pairs never
+    generated. Oracle is the EXACT one-sided Jaccard result: at the planted
+    duplicates' similarity, 32-hash/8-band LSH recall is >0.999, same
+    argument as minhash_dedup_pairs_docs."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        incremental_minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_minhash_dedup_pairs(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        "doc_id",
+        "text",
+        n_hashes=32,
+        bands=8,
+        k=3,
+        verify_threshold=0.5,
+    )
+
+
+@query(
     "token_budget_packing",
     """
     WITH t AS (

@@ -166,6 +166,40 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    k: int,
+) -> DataFrame:
+    """(id, band, bucket) LSH band assignments from MinHash signatures —
+    the shared candidate structure for both whole-corpus and incremental
+    dedup. One shuffle (the signature groupBy); banding itself is map-only."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
@@ -188,27 +222,7 @@ def minhash_band_buckets(
     exact dedup (cheap, runs before LSH in the curation pipeline) is the
     right tool for them; ``None`` disables the bound. Counting and
     collecting share one exchange via ReuseExchange."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(df, id_col, text_col, n_hashes, bands, k)
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
     keep = counts.filter(F.col("n") > 1)
     if max_bucket is not None:
@@ -276,6 +290,118 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("i", "j", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (new batch vs existing corpus) — the continuous-ingest shape
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an EXISTING corpus: returns
+    (batch_id, keeper_id) for batch docs whose content fingerprint already
+    exists in the corpus, matched to the smallest corpus id.
+
+    Scale shape: both sides reduce to 16-byte fingerprints before the
+    equi-join — document bodies never shuffle; the corpus side collapses to
+    one row per distinct fingerprint (groupBy MIN, map-side combinable).
+    In production the corpus fingerprint table is the stored dedup index —
+    computed once at ingest, not re-derived per batch (this operator accepts
+    either; pass the raw corpus or its fingerprint table upstream)."""
+    bf = batch.select(
+        F.col(id_col).alias("batch_id"), content_fingerprint(text_col).alias("fp")
+    )
+    cf = (
+        corpus.select(F.col(id_col).alias("cid"), content_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("cid").alias("keeper_id"))
+    )
+    return bf.join(cf, "fp").select("batch_id", "keeper_id")
+
+
+def incremental_minhash_dedup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float = 0.5,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Near-dups of NEW docs against the EXISTING corpus via MinHash-LSH:
+    band assignments on both sides, candidates from the (band, bucket)
+    equi-join BATCH x CORPUS only — corpus x corpus pairs are never
+    generated, so continuous ingest pays O(|batch| x bucket density) per
+    run, not O(|corpus|^2). Candidates are verified with exact shingle
+    Jaccard (batch shingles x corpus shingles, candidate-bounded).
+    Returns (batch_id, corpus_id, jaccard >= verify_threshold).
+
+    ``max_bucket`` caps the CORPUS membership per (band, bucket): a
+    boilerplate bucket with a million corpus members would otherwise fan
+    every colliding batch doc out a million ways. In production the corpus
+    band table (id, band, bucket) is the stored LSH index; here it is
+    derived inline from the corpus text."""
+    batch = ensure_min_parallelism(batch)
+    b_banded = _banded(batch, id_col, text_col, n_hashes, bands, k)
+    c_banded = _banded(corpus, id_col, text_col, n_hashes, bands, k)
+    if max_bucket is not None:
+        small = (
+            c_banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        c_banded = c_banded.join(small, ["band", "bucket"], "left_semi")
+    pairs = (
+        b_banded.select(F.col("id").alias("i"), "band", "bucket")
+        .join(
+            c_banded.select(F.col("id").alias("j"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("i", "j")
+        .distinct()
+    )
+    sh_b = batch.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+    ).distinct()
+    sh_c = corpus.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
+    ).distinct()
+    sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        pairs.join(sh_b.select(F.col("id").alias("i"), F.col("s").alias("si")), "i")
+        .join(
+            sh_c.select(F.col("id").alias("__j2"), F.col("s").alias("sj")),
+            (F.col("j") == F.col("__j2")) & (F.col("si") == F.col("sj")),
+        )
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes_b.select(F.col("id").alias("i"), "na"), "i")
+        .join(sizes_c.select(F.col("id").alias("j"), "nb"), "j")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select(
+            F.col("i").alias("batch_id"),
+            F.col("j").alias("corpus_id"),
+            "jaccard",
+        )
     )
 
 

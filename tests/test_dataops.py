@@ -159,6 +159,49 @@ def test_minhash_matches_exact_on_high_similarity(docs):
     assert mh == exact
 
 
+def test_incremental_exact_dedup_matches_recrawls_only(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z"), (3, "a b c")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c"), (11, "something brand new")], ["doc_id", "text"]
+    )
+    out = {
+        (r.batch_id, r.keeper_id)
+        for r in dedup.incremental_exact_dedup(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert out == {(10, 1)}  # matched to the SMALLEST corpus id holding the text
+
+
+def test_incremental_minhash_equals_one_sided_exact(spark, sf_dir):
+    """Batch-vs-corpus LSH must recover exactly the cross-split subset of
+    the full exact near-dup pairs (recall ~1 at planted similarity), and
+    never emit a corpus-corpus or batch-batch pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.incremental_minhash_dedup_pairs(
+            docs.filter(F.col("doc_id") >= 400),
+            docs.filter(F.col("doc_id") < 400),
+            "doc_id",
+            "text",
+            verify_threshold=0.5,
+        ).collect()
+    }
+    full = {
+        (r.i, r.j)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    # full pairs have i < j, so cross-split pairs are (corpus_i, batch_j)
+    expected = {(j, i) for i, j in full if i < 400 <= j}
+    assert got == expected
+    assert all(b >= 400 > c for b, c in got)
+
+
 def test_simhash_identical_and_near(docs):
     sims = {r.id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert sims[0] == sims[4]  # identical text -> identical sketch
