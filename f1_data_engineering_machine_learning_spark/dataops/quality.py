@@ -99,26 +99,47 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
-    """Long-format report: (constraint, n_rows, n_violations). All
-    non-unique constraints evaluate in one pass; each unique() adds one
-    groupBy on its column (counting rows in duplicated groups)."""
-    spark = df.sparkSession
+    """Long-format report: (constraint, n_rows, n_violations), as ONE lazy
+    plan — no driver collect. All non-unique constraints evaluate in a
+    single aggregation pass over the table, unpivoted to report rows with
+    an explode of literal structs; each unique() contributes one extra
+    aggregation branch (groupBy on its column, counting rows in duplicated
+    groups), unioned in. The report materializes only when the caller acts
+    on it, so at 100 TB the gate is exactly one scan (+1 shuffle per unique
+    constraint) and composes with downstream plans instead of forcing
+    eager jobs at construction time."""
     scalar = [c for c in constraints if c.valid is not None]
     uniques = [c for c in constraints if c.unique_col is not None]
 
-    reports = []
+    parts = []
     if scalar:
-        aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum(F.when(~c.valid, 1).otherwise(0)).alias(f"v{i}")
-            for i, c in enumerate(scalar)
-        ]
-        row = df.agg(*aggs).collect()[0]
-        reports += [
-            (c.name, int(row["__n"]), int(row[f"v{i}"]))
-            for i, c in enumerate(scalar)
-        ]
+        agg = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.when(~c.valid, 1).otherwise(0)).alias(f"__v{i}")
+                for i, c in enumerate(scalar)
+            ],
+        )
+        parts.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c.name).alias("constraint"),
+                                F.col("__n").alias("n_rows"),
+                                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias(
+                                    "n_violations"
+                                ),
+                            )
+                            for i, c in enumerate(scalar)
+                        ]
+                    )
+                ).alias("__r")
+            ).select("__r.*")
+        )
     for c in uniques:
-        dup = (
+        parts.append(
             df.groupBy(c.unique_col)
             .agg(F.count(F.lit(1)).alias("__cnt"))
             .agg(
@@ -127,13 +148,20 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
                     "__v"
                 ),
             )
-            .collect()[0]
+            .select(
+                F.lit(c.name).alias("constraint"),
+                F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_rows"),
+                F.coalesce(F.col("__v"), F.lit(0)).cast("long").alias("n_violations"),
+            )
         )
-        reports.append((c.name, int(dup["__n"] or 0), int(dup["__v"] or 0)))
-
-    return spark.createDataFrame(
-        reports, "constraint string, n_rows long, n_violations long"
-    )
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], "constraint string, n_rows long, n_violations long"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def numeric_histogram(

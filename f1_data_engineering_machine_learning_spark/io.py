@@ -57,6 +57,39 @@ def read_csv_all_string(
     return spark.read.csv(paths, sep=sep, header=True)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str | list[str], schema: str
+) -> DataFrame:
+    """JSON-Lines corpus scan with a REQUIRED explicit schema — the common
+    LLM-corpus interchange format (one document object per line, typically
+    gzipped shards). Schema inference is banned here on purpose: at 100 TB
+    ``inferSchema`` is a full extra pass over the data before the real job
+    starts, and a drifting field in shard 40,001 silently changes the
+    inferred type of the whole read. Malformed lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the scan —
+    count them as a data-quality constraint, don't crash a 10-hour job.
+    Spark gotcha: a query whose pruned scan reads ONLY the corrupt column
+    is rejected (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — audit corrupt counts
+    alongside data columns in one pass (check_constraints does), or cache
+    the parsed frame first."""
+    reader = spark.read.schema(f"{schema}, _corrupt_record string")
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """JSON-Lines sink, sharded (one file per partition — NEVER coalesce(1)
+    a corpus) and compressed by default. Column order is preserved per
+    line; downstream readers must key by field name, not position."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Load a table by path: Delta when enabled and present, else parquet
     (/root/reference/scripts/spark_ops.py:62 uses format('delta'))."""

@@ -10,6 +10,7 @@ transformations are source-agnostic.
 """
 
 from f1_data_engineering_machine_learning_spark.streaming.jobs import (  # noqa: F401
+    enrich_stream_with_dim,
     hourly_event_stats_stream,
     read_event_stream,
     run_available_now,

@@ -113,6 +113,26 @@ def click_attribution_stream(
     ).select("purchase_id", "user_id", "ts", "click_id", "click_ts", "value")
 
 
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC join: enrich a stream with a dimension table — the
+    standard lookup shape (events x users, orders x products). The static
+    side needs no watermark and holds no streaming state: Spark broadcasts
+    it per micro-batch, so the join is stateless and the stream never
+    blocks on the dim. The static side is re-read each micro-batch, which
+    is what makes slowly-changing dims pick up updates between batches.
+    Left join keeps events whose key is missing from the dim (enrichment
+    must not drop facts). Batch twin: the identical join on static frames
+    (parity-tested)."""
+    d = dim.select(on, *(dim_cols or [c for c in dim.columns if c != on]))
+    return events.join(F.broadcast(d), on, how)
+
+
 #: RocksDB-backed streaming state (bundled with Spark since 3.2). The
 #: default HDFS-backed provider keeps every key's state on the JVM heap —
 #: fine for small windows, an OOM at 100 TB-scale key cardinality. RocksDB

@@ -49,6 +49,36 @@ def test_session_stream_session_counts(spark, sf_dir, events_dir):
     assert total == catalog._events(spark, sf_dir).count()
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static join parity: enriching the event stream with the
+    customer dim must produce exactly the batch join's rows, and events
+    with no matching dim row must survive (left join keeps facts)."""
+    from f1_data_engineering_machine_learning_spark.streaming import (
+        enrich_stream_with_dim,
+    )
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = read_event_stream(spark, events_dir)
+    enriched = enrich_stream_with_dim(stream, dim, "user_id", ["segment"])
+    assert enriched.isStreaming
+    got = run_available_now(enriched, "enrich_test", output_mode="append").toPandas()
+    want = (
+        catalog._events(spark, sf_dir)
+        .join(F.broadcast(dim), "user_id", "left")
+        .toPandas()
+    )
+    got["ts"] = got["ts"].astype(str)
+    want["ts"] = want["ts"].astype(str)
+    assert_frames_equal(got, want, "stream-vs-batch enrichment")
+    assert len(got) == catalog._events(spark, sf_dir).count()
+
+
 def test_multimodal_decode_plumbing(spark):
     base = spark.range(8).withColumnRenamed("id", "doc_id")
     media = multimodal.attach_fake_media(base, "doc_id")
