@@ -2274,6 +2274,94 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curated_survivors_oracle() -> str:
+    from f1_data_engineering_machine_learning_spark.dataops.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    scores = {
+        lang: _lang_score_sql(lang, words) for lang, words in STOPWORDS.items()
+    }
+    score_cols = ",\n             ".join(
+        f"CAST({scores[lang]} AS DOUBLE) AS score_{lang}" for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text,
+             CAST(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS DOUBLE) AS punct_ratio,
+             {score_cols}
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+                    WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_ok,
+               CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END AS punct_ok,
+               CASE WHEN {best} > 0 THEN 1.0 ELSE 0.2 END AS stop_ok
+        FROM base)
+      WHERE (len_ok + punct_ok + stop_ok) / 3.0 >= 0.5
+    ), ek AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN (SELECT text, MIN(doc_id) AS keeper FROM gated GROUP BY text) k
+        ON g.doc_id = k.keeper
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS t
+      FROM ek
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    END) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT i, j FROM (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) x
+      JOIN sizes sa ON sa.doc_id = i
+      JOIN sizes sb ON sb.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    ), edges AS (
+      SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), losers AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT CAST(ek.doc_id AS BIGINT) AS doc_id
+    FROM ek LEFT JOIN losers ON ek.doc_id = losers.doc_id
+    WHERE losers.doc_id IS NULL
+    """
+
+
+@query("curated_docs_survivors", _curated_survivors_oracle())
+def curated_docs_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pass, value-oracled: quality gate (score >= 0.5)
+    -> exact dedup (keep min id per text) -> MinHash-LSH near-dedup at 0.8
+    with distributed connected components keeping each cluster's min id
+    (dataops/curate.py::curation_stages). The oracle replays the whole
+    policy in SQL — the quality formula from doc_text_profile's oracle,
+    exact-pairwise Jaccard for the near-dup edges (LSH == exact at the
+    planted similarities, verified at sf0.001 and sf0.01), and a
+    WITH RECURSIVE transitive closure for the cluster labels."""
+    from f1_data_engineering_machine_learning_spark.dataops.curate import (
+        curation_stages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, _, near_kept = curation_stages(
+        docs, "doc_id", "text", min_quality=0.5, near_dup_threshold=0.8
+    )
+    return near_kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 @query(
     "incremental_exact_dedup_docs",
     """

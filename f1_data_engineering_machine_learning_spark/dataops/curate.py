@@ -83,6 +83,43 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         edges.unpersist()
 
 
+def curation_stages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three survivor frames of the curation pass, composed lazily:
+    (after quality gate, after exact dedup, after near-dedup). Stage order
+    is the cost gradient — row-local filter, 16-byte-key shuffle, banded
+    LSH — so each expensive stage sees fewer rows. Only the connected-
+    components rounds inside near-dedup run driver-coordinated actions;
+    everything else stays a plan until the caller acts."""
+    quality = docs.withColumn("__q", _text.quality_score(text_col)).filter(
+        F.col("__q") >= min_quality
+    )
+    keepers_exact = _dedup.exact_dedup(quality, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    # lazy localCheckpoint: the exact-dedup survivors feed BOTH the LSH pair
+    # generation and the final anti-join — materialize once, not twice.
+    # (localCheckpoint blocks are GC-managed with the DataFrame, unlike
+    # CacheManager entries which would pin executor memory for the session.)
+    exact_kept = quality.join(keepers_exact, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+    pairs = _dedup.minhash_dedup_pairs(
+        exact_kept, id_col, text_col, verify_threshold=near_dup_threshold
+    )
+    labels = near_dup_clusters(pairs)
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    near_kept = exact_kept.join(losers, id_col, "left_anti")
+    return quality, exact_kept, near_kept
+
+
 def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -95,34 +132,14 @@ def curate_documents(
     The report counts rows surviving each stage — the numbers a data
     curator watches. All stages lazy until the report's counts force them.
     """
-    n_input = docs.count()
-
-    quality = docs.withColumn("__q", _text.quality_score(text_col)).filter(
-        F.col("__q") >= min_quality
+    quality, exact_kept, near_kept = curation_stages(
+        docs, id_col, text_col, min_quality, near_dup_threshold
     )
-    n_quality = quality.count()
-
-    keepers_exact = _dedup.exact_dedup(quality, id_col, text_col).select(
-        F.col("keeper_id").alias(id_col)
-    )
-    exact_kept = quality.join(keepers_exact, id_col, "left_semi")
-    n_exact = exact_kept.count()
-
-    pairs = _dedup.minhash_dedup_pairs(
-        exact_kept, id_col, text_col, verify_threshold=near_dup_threshold
-    )
-    labels = near_dup_clusters(pairs)
-    losers = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias(id_col)
-    )
-    near_kept = exact_kept.join(losers, id_col, "left_anti")
-    n_near = near_kept.count()
-
     curated = _text.text_profile(near_kept.drop("__q"), text_col)
     report = {
-        "input": n_input,
-        "after_quality": n_quality,
-        "after_exact_dedup": n_exact,
-        "after_near_dedup": n_near,
+        "input": docs.count(),
+        "after_quality": quality.count(),
+        "after_exact_dedup": exact_kept.count(),
+        "after_near_dedup": near_kept.count(),
     }
     return curated, report
