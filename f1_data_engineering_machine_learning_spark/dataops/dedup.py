@@ -149,11 +149,15 @@ def minhash_signatures(
     map-side combinable, one shuffle of (id, n x 8 bytes). (The tempting
     alternative — n x array_min(transform(shingles)) nested array
     expressions — re-evaluates the shingle array n times per row and runs
-    ~50x slower; measured.)"""
+    ~50x slower; measured.) NO distinct on the exploded shingles: MIN over
+    a multiset equals MIN over its set, and the partial (map-side) MIN
+    collapses each partition to one row per id before the exchange —
+    strictly less shuffle than a distinct, which must move every distinct
+    (id, shingle) pair."""
     df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
-    ).distinct()
+    )
     hashed = sh.select(
         "id",
         *[
