@@ -2274,6 +2274,54 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_state_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    ), versioned AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension built from the event stream (operators/
+    scd.py::scd2_build): each user's event_type episodes as half-open
+    [valid_from, valid_to) intervals, current episode open-ended. The
+    warehouse-standard versioning twin of the snapshot/as-of family
+    (SURVEY §2.2 P3) — build the dimension once, then point-in-time
+    lookups are an as-of join, not a per-date re-derivation."""
+    from f1_data_engineering_machine_learning_spark.operators.scd import scd2_build
+
+    ev = _events(spark, sf_dir)
+    scd = scd2_build(
+        ev, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    )
+    return scd.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 def _curated_survivors_oracle() -> str:
     from f1_data_engineering_machine_learning_spark.dataops.text import STOPWORDS
 

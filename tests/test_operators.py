@@ -117,3 +117,44 @@ def test_label_join_existence(spark):
         base, labels, base.id == labels.lid, "fl", "lid"
     ).select("id", "fl")
     assert {(r.id, r.fl) for r in out.collect()} == {(1, 0), (2, 1), (3, 1)}
+
+
+def test_scd2_build_episodes(spark):
+    """Change-event stream -> SCD2 episodes: consecutive same-state rows
+    merge, every change opens a new interval, last episode is current,
+    and [valid_from, valid_to) intervals tile each key's timeline."""
+    from f1_data_engineering_machine_learning_spark.operators import scd2_build
+
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1), "A", 1),
+        (1, t(2024, 1, 2), "A", 2),   # unchanged -> merges into episode 1
+        (1, t(2024, 1, 3), "B", 3),   # change -> episode 2
+        (1, t(2024, 1, 4), "A", 4),   # back to A -> episode 3 (not merged)
+        (2, t(2024, 1, 1), "X", 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "seq"])
+    out = sorted(
+        (r.k, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_build(df, ["k"], ["state"], "ts", ["seq"]).collect()
+    )
+    assert out == [
+        (1, "A", t(2024, 1, 1), t(2024, 1, 3), False),
+        (1, "A", t(2024, 1, 4), None, True),
+        (1, "B", t(2024, 1, 3), t(2024, 1, 4), False),
+        (2, "X", t(2024, 1, 1), None, True),
+    ]
+
+
+def test_scd2_null_attr_is_no_change(spark):
+    from f1_data_engineering_machine_learning_spark.operators import scd2_build
+
+    t = dt.datetime
+    rows = [
+        (1, t(2024, 1, 1), None),
+        (1, t(2024, 1, 2), None),   # NULL -> NULL: no change
+        (1, t(2024, 1, 3), "A"),    # NULL -> A: change
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, state string")
+    out = scd2_build(df, ["k"], ["state"], "ts").collect()
+    assert len(out) == 2

@@ -75,3 +75,14 @@ def test_minhash_equals_exact_at_bench_scale(spark):
     }
     assert mh == exact
     assert len(exact) > 0
+
+
+def test_scd2_build_single_exchange(spark, sf_dir):
+    """scd2_build's two window passes (change detection + interval close)
+    share one partitioning, so the whole build must plan exactly ONE
+    exchange — state is a partition sort, never an extra shuffle."""
+    scd = catalog.user_state_scd2(spark, sf_dir)
+    plan = _plan(scd)
+    # formatted explain names each node twice (tree + detail section);
+    # count detail entries "(N) Exchange" so one exchange == one match
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
