@@ -2275,6 +2275,45 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_measures_unpivot",
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(COUNT(val) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(30,2))) AS DOUBLE) AS sum_val,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(30,2))) AS DOUBLE)
+                / COUNT(val) AS DOUBLE) AS avg_val
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of the lineitem measures (operators/reshape.py::
+    unpivot_melt — M8's inverse), then per-(flag, measure) stats. Spark
+    plans the unpivot as ONE Expand over ONE scan; the oracle's UNION-ALL
+    formulation is the semantic spec (4 scans), not the plan."""
+    from f1_data_engineering_machine_learning_spark.operators import unpivot_melt
+
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = unpivot_melt(
+        li.select("l_returnflag", *measures), ["l_returnflag"], measures
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("val").alias("n"),
+        dsum("val").alias("sum_val"),
+        davg("val").alias("avg_val"),
+    )
+
+
+@query(
     "user_state_scd2",
     """
     WITH ordered AS (

@@ -30,6 +30,7 @@ from f1_data_engineering_machine_learning_spark.operators.windows import (  # no
 )
 from f1_data_engineering_machine_learning_spark.operators.reshape import (  # noqa: F401
     pivot_agg,
+    unpivot_melt,
 )
 from f1_data_engineering_machine_learning_spark.operators.scd import (  # noqa: F401
     scd2_build,

@@ -28,6 +28,23 @@ def pivot_agg(
     return out
 
 
+def unpivot_melt(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "val",
+) -> DataFrame:
+    """Wide->long melt, the inverse of ``pivot_agg`` (pandas ``melt``).
+
+    Wraps the built-in ``DataFrame.unpivot``: Catalyst plans it as a single
+    Expand node — each input row fans to len(values) rows in the SAME task,
+    no shuffle, no self-union (the UNION-ALL-per-measure formulation scans
+    the table once per measure; Expand scans it once, period). Value
+    columns must share a least-common type; cast upstream if mixing."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Vertical union by column NAME (pandas ``pd.concat``,
     /root/reference/scripts/05_ml_model.py:414; multi-file CSV implicit union,

@@ -158,3 +158,16 @@ def test_scd2_null_attr_is_no_change(spark):
     df = spark.createDataFrame(rows, "k int, ts timestamp, state string")
     out = scd2_build(df, ["k"], ["state"], "ts").collect()
     assert len(out) == 2
+
+
+def test_unpivot_melt_is_single_expand_no_shuffle(spark):
+    from f1_data_engineering_machine_learning_spark.operators import unpivot_melt
+
+    wide = spark.createDataFrame([(1, 10.0, 20.0), (2, 30.0, None)], ["k", "a", "b"])
+    long = unpivot_melt(wide, ["k"], ["a", "b"])
+    rows = sorted(
+        (r.k, r.measure, r.val) for r in long.collect()
+    )
+    assert rows == [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", None)]
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan
