@@ -2275,6 +2275,95 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sole_returning_supplier",
+    """
+    WITH f_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    ), l1 AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN f_orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l.l_orderkey
+            AND l2.l_suppkey != l.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l.l_orderkey
+            AND l3.l_suppkey != l.l_suppkey
+            AND l3.l_returnflag = 'R')
+    ), counts AS (
+      SELECT s.s_suppkey, s.s_name,
+             CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_name
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY numwait DESC, s_suppkey) AS rn
+      FROM counts
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, numwait
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped correlated-subquery composition: for multi-supplier
+    'F' orders, the suppliers who were the ONLY one with a returned line —
+    EXISTS (another supplier on the order) AND NOT EXISTS (another supplier
+    with a return). Both correlations compile to one left-semi and one
+    left-anti join on the order key (operators/joins.py semantics) — no
+    per-row subquery execution, which is the point at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(f_orders, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        "l_returnflag",
+    )
+    exists_other = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    no_other_return = exists_other.join(
+        other.filter(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counts = (
+        no_other_return.join(
+            sup, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("numwait"), F.col("s_suppkey"))
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 10).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "numwait"
+    )
+
+
+@query(
     "lineitem_measures_unpivot",
     """
     WITH long AS (

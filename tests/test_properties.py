@@ -68,3 +68,45 @@ def test_dsum_partition_invariant_and_exact(spark, cents, parts):
     got = df.agg(dsum("x").alias("s")).collect()[0].s
     # ground truth via integer cents — exact regardless of float order
     assert got == float(sum(cents)) / 100.0
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # key
+            st.integers(min_value=0, max_value=50),   # ts offset (days)
+            st.sampled_from(["A", "B", "C"]),         # state
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_scd2_episodes_tile_the_timeline(spark, events):
+    """SCD2 invariants for ANY event stream: per key, episodes are
+    non-overlapping, consecutive, cover first->last event, consecutive
+    episodes differ in state, and exactly one episode is current."""
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators import scd2_build
+
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), s, i)
+        for i, (k, d, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state", "seq"])
+    out = scd2_build(df, ["k"], ["state"], "ts", ["seq"]).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, eps in by_key.items():
+        eps.sort(key=lambda r: r.valid_from)
+        key_events = sorted(
+            [(ts, seq, s) for kk, ts, s, seq in rows if kk == k]
+        )
+        assert eps[0].valid_from == key_events[0][0]       # starts at first event
+        assert eps[-1].valid_to is None                    # last episode open
+        assert sum(1 for e in eps if e.is_current) == 1    # exactly one current
+        for a, b in zip(eps, eps[1:]):
+            assert a.valid_to == b.valid_from              # consecutive, no gaps
+            assert a.state != b.state                      # real changes only
