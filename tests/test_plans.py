@@ -7,6 +7,7 @@ import re
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from f1_data_engineering_machine_learning_spark import catalog
 
@@ -86,3 +87,48 @@ def test_scd2_build_single_exchange(spark, sf_dir):
     # formatted explain names each node twice (tree + detail section);
     # count detail entries "(N) Exchange" so one exchange == one match
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: with a selective filter on
+    the orders side of a shuffle join, the optimizer builds a bloom filter
+    from that side and applies it to the lineitem scan — rows that cannot
+    join are dropped BEFORE the shuffle. The size thresholds are tuned for
+    clusters (10 GB application side), so they are lowered here to show the
+    mechanism; results must be identical with the filter on and off."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # creationSideThreshold is a MAX (creation side must be smaller);
+        # applicationSideScanSizeThreshold is a MIN (scan must be bigger) —
+        # widen both so the tiny test tables qualify.
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def q():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        return li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    baseline = q().count()
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = q()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower(), plan
+        assert j.count() == baseline  # reduction is lossless
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
