@@ -1,22 +1,27 @@
-"""Time-series gap filling: dense date scaffold + forward fill (LOCF).
+"""Time-series gap filling: dense daily series + forward fill (LOCF).
 
 Spark has no native gap-fill: a per-entity daily series with missing days
-stays missing through any aggregation. The operator pair here is the
-standard composition:
+stays missing through any aggregation. Two composition strategies live
+here:
 
-- ``date_scaffold`` — the dense (entity x day) frame: global [min, max]
-  date bounds (one tiny aggregate), ``sequence()`` + ``explode`` per
-  entity. Row count = |entities| x days — the caller bounds the date
-  range at scale (a year of days x 10^9 entities is intentional, not
-  accidental).
-- ``forward_fill`` — last-observation-carried-forward per entity:
-  ``last(value, ignorenulls=True)`` over the running window. One shuffle
-  on the entity key; within-key skew is irrelevant at daily grain.
+- ``date_scaffold`` + ``forward_fill`` — the textbook dense frame:
+  (entity x day) scaffold LEFT JOIN observations, then
+  ``last(value, ignorenulls=True)`` over the running window. Simple, but
+  at scale it shuffles the DENSE frame twice (once for the join keyed on
+  (entity, day), once re-keyed on entity for the window).
+- ``gap_fill`` — the span-explode plan used by the catalog: LOCF is
+  computed on the SPARSE observation frame first (one window over
+  O(observations) rows), then each observation is exploded across the
+  days it covers (``sequence(d, next_d - 1)`` via ``lead``). The dense
+  row count materializes only map-side, AFTER every shuffle — the
+  shuffled data is O(observations), not O(entities x days). Leading days
+  before an entity's first observation are emitted from the first row
+  (value NULL — no fabricated values), so output is identical to the
+  scaffold plan.
 
-Composed in ``gap_fill``: scaffold LEFT JOIN observations, then carry
-forward, with an ``observed`` flag so downstream can distinguish real
-from filled values. Verified against DuckDB's ``last_value(x IGNORE
-NULLS)`` (catalog ``daily_user_value_gapfill``).
+Verified against DuckDB's ``last_value(x IGNORE NULLS)`` (catalog
+``daily_user_value_gapfill``) and an in-suite equivalence test between
+the two strategies.
 """
 
 from __future__ import annotations
@@ -85,14 +90,79 @@ def gap_fill(
     ``observations`` must hold at most one row per (entity, day) — use
     ``dedup_keep_last`` upstream to pick the day's final observation.
     Output: entity cols, ``d`` (day), ``{value}_ff`` columns, and
-    ``observed`` (False on scaffold-only rows)."""
+    ``observed`` (False on filled-in rows or NULL-valued observations).
+
+    Span-explode plan (see module docstring): all shuffles move only the
+    sparse observation rows; the dense expansion is a map-side
+    ``explode(sequence(...))`` after the single per-entity window.
+    Observations outside an explicit [start, end] are excluded, and
+    entities whose observations all fall outside the range are omitted.
+    """
     entity_cols = list(entity_cols)
-    scaffold = date_scaffold(observations, entity_cols, F.col(date_col), start, end)
-    obs = observations.select(
-        *entity_cols, F.col(date_col).alias("d"), *value_cols
+    if start is None or end is None:
+        lo, hi = observations.select(
+            F.min(F.col(date_col)), F.max(F.col(date_col))
+        ).first()
+        start = start or str(lo)
+        end = end or str(hi)
+    start_c = F.lit(start).cast("date")
+    end_c = F.lit(end).cast("date")
+
+    obs = observations.filter(F.col(date_col).between(start_c, end_c))
+    ordered = Window.partitionBy(*entity_cols).orderBy(date_col)
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # LOCF over the SPARSE frame — one window, O(observations) rows.
+    for c in value_cols:
+        obs = obs.withColumn(f"{c}_ff", F.last(c, ignorenulls=True).over(running))
+    obs = obs.withColumn(
+        "__span_end",
+        F.coalesce(F.date_sub(F.lead(date_col).over(ordered), 1), end_c),
+    ).withColumn("__rn", F.row_number().over(ordered))
+
+    ff_cols = [f"{c}_ff" for c in value_cols]
+    ff_types = dict(obs.dtypes)
+
+    # Each observation covers [d, next_d - 1]; observed only on its own day
+    # (and only if the day's raw value is non-NULL). date_col is renamed
+    # first so the exploded day can be emitted as ``d`` without colliding.
+    renamed = obs.withColumnRenamed(date_col, "__obs_d")
+    spans = (
+        renamed.select(
+            *entity_cols,
+            "__obs_d",
+            F.col(value_cols[0]).alias("__raw0"),
+            *ff_cols,
+            F.explode(
+                F.sequence(
+                    F.col("__obs_d"), F.col("__span_end"), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("d"),
+        )
+        .withColumn(
+            "observed",
+            (F.col("__obs_d") == F.col("d")) & F.col("__raw0").isNotNull(),
+        )
+        .select(*entity_cols, "d", *ff_cols, "observed")
     )
-    joined = scaffold.join(obs, [*entity_cols, "d"], "left").withColumn(
-        "observed", F.col(value_cols[0]).isNotNull()
+
+    # Leading days before the entity's first observation: NULL values.
+    leading = (
+        renamed.filter((F.col("__rn") == 1) & (F.col("__obs_d") > start_c))
+        .select(
+            *entity_cols,
+            F.explode(
+                F.sequence(
+                    start_c,
+                    F.date_sub(F.col("__obs_d"), 1),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d"),
+            *[
+                F.lit(None).cast(ff_types[f"{c}_ff"]).alias(f"{c}_ff")
+                for c in value_cols
+            ],
+            F.lit(False).alias("observed"),
+        )
     )
-    filled = forward_fill(joined, entity_cols, "d", value_cols)
-    return filled.drop(*value_cols)
+    return spans.unionByName(leading)

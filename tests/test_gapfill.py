@@ -52,3 +52,30 @@ def test_forward_fill_multiple_columns_independent(spark):
     assert out[1] == (10.0, None)
     assert out[2] == (10.0, "x")
     assert out[3] == (30.0, "x")
+
+def test_gap_fill_matches_scaffold_plan(spark):
+    """The span-explode gap_fill must be row-identical to the textbook
+    scaffold LEFT JOIN + forward_fill composition (including NULL-valued
+    observations, which carry the prior value and are not 'observed')."""
+    rows = [
+        ("a", _d("2024-01-01"), 1.0),
+        ("a", _d("2024-01-03"), None),  # NULL obs: carries 1.0, observed False
+        ("a", _d("2024-01-06"), 6.0),
+        ("b", _d("2024-01-02"), 2.0),
+        ("b", _d("2024-01-05"), 5.0),
+        ("c", _d("2024-01-04"), 4.0),
+    ]
+    obs = spark.createDataFrame(rows, ["user", "d", "value"])
+
+    fast = gap_fill(obs, ["user"], "d", ["value"])
+
+    scaffold = date_scaffold(obs, ["user"], F.col("d"))
+    joined = scaffold.join(
+        obs.select("user", "d", "value"), ["user", "d"], "left"
+    ).withColumn("observed", F.col("value").isNotNull())
+    slow = forward_fill(joined, ["user"], "d", ["value"]).drop("value")
+
+    key = lambda df: sorted(
+        (r.user, str(r.d), r.value_ff, r.observed) for r in df.collect()
+    )
+    assert key(fast) == key(slow)
