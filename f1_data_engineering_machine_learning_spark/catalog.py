@@ -2880,3 +2880,271 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return numeric_histogram(o, "o_totalprice", 20000.0)
+
+
+@query(
+    "doc_chunks_overlap",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\s+', ' ', 'g')), '\s+') AS toks
+      FROM documents WHERE trim(text) != ''
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(1, len(toks) - 10), 40)) AS s
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST(FLOOR((s - 1) / 40.0) AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_token,
+           CAST(len(list_slice(toks, s, s + 49)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, s, s + 49), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap
+    (dataops/packing.py::chunk_by_tokens): 50-token windows every 40
+    tokens (10-token overlap) — the standard long-document split before
+    packing/embedding in a training pipeline. Pure map-side
+    (tokenize -> sequence -> explode -> slice), zero shuffles: the dense
+    chunk rows are produced exactly where the documents were read."""
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        chunk_by_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), r"\s+")
+    return chunk_by_tokens(docs, "doc_id", toks, chunk_size=50, stride=40)
+
+
+@query(
+    "small_lot_part_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS small_lot_revenue
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.thresh
+    GROUP BY p.p_brand
+    """,
+)
+def small_lot_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated-aggregate join: each lineitem compared
+    to 0.2x its part's average quantity, small-lot revenue rolled up per
+    brand. Plan shape at scale: the per-part average and the fact table
+    shuffle on the SAME key (l_partkey), so Catalyst reuses the exchange
+    for the second join — one fact-table shuffle total, then a map-side
+    combinable groupBy on brand. AVG(l_quantity) over integral doubles is
+    exact, so the 0.2x threshold is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thresh")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            dsum("l_extendedprice").alias("small_lot_revenue"),
+        )
+    )
+
+
+@query(
+    "big_quantity_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def big_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped HAVING + join-back: orders whose summed lineitem
+    quantity exceeds 200, enriched with customer and order detail. The
+    HAVING filter runs on the aggregate BEFORE the joins, so only the
+    qualifying keys (a tiny fraction) reach the orders join — AQE sees
+    the post-filter size at runtime and broadcasts it against the fact
+    tables. SUM over integral quantities is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias(
+                "order_date"
+            ),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "idle_high_balance_by_nation",
+    f"""
+    WITH thresh AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                  / COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    ), idle AS (
+      SELECT c.c_nationkey, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT avg_bal FROM thresh)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND CAST(o.o_orderdate AS DATE) > DATE '{CUTOFF}')
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(i.c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_balance
+    FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def idle_high_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped scalar-subquery + anti-join: customers with an
+    above-average positive balance and no orders after the snapshot
+    cutoff, totalled per nation. The scalar threshold stays in-plan (a
+    1-row broadcast cross join, no driver collect); the NOT EXISTS is a
+    left-anti shuffle join on custkey with the date predicate pushed to
+    the orders scan; nation is a broadcast. The threshold average is
+    decimal-exact (davg) so the filter cut is engine-identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = o.filter(F.to_date("o_orderdate") > F.lit(CUTOFF).cast("date"))
+    idle = (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "customer_order_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(prev_d) AS BIGINT) AS n_gaps,
+           CAST(AVG(date_diff('day', prev_d, d)) AS DOUBLE) AS avg_gap_days,
+           CAST(MAX(date_diff('day', prev_d, d)) AS BIGINT) AS max_gap_days,
+           CAST(MIN(date_diff('day', prev_d, d)) AS BIGINT) AS min_gap_days
+    FROM seq GROUP BY o_custkey HAVING COUNT(prev_d) > 0
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap analysis via LAG: days between consecutive orders
+    per customer, aggregated to gap stats (returning-customer cadence).
+    One shuffle on the window partition key; the groupBy that follows
+    re-uses the same key, so the aggregate is exchange-free. Deterministic
+    tie-break (date, orderkey) pins LAG under same-day orders; day-count
+    averages are integral-exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.to_date("o_orderdate"), "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    )
+    gap = F.datediff("d", "prev_d")
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("prev_d").alias("n_gaps"),
+            F.avg(gap).cast("double").alias("avg_gap_days"),
+            F.max(gap).cast("bigint").alias("max_gap_days"),
+            F.min(gap).cast("bigint").alias("min_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT o_custkey, s, ntile(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(s) AS DOUBLE) AS min_spend,
+           CAST(MAX(s) AS DOUBLE) AS max_spend,
+           CAST(SUM(s) AS DOUBLE) AS decile_spend
+    FROM t GROUP BY decile
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile banding of per-customer lifetime spend with per-band
+    stats. Exact decile ASSIGNMENT requires a global sort (the
+    unpartitioned window here — fine for the post-aggregate customer
+    frame, which is |customers| rows, not |orders|); at 100 TB the scale
+    path is approx-percentile band EDGES (see approx_stats_scale_mode)
+    applied map-side. Ties broken by (spend, custkey) so band membership
+    is deterministic; spend sums stay in DECIMAL through the window."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s")
+    )
+    t = spend.select(
+        "s",
+        F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile"),
+    )
+    return (
+        t.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("s").cast("double").alias("min_spend"),
+            F.max("s").cast("double").alias("max_spend"),
+            F.sum("s").cast("double").alias("decile_spend"),
+        )
+    )

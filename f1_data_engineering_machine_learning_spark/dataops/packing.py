@@ -83,3 +83,55 @@ def bin_fill_stats(packed: DataFrame, budget: int) -> DataFrame:
             "fill_ratio", (F.col("bin_tokens") / F.lit(float(budget))).cast("double")
         )
     )
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column,
+    chunk_size: int = 50,
+    stride: int = 40,
+    text_out: str = "chunk_text",
+) -> DataFrame:
+    """Fixed-window chunking with overlap: split each document's token
+    array into ``chunk_size``-token windows starting every ``stride``
+    tokens (overlap = ``chunk_size - stride``), the standard pre-packing
+    split for long documents in a training pipeline.
+
+    Window starts are ``1, 1+stride, ...`` up to
+    ``greatest(1, n - overlap)``, so the tail is always covered and the
+    final chunk may be short (never empty); a document shorter than one
+    window yields exactly one chunk. Output per chunk: ``chunk_idx``
+    (0-based), ``start_token`` (1-based), ``n_tokens``, and the
+    re-joined ``chunk_text``.
+
+    Scale shape: pure map-side — tokenize, ``sequence`` + ``explode``,
+    ``slice`` — no shuffle anywhere, so it pipelines into whatever
+    consumes the chunks (dedup, packing, embedding batches) and the
+    dense chunk rows never hit a shuffle unless the consumer needs one.
+    """
+    if chunk_size <= 0 or stride <= 0 or stride > chunk_size:
+        raise ValueError(
+            f"need 0 < stride <= chunk_size, got chunk_size={chunk_size} "
+            f"stride={stride}"
+        )
+    overlap = chunk_size - stride
+    toks = df.select(F.col(id_col), tokens.alias("__toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("__toks") - F.lit(overlap)),
+        F.lit(stride),
+    )
+    exploded = toks.select(
+        F.col(id_col), F.col("__toks"), F.explode(starts).alias("start_token")
+    )
+    chunk = F.slice("__toks", F.col("start_token"), F.lit(chunk_size))
+    return exploded.select(
+        F.col(id_col),
+        F.floor((F.col("start_token") - 1) / F.lit(float(stride)))
+        .cast("bigint")
+        .alias("chunk_idx"),
+        F.col("start_token").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias(text_out),
+    )

@@ -85,3 +85,64 @@ def test_repetition_profile_detects_loops(spark):
     assert got[1].distinct_shingles == 1 and got[1].rep_ratio == 1.0
     assert got[2].top_shingle_count == 1
     assert got[2].rep_ratio == pytest.approx(1 / got[2].total_shingles)
+
+
+def test_chunk_by_tokens_windows_and_tail(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        chunk_by_tokens,
+    )
+
+    # 11 tokens, chunk 5, stride 3 (overlap 2): starts 1,4,7,9 -> bound
+    # greatest(1, 11-2)=9, so 1,4,7 then tail short chunk at 9? starts are
+    # 1,4,7 (arithmetic up to 9 inclusive -> 1,4,7) ... sequence hits 9? no:
+    # 1,4,7,10>9 stops at 7. Tail tokens 8-11 covered by chunk at 7 (5 toks
+    # 7-11). Verify coverage + overlap precisely.
+    doc = " ".join(f"t{i}" for i in range(1, 12))
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    out = chunk_by_tokens(
+        df, "doc_id", F.split("text", " "), chunk_size=5, stride=3
+    ).collect()
+    got = {r.start_token: (r.chunk_idx, r.n_tokens, r.chunk_text) for r in out}
+    assert set(got) == {1, 4, 7}
+    assert got[1] == (0, 5, "t1 t2 t3 t4 t5")
+    assert got[4] == (1, 5, "t4 t5 t6 t7 t8")
+    assert got[7] == (2, 5, "t7 t8 t9 t10 t11")  # tail fully covered
+
+
+def test_chunk_by_tokens_short_doc_single_chunk(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    out = chunk_by_tokens(
+        df, "doc_id", F.split("text", " "), chunk_size=50, stride=40
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].chunk_idx, out[0].n_tokens, out[0].chunk_text) == (0, 2, "a b")
+
+
+def test_chunk_by_tokens_no_overlap_partitions_exactly(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        chunk_by_tokens,
+    )
+
+    doc = " ".join(str(i) for i in range(10))
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    out = chunk_by_tokens(
+        df, "doc_id", F.split("text", " "), chunk_size=4, stride=4
+    ).collect()
+    texts = [r.chunk_text for r in sorted(out, key=lambda r: r.start_token)]
+    assert texts == ["0 1 2 3", "4 5 6 7", "8 9"]  # disjoint, tail short
+
+
+def test_chunk_by_tokens_rejects_bad_stride(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.packing import (
+        chunk_by_tokens,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", F.split("text", " "), 10, 11)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", F.split("text", " "), 10, 0)
