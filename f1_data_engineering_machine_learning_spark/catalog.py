@@ -3148,3 +3148,111 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("double").alias("decile_spend"),
         )
     )
+
+
+@query(
+    "brand_price_size_slope",
+    """
+    WITH s AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_size) AS BIGINT) AS sx,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+             CAST(SUM(p_size * p_size) AS BIGINT) AS sxx,
+             SUM(p_size * CAST(p_retailprice AS DECIMAL(18,2))) AS sxy
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                AS DOUBLE) AS slope,
+           CAST((CAST(sy AS DOUBLE)
+                 - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+                   * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def brand_price_size_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact least-squares: per-brand slope/intercept of
+    retail price vs size from the five classic sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy) — one map-side-combinable aggregation, closed
+    form on the combined sums. The cross-product sums accumulate in
+    DECIMAL (exact, order-independent — a float Sxy drifts with partition
+    count), then one deterministic double evaluation; this is how a
+    regression stays bit-reproducible on a 1000-executor cluster. Built-in
+    regr_slope is the convenience twin; it accumulates in doubles and is
+    not partition-order stable."""
+    p = _t(spark, sf_dir, "part")
+    price_dec = F.col("p_retailprice").cast("decimal(18,2)")
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_size").cast("bigint").alias("sx"),
+        F.sum(price_dec).alias("sy"),
+        F.sum(F.col("p_size") * F.col("p_size")).cast("bigint").alias("sxx"),
+        F.sum(F.col("p_size") * price_dec).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    denom = F.nullif(n_d * sxx_d - sx_d * sx_d, F.lit(0.0))
+    slope = (n_d * sxy_d - sx_d * sy_d) / denom
+    return s.select(
+        "p_brand",
+        "n",
+        slope.cast("double").alias("slope"),
+        ((sy_d - slope * sx_d) / n_d).cast("double").alias("intercept"),
+    )
+
+
+@query(
+    "top_parts_per_brand_ranked",
+    """
+    SELECT p_brand, p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(rnk AS INTEGER) AS rnk,
+           CAST(drnk AS INTEGER) AS drnk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+               AS rnk,
+             dense_rank() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC) AS drnk
+      FROM part
+    )
+    WHERE drnk <= 3
+    """,
+)
+def top_parts_per_brand_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK with ties: top-3 price points per brand, ALL
+    tied parts retained (unlike row_number top-k, which breaks ties).
+    Because the rank filter keeps every tying row, the result set is
+    deterministic with no tie-break column. The rank predicate is pushed
+    into the shuffle by WindowGroupLimit at scale (each partition
+    pre-prunes to its local top ranks before the exchange)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("drnk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("drnk").cast("int").alias("drnk"),
+        )
+    )
