@@ -3256,3 +3256,44 @@ def top_parts_per_brand_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("drnk").cast("int").alias("drnk"),
         )
     )
+
+
+@query(
+    "corpus_shuffle_assignment",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ((doc_id % 4294967296) * 2654435761 + 40503) % 4294967296 AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hkey AS BIGINT) AS hkey,
+           CAST(hkey % 64 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 64
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: a Knuth
+    multiplicative hash (pure integer arithmetic — engine-portable,
+    unlike xxhash64/rand) pseudo-randomizes documents, 64 hash shards
+    give each reader a stream, and within-shard position comes from a
+    PARTITIONED row_number — reproducible epoch ordering with no global
+    sort anywhere. At 100 TB: one shuffle on the shard key, each shard
+    written as its own file group; re-keying the constant re-seeds the
+    epoch. The input id is range-reduced before the multiply so the
+    arithmetic never overflows BIGINT at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    hkey = (
+        (F.col("doc_id") % F.lit(4294967296)) * F.lit(2654435761) + F.lit(40503)
+    ) % F.lit(4294967296)
+    h = docs.select("doc_id", hkey.cast("bigint").alias("hkey"))
+    shard = F.col("hkey") % 64
+    w = Window.partitionBy(shard).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        "hkey",
+        shard.cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
