@@ -3297,3 +3297,220 @@ def corpus_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "nation_pair_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined under TWO roles
+    (supplier side, customer side) with a disjunctive pair predicate —
+    exercises multi-role dimension joins the reference builds via repeated
+    LEFT JOINs of driver blocks (/root/reference/sql/feature_store_drivers.sql).
+    Scale design: the nation filter is applied to each role FIRST, shrinking
+    customer and supplier to the two nations before they touch lineitem, so
+    both dimension joins broadcast; the only big-big shuffle is
+    lineitem<->orders on the natural key, which AQE plans. The pair
+    disjunction runs post-join on two broadcast-sized columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_7")
+    n_small = n.filter(F.col("n_name").isin(*pair))
+    cust = c.join(
+        F.broadcast(n_small.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    supp = s.join(
+        F.broadcast(n_small.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4)) AS v,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v END) AS DOUBLE)
+                / CAST(SUM(v) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(SUM(v) AS DOUBLE) AS total_volume
+    FROM vol
+    GROUP BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation within a region's
+    customer volume, per year — conditional share = SUM(CASE)/SUM over a
+    6-table star. Scale design: region+nation prune the customer side
+    before the fact join (broadcast chain), the supplier role stays
+    unfiltered but broadcast-sized after its nation join; numerator and
+    denominator come out of ONE aggregation pass (no second scan, no
+    self-join). Decimal sums keep the share bit-reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        _cond_dsum(F.col("supp_nation") == "NATION_5", v, scale=4).alias("num"),
+        dsum(v, scale=4).alias("total_volume"),
+    )
+    return agg.select(
+        "order_year",
+        (F.col("num") / F.col("total_volume")).cast("double").alias("mkt_share"),
+        "total_volume",
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS matched_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join sides.
+    Scale design: Catalyst splits the disjunction — the part-only
+    conjuncts (brand x size) reduce the broadcast build side, and the
+    l_quantity bounds common to all branches (1..50 here widened per
+    branch) stay as a fact-scan filter; the residual OR evaluates
+    post-join inside codegen. One broadcast join, one scan, single-row
+    aggregate via partial merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(25, 50)
+           & F.col("l_quantity").between(25, 50))
+    )
+    return j.filter(br).agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "customer_spend_distribution",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           total_spend,
+           CAST(PERCENT_RANK() OVER (ORDER BY total_spend) AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST()   OVER (ORDER BY total_spend) AS DOUBLE) AS cume,
+           CAST(NTILE(100)    OVER (ORDER BY total_spend, custkey) AS INTEGER)
+             AS centile
+    FROM spend
+    """,
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics over per-customer spend: PERCENT_RANK and
+    CUME_DIST (tie-aware, no tie-break needed — peers get equal values in
+    both engines) plus a deterministic NTILE centile. Scale design: the
+    aggregation distributes on custkey; the single global window is the
+    documented trade for exact ranks — at 100 TB swap to the two-pass
+    range-partitioned rank in operators/windows.py or approx quantiles;
+    the decimal spend sum keeps ordering (and thus ranks) reproducible."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").cast("bigint").alias("custkey")).agg(
+        dsum("o_totalprice").alias("total_spend")
+    )
+    w = Window.orderBy("total_spend")
+    wt = Window.orderBy("total_spend", "custkey")
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.ntile(100).over(wt).cast("int").alias("centile"),
+    )
