@@ -1587,7 +1587,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    out = cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
     )
@@ -3554,7 +3554,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_dup_pairs(emb, threshold=0.45)
+    return embedding_cosine_dup_pairs(emb, threshold=0.45, dim=64)
 
 
 @query(

@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 from f1_data_engineering_machine_learning_spark.operators.windows import topk_per_group
 
 
@@ -47,27 +50,78 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))).cast("double")
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled for a KNOWN dimension: a left-to-right chain of
+    ``+`` over ``a[i]*b[i]`` — the SAME accumulation order as the
+    sequential fold in :func:`dot` (so bitwise-identical results), but a
+    plain expression tree instead of a higher-order ``aggregate``, which
+    Spark evaluates interpreted (codegen fallback). On an O(n^2) pair scan
+    this is the difference between whole-stage codegen and per-row lambda
+    dispatch — ~5-10x on the brute-force similarity paths. The explicit
+    leading ``0.0`` reproduces the fold's seed so even the ``-0.0`` edge
+    is bit-identical."""
+    acc = F.lit(0.0) + F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast(
+        "double"
+    )
+    for i in range(2, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    """Unrolled L2 norm; accumulation order matches :func:`l2_norm`.
+
+    Note the fold in :func:`l2_norm` starts at ``0.0 + x1*x1``; adding
+    ``0.0`` to the first square is exact in IEEE double, so dropping the
+    explicit zero term keeps results bitwise identical."""
+    x1 = F.element_at(a, 1).cast("double")
+    acc = x1 * x1
+    for i in range(2, dim + 1):
+        xi = F.element_at(a, i).cast("double")
+        acc = acc + xi * xi
+    return F.sqrt(acc)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Queries are broadcast (the small side by construction); the corpus scan
     stays partition-parallel, and per-query top-k is a window with
-    deterministic (similarity desc, neighbor id) ordering."""
+    deterministic (similarity desc, neighbor id) ordering.
+
+    Pass ``dim`` when the embedding dimension is known: norms are then
+    precomputed ONCE per side (not per pair) and the per-pair dot product
+    unrolls into a codegen-friendly expression chain (:func:`dot_fixed`) —
+    bitwise-identical results, ~an order of magnitude less work on the
+    O(Q x N) scan."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
+    c = ensure_min_parallelism(c)
+    if dim is not None:
+        q = q.withColumn("__qn", l2_norm_fixed(_as_double(F.col("__qvec")), dim))
+        c = c.withColumn("__cn", l2_norm_fixed(_as_double(F.col("__cvec")), dim))
+        sim = (
+            dot_fixed(F.col("__qvec"), F.col("__cvec"), dim)
+            / (F.col("__qn") * F.col("__cn"))
+        ).cast("double")
+    else:
+        sim = cosine(F.col("__qvec"), F.col("__cvec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", sim)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(
@@ -515,15 +569,32 @@ def embedding_cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold (all pairs —
-    use the LSH/IVF variants to bound candidates at scale)."""
-    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
+    use :func:`embedding_cosine_dup_pairs_blocked` to bound candidates at
+    scale). With ``dim`` known, norms are precomputed per side and the dot
+    product unrolls (:func:`dot_fixed`) — bitwise-identical, much faster."""
+    a = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
+    )
     b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"))
+    if dim is not None:
+        a = a.withColumn("__na", l2_norm_fixed(_as_double(F.col("__va")), dim))
+        b = b.withColumn("__nb", l2_norm_fixed(_as_double(F.col("__vb")), dim))
+        sim = (
+            dot_fixed(F.col("__va"), F.col("__vb"), dim)
+            / (F.col("__na") * F.col("__nb"))
+        ).cast("double")
+    else:
+        sim = cosine(F.col("__va"), F.col("__vb"))
+    # the threshold goes INTO the join condition, AFTER i<j: And
+    # short-circuits left-to-right, so the 64-term dot never evaluates for
+    # the i>=j half of the cross product (a pushed-down Filter would land
+    # ahead of i<j and double the work)
     return (
-        a.join(b, F.col("i") < F.col("j"))
-        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cosine_sim") >= threshold)
+        a.join(b, (F.col("i") < F.col("j")) & (sim >= threshold))
+        .withColumn("cosine_sim", sim)
         .select("i", "j", "cosine_sim")
     )
 
