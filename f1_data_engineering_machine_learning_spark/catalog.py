@@ -3662,3 +3662,178 @@ def embedding_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", F.col("pos").cast("int").alias("pos"),
         F.col("qval").cast("int").alias("qval"),
     )
+
+
+@query(
+    "customer_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey AS custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), activity AS (
+      SELECT DISTINCT o_custkey AS custkey,
+             date_trunc('month', o_orderdate) AS amonth
+      FROM orders
+    )
+    SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+           CAST(datediff('month', f.cohort, a.amonth) AS INTEGER) AS month_offset,
+           CAST(COUNT(DISTINCT a.custkey) AS BIGINT) AS active_customers
+    FROM activity a JOIN firsts f ON f.custkey = a.custkey
+    GROUP BY cohort_month, month_offset
+    """,
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted as active per months-since-cohort offset — the standard
+    retention triangle. Scale design: both the cohort frame and the
+    distinct-activity frame aggregate on custkey, so the equi-join reuses
+    ONE hash partitioning end-to-end (exchange reuse, no extra shuffle
+    beyond the final small-group count)."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.trunc("o_orderdate", "MM")).alias("cohort")
+    )
+    activity = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.trunc("o_orderdate", "MM").alias("amonth"),
+    ).distinct()
+    j = activity.join(firsts, "custkey")
+    return j.groupBy(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+        F.months_between(F.col("amonth"), F.col("cohort"))
+        .cast("int")
+        .alias("month_offset"),
+    ).agg(F.count_distinct(F.col("custkey")).cast("bigint").alias("active_customers"))
+
+
+@query(
+    "weighted_doc_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             pow(
+               (CAST(((doc_id % 4294967296) * 2654435761 + 97531) % 4294967296
+                     AS DOUBLE) + 0.5) / 4294967296.0,
+               1.0 / CAST(n_chars AS DOUBLE)
+             ) AS skey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM scored
+    ORDER BY skey DESC, doc_id
+    LIMIT 25
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (dataops/sampling.py::weighted_sample, Efraimidis-Spirakis A-ES keyed
+    by a portable multiplicative hash): 25 documents drawn with
+    probability proportional to length. The sort key is excluded from the
+    output (Java vs C pow may differ in the last ulp; the SELECTION is
+    stable because adjacent keys differ by ~1e-7, 9 orders above ulp)."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=25)
+    return out.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@query(
+    "term_posting_lists",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+      WHERE t.term != ''
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM pairs
+    GROUP BY term
+    HAVING COUNT(*) BETWEEN 10 AND 400
+    """,
+)
+def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (dataops/text.py::inverted_index): term -> sorted
+    posting list + document frequency, df-bounded to drop hapaxes and
+    stop-terms. Posting lists serialize to comma-joined strings so the
+    driver value-hashes every element. One distinct + one term shuffle."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = inverted_index(docs, min_df=10, max_df=400)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias(
+            "postings"
+        ),
+    )
+
+
+@query(
+    "segment_priority_chisq",
+    """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(COUNT(*) AS DOUBLE) AS observed
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY segment, priority
+    ), tot AS (
+      SELECT segment, priority, observed,
+             SUM(observed) OVER (PARTITION BY segment) AS row_total,
+             SUM(observed) OVER (PARTITION BY priority) AS col_total,
+             SUM(observed) OVER () AS grand
+      FROM cells
+    )
+    SELECT segment, priority,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(row_total * col_total / grand AS DOUBLE) AS expected,
+           CAST(pow(observed - row_total * col_total / grand, 2)
+                / (row_total * col_total / grand) AS DOUBLE) AS cell_chisq
+    FROM tot
+    """,
+)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table between two categorical columns
+    (market segment x order priority) — the feature-independence screen of
+    an ML pipeline, fully distributed. Counts are integers (exact in
+    double); expected counts and per-cell chi-square terms are single
+    deterministic double expressions. The window sums run over the
+    ALREADY-AGGREGATED cell table (|segments| x |priorities| rows), so the
+    three marginal passes are post-shuffle trivia, not data scans."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("observed"))
+    )
+    w_row = Window.partitionBy("segment")
+    w_col = Window.partitionBy("priority")
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "segment",
+        "priority",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_total"),
+        F.sum("observed").over(w_col).alias("col_total"),
+        F.sum("observed").over(w_all).alias("grand"),
+    )
+    expected = F.col("row_total") * F.col("col_total") / F.col("grand")
+    return t.select(
+        "segment",
+        "priority",
+        F.col("observed").cast("bigint").alias("observed"),
+        expected.cast("double").alias("expected"),
+        (F.pow(F.col("observed") - expected, F.lit(2)) / expected)
+        .cast("double")
+        .alias("cell_chisq"),
+    )

@@ -112,3 +112,45 @@ def mixture_sample(
     thresh = expr.otherwise(F.lit(0))
     out = df.filter(F.pmod(F.col(key), F.lit(resolution)) < thresh)
     return out, fractions
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets a reproducible pseudo-uniform
+    ``u in (0,1)`` from a Knuth multiplicative hash of its integer key
+    (pure 64-bit arithmetic — portable across engines, unlike xxhash), and
+    the k rows with the largest ``u^(1/w)`` form an exact weighted sample.
+    Heavier rows draw keys closer to 1 — inclusion probability
+    proportional to weight, yet every decision is recomputable from row
+    content alone (cluster-shape independent, audit-friendly).
+
+    One pass, no global sort: per-stratum top-k via window (or
+    TakeOrderedAndProject when ``by`` is empty) — at 100 TB the partial
+    top-k folds map-side, shuffling only candidates. Zero-or-negative
+    weights are excluded (their sample key is undefined)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    hkey = (
+        (F.col(key) % F.lit(4294967296)) * F.lit(2654435761) + F.lit(97531)
+    ) % F.lit(4294967296)
+    # (h + 0.5) / 2^32: strictly inside (0,1) so log/pow never hit 0 or 1
+    u = (hkey.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    skey = F.pow(u, F.lit(1.0) / w.cast("double"))
+    scored = df.filter(w > 0).withColumn("__skey", skey.cast("double"))
+    from pyspark.sql import Window
+
+    order = [F.desc("__skey"), F.col(key)]
+    if by:
+        win = Window.partitionBy(*by).orderBy(*order)
+    else:
+        win = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

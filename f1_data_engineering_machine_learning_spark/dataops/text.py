@@ -254,3 +254,39 @@ def repetition_profile(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Build a term -> posting-list inverted index over the corpus: one row
+    per term with its document frequency and the sorted list of containing
+    doc ids — the retrieval-side artifact of a text pipeline (BM25 lookup,
+    dedup blocking, decontamination probes all read this layout).
+
+    Scale design: tokens explode map-side, collapse to DISTINCT (term,
+    doc) pairs (partial per partition first), then ONE shuffle on the term
+    groups postings. ``min_df``/``max_df`` bound the output — dropping
+    df=1 hapaxes and stop-term postings is the standard way to keep the
+    hot terms' lists from dominating storage; at 100 TB you'd also shard
+    giant postings, which stays a plain re-explode of this output."""
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    idx = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sort_array(F.collect_list("__doc")).alias("postings"),
+    )
+    idx = idx.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx

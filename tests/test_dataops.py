@@ -479,3 +479,41 @@ def test_quantize_roundtrip_error_bound(planted_vectors):
     # dequantization error bounded by half a quantization step
     assert r.max_err <= 0.5 / 127.0 * 4.0 + 1e-9  # 4 ~ max |x| in the gaussian data
     assert r.max_code <= 127
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from f1_data_engineering_machine_learning_spark.dataops import sampling
+
+    rows = [(i, "g%d" % (i % 2), float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    s1 = {r.doc_id for r in sampling.weighted_sample(df, "doc_id", "w", 20).collect()}
+    # cluster-shape independence: a different partitioning makes the SAME picks
+    s2 = {
+        r.doc_id
+        for r in sampling.weighted_sample(df.repartition(7), "doc_id", "w", 20).collect()
+    }
+    assert s1 == s2 and len(s1) == 20
+    # zero/negative weights are never sampled
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], ["doc_id", "w"])
+    assert {r.doc_id for r in sampling.weighted_sample(z, "doc_id", "w", 3).collect()} == {3}
+    # per-stratum: k from each group
+    by = sampling.weighted_sample(df, "doc_id", "w", 5, by=["grp"]).collect()
+    from collections import Counter
+
+    assert Counter(r.grp for r in by) == {"g0": 5, "g1": 5}
+
+
+def test_inverted_index_postings(spark):
+    from f1_data_engineering_machine_learning_spark.dataops import text as t
+
+    df = spark.createDataFrame(
+        [(3, "apple banana apple"), (1, "banana cherry"), (2, "banana")],
+        ["doc_id", "text"],
+    )
+    idx = {r.term: (r.df, r.postings) for r in t.inverted_index(df).collect()}
+    # intra-doc repeats collapse; postings sorted by doc id
+    assert idx["apple"] == (1, [3])
+    assert idx["banana"] == (3, [1, 2, 3])
+    assert idx["cherry"] == (1, [1])
+    bounded = {r.term for r in t.inverted_index(df, min_df=2).collect()}
+    assert bounded == {"banana"}
