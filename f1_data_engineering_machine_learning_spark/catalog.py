@@ -3754,7 +3754,8 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM pairs
     GROUP BY term
-    HAVING COUNT(*) BETWEEN 10 AND 400
+    HAVING COUNT(*) BETWEEN CAST(0.02 * (SELECT COUNT(*) FROM documents) AS INT)
+                       AND CAST(0.80 * (SELECT COUNT(*) FROM documents) AS INT)
     """,
 )
 def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3765,7 +3766,10 @@ def term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_data_engineering_machine_learning_spark.dataops.text import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    idx = inverted_index(docs, min_df=10, max_df=400)
+    # corpus-relative df bounds (2%..80%) so the query stays meaningful at
+    # any scale factor; the count is a parquet-metadata read, not a scan
+    ndocs = docs.count()
+    idx = inverted_index(docs, min_df=int(0.02 * ndocs), max_df=int(0.80 * ndocs))
     return idx.select(
         "term",
         "df",
@@ -3836,4 +3840,82 @@ def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pow(F.col("observed") - expected, F.lit(2)) / expected)
         .cast("double")
         .alias("cell_chisq"),
+    )
+
+
+@query(
+    "sliding_event_counts",
+    """
+    WITH starts AS (
+      SELECT user_id,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
+      FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2-hour windows sliding 1 hour) via
+    ``F.window(ts, '2 hours', '1 hour')`` — every event lands in exactly
+    two windows; the oracle replays that expansion explicitly. This is the
+    batch twin of a sliding-window stream: at scale the window struct is
+    just a derived grouping key, so the agg is ONE shuffle with map-side
+    partials (the 2x explode happens inside the aggregate's input, never
+    materialized)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "lineitem_quantity_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag AS returnflag,
+           CAST(m.med_qty AS DOUBLE) AS med_qty,
+           CAST(quantile_cont(abs(l.l_quantity - m.med_qty), 0.5) AS DOUBLE)
+             AS mad_qty
+    FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion stat
+    (outlier-immune twin of stddev). Two exact-percentile passes: group
+    medians, broadcast back, median of absolute deviations. Exactness:
+    l_quantity is integral, so both medians interpolate on .5/.25 binary
+    fractions — bit-identical across engines. Scale: each pass is one
+    shuffle on the group key; the 3-row median frame broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med_qty")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return j.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("med_qty").cast("double").alias("med_qty"),
+    ).agg(
+        F.percentile(F.abs(F.col("l_quantity") - F.col("med_qty")), F.lit(0.5))
+        .cast("double")
+        .alias("mad_qty")
     )
