@@ -166,3 +166,60 @@ def gap_fill(
         )
     )
     return spans.unionByName(leading)
+
+
+def interpolate_linear(
+    observations: DataFrame,
+    entity_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense daily series per entity with LINEAR interpolation between
+    consecutive observations (vs ``gap_fill``'s step-function LOCF).
+
+    Same span-explode plan as ``gap_fill``: one window over the SPARSE
+    observation frame pairs each row with its successor (``lead``), then
+    each span [d, next_d - 1] explodes map-side and the interpolated
+    value is ``v + (next_v - v) * days_into_span / span_days`` — shuffled
+    data stays O(observations); the dense frame never crosses an
+    exchange. The last observation per entity emits only its own day
+    (nothing to interpolate toward; no extrapolation — fabricating a
+    trend past the data would be the dishonest default).
+
+    Determinism: day offsets are exact ints; one IEEE divide + multiply +
+    add per output row, bit-identical across engines and partitionings.
+    Output: entity cols, ``d``, ``{value_col}_lerp``, ``observed``.
+    """
+    entity_cols = list(entity_cols)
+    ordered = Window.partitionBy(*entity_cols).orderBy(date_col)
+    obs = observations.withColumn(
+        "__next_d", F.lead(date_col).over(ordered)
+    ).withColumn("__next_v", F.lead(value_col).over(ordered))
+    spans = obs.select(
+        *entity_cols,
+        F.col(date_col).alias("__obs_d"),
+        F.col(value_col).cast("double").alias("__v"),
+        "__next_d",
+        F.col("__next_v").cast("double").alias("__nv"),
+        F.explode(
+            F.sequence(
+                F.col(date_col),
+                F.coalesce(
+                    F.date_sub(F.col("__next_d"), 1), F.col(date_col)
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d"),
+    )
+    frac = F.datediff(F.col("d"), F.col("__obs_d")) / F.datediff(
+        F.col("__next_d"), F.col("__obs_d")
+    )
+    lerp = F.when(F.col("d") == F.col("__obs_d"), F.col("__v")).otherwise(
+        F.col("__v") + (F.col("__nv") - F.col("__v")) * frac
+    )
+    return spans.select(
+        *entity_cols,
+        "d",
+        lerp.alias(f"{value_col}_lerp"),
+        (F.col("d") == F.col("__obs_d")).alias("observed"),
+    )
