@@ -49,6 +49,9 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not sink the run
             errors[name] = str(exc).split("\n")[0][:200]
+        # isolate queries: drop any cache a query left behind so later
+        # timings measure the query, not accumulated heap/GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {

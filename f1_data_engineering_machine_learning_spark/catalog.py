@@ -4375,3 +4375,305 @@ def daily_user_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value_lerp").cast("double").alias("value_lerp"),
         "observed",
     )
+
+
+@query(
+    "preferred_daily_event",
+    """
+    WITH pe AS (
+      SELECT event_id, user_id, CAST(ts AS DATE) AS d, ts, event_type, value,
+             CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+                  WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END AS prio,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY CASE event_type WHEN 'purchase' THEN 0
+                             WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'view' THEN 3 ELSE 4 END,
+                        ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day, event_type,
+           CAST(prio AS INTEGER) AS prio, event_id,
+           CAST(value AS DOUBLE) AS value
+    FROM pe WHERE rn = 1
+    """,
+)
+def preferred_daily_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference dedup (dataops/dedup.py::dedup_by_preference): one event
+    per user-day, chosen by a business priority over event types
+    (purchase > signup > click > view > error), tie-broken by earliest
+    timestamp then id. The third dedup-keep policy next to first-occurrence
+    (exact_dedup) and keep-last (dedup_keep_last). Unlike the oracle's
+    row_number formulation, the operator is a single hash aggregation —
+    ``min(struct(prio, ts, id, row))`` map-side combines, so the shuffle
+    carries one candidate per (partition, key) instead of sorting every
+    duplicate group; at 100 TB that's the difference between an agg and a
+    full window sort."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        dedup_by_preference,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.to_date("ts").alias("d"),
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 3)
+        .otherwise(4)
+        .alias("prio"),
+    )
+    out = dedup_by_preference(ev, ["user_id", "d"], ["prio", "ts", "event_id"])
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("prio").cast("integer").alias("prio"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@query(
+    "doc_long_words",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT)
+             AS n_long,
+           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]{5,}')))
+             AS BIGINT) AS n_distinct_long,
+           array_to_string(
+             list_sort(list_distinct(regexp_extract_all(text, '[a-z]{5,}'))),
+             ' ') AS long_words
+    FROM documents
+    """,
+)
+def doc_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction surface: ``regexp_extract_all`` + array
+    distinct/sort/join, all JVM built-ins evaluated map-side in one pass
+    over the scan (no shuffle at all — check the plan: no Exchange).
+    The full sorted-distinct word list is emitted so the oracle
+    value-hash covers every extracted token, not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    # idx=0 (whole match): Spark defaults to capture group 1 and throws on
+    # a group-less pattern; DuckDB defaults to group 0
+    words = F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_long"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_long"),
+        F.array_join(F.array_sort(F.array_distinct(words)), " ").alias("long_words"),
+    )
+
+
+@query(
+    "orders_price_neighborhood",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+             AS n_near
+    FROM orders
+    """,
+)
+def orders_price_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE window (vs rolling_90d_spend's time-based one):
+    for every order, how many same-priority orders are priced within
+    +-1000. Spark evaluates this as a sliding frame over the sorted
+    partition — one shuffle on the partition key, O(n) frame advance
+    (both frame edges only move forward), never the O(n^2) self-join a
+    naive formulation would use. Frame bounds via the SQL window form
+    (typed literal) since the DataFrame ``rangeBetween`` API takes only
+    integer offsets against a double ordering column."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+            "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)"
+        )
+        .cast("bigint")
+        .alias("n_near"),
+    )
+
+
+@query(
+    "bigram_collocations",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        FROM tok
+      )
+    ), bgc AS (
+      SELECT w1, w2, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2
+    ), uni AS (
+      SELECT w, COUNT(*) AS n_w FROM (
+        SELECT unnest(t) AS w FROM tok) GROUP BY 1
+    ), totals AS (
+      SELECT (SELECT SUM(n_xy) FROM bgc) AS n_bi,
+             (SELECT SUM(n_w) FROM uni) AS n_uni
+    )
+    SELECT b.w1, b.w2, CAST(b.n_xy AS BIGINT) AS n_xy,
+           CAST(CAST(b.n_xy AS DOUBLE) * t.n_uni * t.n_uni
+                / t.n_bi / ux.n_w / uy.n_w AS DOUBLE) AS pmi_ratio
+    FROM bgc b
+    JOIN uni ux ON ux.w = b.w1
+    JOIN uni uy ON uy.w = b.w2
+    CROSS JOIN totals t
+    WHERE b.n_xy >= 5
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigram counts with the PMI likelihood RATIO
+    p(xy)/(p(x)p(y)) — the corpus-linguistics screen for multiword
+    expressions. The log is deliberately left off: the ratio is a chain
+    of IEEE ops over exact integer counts (bit-identical across engines),
+    while log() would hash-drift on libm differences — callers can take
+    the log client-side. One tokenization feeds both the bigram and
+    unigram counts; unigram counts broadcast back onto bigrams (vocab <<
+    corpus — the standard shape at 100 TB), totals ride a 1-row
+    broadcast. Adjacent-pair construction is a map-side higher-order
+    transform, never a self-join on position."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = bgc.agg(F.sum("n_xy").alias("n_bi")).join(
+        uni.agg(F.sum("n_w").alias("n_uni"))
+    )
+    ux = uni.select(F.col("w").alias("__wx"), F.col("n_w").alias("__nx"))
+    uy = uni.select(F.col("w").alias("__wy"), F.col("n_w").alias("__ny"))
+    return (
+        bgc.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(ux), F.col("w1") == F.col("__wx"))
+        .join(F.broadcast(uy), F.col("w2") == F.col("__wy"))
+        .join(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            (
+                F.col("n_xy").cast("double")
+                * F.col("n_uni")
+                * F.col("n_uni")
+                / F.col("n_bi")
+                / F.col("__nx")
+                / F.col("__ny")
+            )
+            .cast("double")
+            .alias("pmi_ratio"),
+        )
+    )
+
+
+@query(
+    "order_price_iqr_outliers",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), q AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN o_totalprice END) AS q1,
+             MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN o_totalprice END) AS q3
+      FROM ranked GROUP BY 1
+    )
+    SELECT r.o_orderpriority,
+           CAST(q.q1 AS DOUBLE) AS q1, CAST(q.q3 AS DOUBLE) AS q3,
+           CAST(COUNT(CASE WHEN r.o_totalprice
+                                < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 END)
+                AS BIGINT) AS n_below,
+           CAST(COUNT(CASE WHEN r.o_totalprice
+                                > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 END)
+                AS BIGINT) AS n_above
+    FROM ranked r JOIN q ON r.o_orderpriority = q.o_orderpriority
+    GROUP BY 1, 2, 3
+    """,
+)
+def order_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: Tukey fences at Q1/Q3 +- 1.5 IQR per group.
+    The quartiles are DISCRETE (the value AT row ceil(q*n), selected via
+    row_number — no interpolation), which sidesteps every cross-engine
+    interpolation-formula hazard on non-integral doubles; the same
+    selection is spelled out in the oracle. One shuffle computes rank and
+    group size together (two windows, same partition spec); the 5-row
+    quartile frame broadcasts back for the fence counts. 0.25*n and the
+    fence arithmetic are exact/IEEE-deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    wsort = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wsort).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    q = ranked.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ranked.join(
+            F.broadcast(q.withColumnRenamed("o_orderpriority", "__p")),
+            F.col("o_orderpriority") == F.col("__p"),
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.col("q1").cast("double").alias("q1"),
+            F.col("q3").cast("double").alias("q3"),
+        )
+        .agg(
+            F.count(
+                F.when(
+                    F.col("o_totalprice") < F.col("q1") - 1.5 * iqr, F.lit(1)
+                )
+            )
+            .cast("bigint")
+            .alias("n_below"),
+            F.count(
+                F.when(
+                    F.col("o_totalprice") > F.col("q3") + 1.5 * iqr, F.lit(1)
+                )
+            )
+            .cast("bigint")
+            .alias("n_above"),
+        )
+    )

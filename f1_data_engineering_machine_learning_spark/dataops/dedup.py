@@ -19,6 +19,8 @@ Scale design notes (the point of each variant):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -566,4 +568,45 @@ def paragraph_dedup(
         ).alias("dedup_text"),
         F.sum(F.col("__keep").cast("long")).cast("bigint").alias("kept_paras"),
         F.count(F.lit(1)).cast("bigint").alias("total_paras"),
+    )
+
+
+def dedup_by_preference(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep ONE row per key, chosen by a caller-supplied preference order
+    (ascending lexicographic over ``order_cols`` — put a priority rank
+    first and a unique id last for a total order).
+
+    This is the curation policy "when sources disagree, trust the better
+    source": exact dedup keeps the globally first occurrence
+    (:func:`exact_dedup`), keep-last keeps the newest
+    (operators/windows.py::dedup_keep_last); this one keeps the
+    *preferred* — e.g. the highest-tier source, then the smallest id as
+    the deterministic tie-break.
+
+    Plan: single aggregation — ``min(struct(order_cols..., row))`` per
+    key. The struct min is an associative, order-independent selection,
+    so it PARTIAL-AGGREGATES map-side (each input partition contributes
+    one candidate per key; Spark plans it as a SortAggregate since a
+    struct min has no mutable hash buffer, but the sort is per-partition
+    by the key only). The shuffle therefore carries ONE row per
+    (partition, key) — the naive row_number-window formulation shuffles
+    EVERY duplicate row and sorts whole groups post-shuffle; at 100 TB
+    that volume difference is the operator.
+    """
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    for c in [*key_cols, *order_cols]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    picked = df.groupBy(*key_cols).agg(
+        F.min(F.struct(*order_cols, F.struct(*df.columns).alias("__row"))).alias(
+            "__best"
+        )
+    )
+    return picked.select(
+        *[F.col(f"__best.__row.{c}").alias(c) for c in df.columns]
     )

@@ -70,6 +70,20 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long sessions (the 100+-query bench) generate thousands of
+        # whole-stage-codegen classes; the JVM's default 240 MB reserved
+        # code cache fills, JIT compilation stops, and later queries run
+        # interpreted with random 3-30x wall-time spikes (measured here:
+        # minhash 5.3s -> 48s deep into a session). 1 GB keeps JIT alive
+        # for the whole catalog. (Oversizing the HEAP is the opposite of a
+        # fix on this box: -Xmx48g measured 10-15x slower than 8g on the
+        # same queries — first-touch/THP stalls dominate.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JVM_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
     )
 
     delta_available = False
