@@ -4451,10 +4451,17 @@ def preferred_daily_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex extraction surface: ``regexp_extract_all`` + array
     distinct/sort/join, all JVM built-ins evaluated map-side in one pass
-    over the scan (no shuffle at all — check the plan: no Exchange).
-    The full sorted-distinct word list is emitted so the oracle
-    value-hash covers every extracted token, not just the counts."""
-    docs = _t(spark, sf_dir, "documents")
+    over the input — no aggregation, no join. The full sorted-distinct
+    word list is emitted so the oracle value-hash covers every extracted
+    token, not just the counts. The only exchange is the min-parallelism
+    widen: the regex work would otherwise inherit the single-file scan's
+    1-task layout (at real corpus scale the widen short-circuits and the
+    plan is exchange-free)."""
+    from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     # idx=0 (whole match): Spark defaults to capture group 1 and throws on
     # a group-less pattern; DuckDB defaults to group 0
     words = F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)
@@ -4542,7 +4549,11 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the standard shape at 100 TB), totals ride a 1-row
     broadcast. Adjacent-pair construction is a map-side higher-order
     transform, never a self-join on position."""
-    docs = _t(spark, sf_dir, "documents")
+    from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("t"))
     bg = toks.select(
         F.explode(
