@@ -4688,3 +4688,71 @@ def order_price_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above"),
         )
     )
+
+
+@query(
+    "copurchased_parts",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 2
+    orders. The pair explosion is a WITHIN-GROUP self-join on the order
+    key — output per order is C(k,2) for basket size k, bounded by the
+    basket, never |parts|^2; the distinct-first projection keeps repeated
+    part lines from inflating pairs. One shuffle co-locates baskets, the
+    pair count is a map-side-combining groupBy. This is the candidate
+    generator of frequent-itemset mining (the A-priori step-2 shape) —
+    at 100 TB the same plan holds because basket sizes, not corpus size,
+    drive the explosion factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@query(
+    "kanonymity_customer_segments",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < 5 AS violates_k5
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def kanonymity_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance screen: k-anonymity over the quasi-identifier pair
+    (nation, market segment) — any equivalence class smaller than k=5
+    can re-identify members on release. One map-side-combining groupBy;
+    at scale the violating-groups frame (the only thing a reviewer needs)
+    is tiny regardless of input size. Training-data pipelines run this
+    before publishing derived corpora; pairs with `redact_pii`
+    (dataops/text.py) as the remediation step."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("violates_k5"),
+    )
