@@ -4756,3 +4756,85 @@ def kanonymity_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("violates_k5"),
     )
+
+
+@query(
+    "throttled_user_events",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, event_id, ts, rn, TRUE AS kept, ts AS last_kept
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.ts, e.rn,
+             e.ts >= w.last_kept + INTERVAL 1 HOUR AS kept,
+             CASE WHEN e.ts >= w.last_kept + INTERVAL 1 HOUR
+                  THEN e.ts ELSE w.last_kept END AS last_kept
+      FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM walk WHERE kept
+    """,
+)
+def throttled_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event throttling (operators/throttle.py): per user, keep an event
+    only if >= 1 hour has passed since the last KEPT event. Sequential
+    semantics no window composition can express (see the operator's
+    docstring for the counter-example) — Spark side is an applyInPandas
+    per-entity scan; the oracle replays the identical walk with a DuckDB
+    RECURSIVE CTE, making this one of the few Python-path operators with
+    a full value-level oracle rather than a rows-only check."""
+    from f1_data_engineering_machine_learning_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    out = throttle_events(ev, ["user_id"], "ts", 3600.0, ["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@query(
+    "weekly_revenue_growth",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(week, '%Y-%m-%d') AS week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(rev AS DOUBLE)
+                / CAST(LAG(rev) OVER (ORDER BY week) AS DOUBLE)
+                AS DOUBLE) AS wow_ratio
+    FROM wk
+    """,
+)
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly decimal-exact revenue plus the ratio
+    to the previous week (NULL on the first week — no fabricated
+    baseline; ratio not log, so the only float op is one IEEE divide).
+    The LAG runs on the POST-AGGREGATE weekly frame — a few hundred rows
+    regardless of input scale, so the unpartitioned window (a
+    single-task stage) is a non-issue by construction; the heavy lifting
+    is the one map-side-combining groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("week")).agg(
+        dsum("o_totalprice", 2).alias("revenue")
+    )
+    w = Window.orderBy("week")
+    return wk.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w))
+        .cast("double")
+        .alias("wow_ratio"),
+    )

@@ -1,0 +1,64 @@
+"""Event throttling (debounce): keep an entity's event only if at least
+``min_gap`` has elapsed since the last KEPT event.
+
+This is inherently SEQUENTIAL per entity — whether event i survives
+depends on which earlier events survived (t=0,4,5,9 with gap 5 keeps
+{0,5}: 4 is too close to 0, but 5 is exactly 5 from the last KEPT, and 9
+is then too close to 5). No composition of lag/window/sessionize computes
+it: a plain ``lag >= gap`` filter checks distance to the previous RAW
+event (would keep {0,9}), and gap-sessionization groups by raw-gap breaks
+(would keep {0}). It is the textbook case for Spark's custom-operator
+tier: ``applyInPandas`` with a per-entity linear scan.
+
+Scale shape: ONE shuffle co-locates each entity's events; the scan is
+O(events-per-entity) per group, Arrow-batched, embarrassingly parallel
+across entities — the Python cost is a single pass over values the group
+already holds in memory. State is one timestamp per group. Entities are
+independent, so skewed group sizes are the only hazard (same as any
+groupBy; an entity's history must fit a worker, true of every per-entity
+sequential semantic).
+
+Verified against a DuckDB RECURSIVE CTE replay of the same walk
+(catalog ``throttled_user_events``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def throttle_events(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    min_gap_seconds: float,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep rows spaced >= ``min_gap_seconds`` apart per entity (first
+    event always kept; ordering is ``(ts_col, *tiebreak_cols)`` — pass a
+    unique id for determinism under timestamp ties). Output schema ==
+    input schema, kept rows only."""
+    entity_cols = list(entity_cols)
+    tiebreak_cols = list(tiebreak_cols)
+    for c in [*entity_cols, ts_col, *tiebreak_cols]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    if min_gap_seconds <= 0:
+        raise ValueError("min_gap_seconds must be positive")
+    order = [ts_col, *tiebreak_cols]
+
+    def _scan(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        keep = []
+        last = None
+        for t in pdf[ts_col]:
+            if last is None or (t - last).total_seconds() >= min_gap_seconds:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        return pdf[keep]
+
+    return df.groupBy(*entity_cols).applyInPandas(_scan, df.schema)

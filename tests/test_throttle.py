@@ -1,0 +1,54 @@
+"""Unit tests for throttle_events (oracle equivalence vs a DuckDB
+recursive CTE is covered by catalog ``throttled_user_events``)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from f1_data_engineering_machine_learning_spark.operators.throttle import throttle_events
+
+
+def _ts(sec):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def test_gap_is_relative_to_last_kept_not_last_raw(spark):
+    # t = 0, 4, 5, 9 with gap 5: the defining counter-example —
+    #   keep 0; 4 too close to 0; 5 is exactly 5 from last KEPT (0) so
+    #   kept; 9 is 4 from last kept (5) so dropped.
+    # A lag-filter would keep {0, 9}; gap-sessionize-first would keep {0}.
+    df = spark.createDataFrame(
+        [(1, i, _ts(t)) for i, t in enumerate([0, 4, 5, 9])],
+        ["user", "eid", "ts"],
+    )
+    out = throttle_events(df, ["user"], "ts", 5.0, ["eid"])
+    kept = sorted(r.eid for r in out.collect())
+    assert kept == [0, 2]
+
+
+def test_entities_independent_and_first_always_kept(spark):
+    df = spark.createDataFrame(
+        [(1, 0, _ts(0)), (1, 1, _ts(1)), (2, 2, _ts(1)), (2, 3, _ts(100))],
+        ["user", "eid", "ts"],
+    )
+    out = throttle_events(df, ["user"], "ts", 10.0, ["eid"])
+    kept = sorted(r.eid for r in out.collect())
+    assert kept == [0, 2, 3]
+
+
+def test_repartition_invariant(spark):
+    rows = [(u, u * 100 + i, _ts(i * 3)) for u in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["user", "eid", "ts"])
+    a = throttle_events(df.coalesce(1), ["user"], "ts", 7.0, ["eid"])
+    b = throttle_events(df.repartition(13), ["user"], "ts", 7.0, ["eid"])
+    assert sorted(r.eid for r in a.collect()) == sorted(r.eid for r in b.collect())
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0))], ["user", "ts"])
+    with pytest.raises(ValueError, match="nope"):
+        throttle_events(df, ["nope"], "ts", 5.0)
+    with pytest.raises(ValueError, match="positive"):
+        throttle_events(df, ["user"], "ts", 0)
