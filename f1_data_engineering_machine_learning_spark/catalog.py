@@ -5059,3 +5059,130 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promo_pct")
         )
     )
+
+
+@query(
+    "user_state_cdc",
+    """
+    WITH snap AS (
+      SELECT user_id, event_type AS last_type, CAST(value AS DOUBLE) AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      ) WHERE rn = 1
+    ), chg AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS value, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM chg
+      ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.last_type, s.last_value
+    FROM snap s
+    WHERE s.user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, event_type AS last_type, value AS last_value
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/cdc.py): a keyed user-state snapshot (each
+    user's first event in the first half of the month) advanced by the
+    second half as a change feed — error events are tombstones (DELETE),
+    everything else upserts, only the latest change per user wins. The
+    MERGE INTO semantic on plain parquet: partial-aggregating struct-max
+    latest-change selection, left-anti + union apply (two key shuffles
+    total). The oracle replays snapshot/latest/apply in SQL."""
+    from f1_data_engineering_machine_learning_spark.operators.cdc import apply_cdc
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        dedup_by_preference,
+    )
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    ev = _events(spark, sf_dir)
+    first_half = ev.filter(F.col("ts") < split).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    snap = dedup_by_preference(
+        first_half, ["user_id"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").cast("double").alias("last_value"),
+    )
+    changes = ev.filter(F.col("ts") >= split).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").cast("double").alias("last_value"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_cdc(
+        snap,
+        changes,
+        ["user_id"],
+        seq_col="ts",
+        op_col="op",
+        delete_value="D",
+        tiebreak_cols=["event_id"],
+    )
+
+
+@query(
+    "trending_daily_terms",
+    """
+    WITH tok AS (
+      SELECT d, w, COUNT(*) AS n FROM (
+        SELECT CAST(e.ts AS DATE) AS d,
+               unnest(string_split(dd.text, ' ')) AS w
+        FROM events e
+        JOIN documents dd ON dd.doc_id = e.event_id % 500
+        WHERE e.event_type = 'view'
+      ) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+                                   ORDER BY n DESC, w) AS rnk
+      FROM tok
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, w AS term,
+           CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def trending_daily_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per day, top 5 — the per-time-bucket top-k shape
+    (rank window over a bucketed aggregate). Views are joined to their
+    viewed document (synthetic linkage: doc_id = event_id mod corpus
+    size, same rule both engines), tokenized once, counted per (day,
+    term), ranked per day with WindowGroupLimit pruning (Spark pushes
+    the rnk<=5 limit into the sort — per-partition heaps, no full
+    per-day sort). Deterministic term tie-break."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = 500  # fixed linkage modulus, mirrored in the oracle
+    viewed = ev.select(
+        F.to_date("ts").alias("d"),
+        (F.col("event_id") % n_docs).alias("doc_id"),
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    tok = (
+        viewed.select("d", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("d").orderBy(F.col("n").desc(), "w")
+    return (
+        tok.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("w").alias("term"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rnk").cast("integer").alias("rnk"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Unit tests for apply_cdc / latest_change_per_key (end-to-end oracle:
+catalog ``user_state_cdc``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_data_engineering_machine_learning_spark.operators.cdc import (
+    apply_cdc,
+    latest_change_per_key,
+)
+
+
+@pytest.fixture()
+def state(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "payload"]
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: update then DELETE — delete wins (latest)
+            (1, "a2", 10, 0, "U"),
+            (1, "a3", 20, 0, "D"),
+            # k=2: two updates — latest (seq 31) wins
+            (2, "b2", 30, 0, "U"),
+            (2, "b3", 31, 0, "U"),
+            # k=4: pure insert of a new key
+            (4, "d1", 5, 0, "U"),
+            # k=5: insert then delete — never appears
+            (5, "e1", 1, 0, "U"),
+            (5, "e1", 2, 0, "D"),
+        ],
+        ["k", "payload", "seq", "tb", "op"],
+    )
+    return snap, changes
+
+
+def test_apply_cdc_semantics(state):
+    snap, changes = state
+    out = apply_cdc(snap, changes, ["k"], "seq", "op", tiebreak_cols=["tb"])
+    got = {r.k: r.payload for r in out.collect()}
+    # 1 deleted, 2 updated to latest, 3 untouched, 4 inserted, 5 net-deleted
+    assert got == {2: "b3", 3: "c", 4: "d1"}
+    assert out.columns == snap.columns
+
+
+def test_latest_change_tiebreak(spark):
+    changes = spark.createDataFrame(
+        [(1, "x", 5, 1, "U"), (1, "y", 5, 2, "U")],
+        ["k", "payload", "seq", "tb", "op"],
+    )
+    latest = latest_change_per_key(changes, ["k"], "seq", ["tb"])
+    assert latest.collect()[0].payload == "y"
+
+
+def test_apply_cdc_missing_columns_raises(spark):
+    snap = spark.createDataFrame([(1, "a", "extra")], ["k", "payload", "more"])
+    changes = spark.createDataFrame([(1, "b", 1, "U")], ["k", "payload", "seq", "op"])
+    with pytest.raises(ValueError, match="more"):
+        apply_cdc(snap, changes, ["k"], "seq", "op")
+
+
+def test_apply_cdc_idempotent_on_replay(state):
+    """Applying the same batch to the already-advanced snapshot changes
+    nothing — the property that makes at-least-once CDC delivery safe."""
+    snap, changes = state
+    once = apply_cdc(snap, changes, ["k"], "seq", "op", tiebreak_cols=["tb"])
+    twice = apply_cdc(once, changes, ["k"], "seq", "op", tiebreak_cols=["tb"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
