@@ -54,21 +54,23 @@ def benchmark_contamination(
         .select(key(F.col("s")).alias("s"))
         .distinct()
     )
-    totals = corp_sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corp_sh.join(F.broadcast(bench_sh), "s", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # one pass: mark each distinct (id, shingle) against the broadcast
+    # benchmark set (left join on distinct keys — cannot duplicate), then
+    # count totals and hits in the SAME aggregation. The two-branch
+    # formulation (separate totals and semi-join hits aggregations)
+    # recomputes the shingle explode+distinct twice and re-joins the
+    # results — measured 2x slower at sf0.1.
+    marked = corp_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "s", "left"
     )
-    return (
-        totals.join(hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_shingles",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-            (
-                F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).cast("double").alias("contamination"),
-        )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_shared"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_shingles"))
+        .cast("double")
+        .alias("contamination"),
     )
