@@ -191,3 +191,53 @@ def read_sql_file(path: str) -> str:
     """Read a .sql file into a string (/root/reference/scripts/spark_ops.py:8-23)."""
     with open(path, encoding="utf-8") as fh:
         return fh.read()
+
+
+def conform_schema(
+    df: DataFrame,
+    target,
+    on_extra: str = "drop",
+    on_type_mismatch: str = "cast",
+) -> DataFrame:
+    """Conform ``df`` to ``target`` (a StructType): the schema-evolution
+    gate a long-lived ingestion pipeline needs when upstream producers
+    add, drop, or retype columns between runs.
+
+    - missing target columns are appended as typed NULLs (a new consumer
+      column must not break replays of old data),
+    - extra source columns are dropped (``on_extra='drop'``) or rejected
+      (``'error'`` — strict mode for feeds where unexpected columns mean
+      a producer bug),
+    - dtype mismatches are cast (``on_type_mismatch='cast'``, using
+      ``try_cast`` so unconvertible values surface as NULLs instead of
+      failing mid-job under ANSI) or rejected (``'error'``),
+    - output column ORDER is the target's, so downstream
+      position-sensitive sinks (CSV, union) are stable.
+
+    Map-side only — projections and casts, no shuffle, safe at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    have = dict(zip(df.schema.names, df.schema.fields))
+    target_names = [f.name for f in target.fields]
+    extra = [c for c in df.columns if c not in target_names]
+    if extra and on_extra == "error":
+        raise ValueError(f"unexpected columns: {extra}")
+    cols = []
+    for field in target.fields:
+        if field.name not in have:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            continue
+        src = have[field.name]
+        if src.dataType == field.dataType:
+            cols.append(F.col(field.name))
+        elif on_type_mismatch == "cast":
+            cols.append(
+                F.col(field.name).try_cast(field.dataType).alias(field.name)
+            )
+        else:
+            raise ValueError(
+                f"column {field.name!r}: {src.dataType.simpleString()} != "
+                f"{field.dataType.simpleString()}"
+            )
+    return df.select(*cols)

@@ -142,3 +142,82 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming throttle — the stateful twin of operators/throttle.py
+# ---------------------------------------------------------------------------
+
+THROTTLE_STATE_SCHEMA = StructType(
+    [StructField("last_kept_us", LongType())]
+)
+
+THROTTLE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _make_throttle_fn(min_gap_seconds: float):
+    gap_us = int(min_gap_seconds * 1_000_000)
+
+    def _throttle(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_us = state.get[0] if state.exists else None
+        pdf = pd.concat(list(batches), ignore_index=True)
+        # event-time order within the micro-batch; cross-batch ordering is
+        # arrival order (the standard streaming caveat — exact batch parity
+        # holds when batches arrive time-ordered, tested)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # pin the epoch unit — Arrow hands pandas datetime64[ns] here and
+        # a raw astype(int64) would be nanos against a micros gap/state
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        keep = []
+        for t in ts_us:
+            if last_us is None or t - last_us >= gap_us:
+                keep.append(True)
+                last_us = int(t)
+            else:
+                keep.append(False)
+        state.update((last_us,))
+        out = pdf[keep]
+        yield pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "event_id": out["event_id"],
+                "ts": out["ts"],
+            }
+        )
+
+    return _throttle
+
+
+def throttled_events_stream(
+    events: DataFrame, min_gap_seconds: float = 3600.0
+) -> DataFrame:
+    """Streaming debounce: per user, emit an event only if >= ``min_gap``
+    has passed since the last EMITTED event — the same
+    gap-to-last-KEPT sequential semantic as the batch
+    ``operators/throttle.py::throttle_events``, with the "last kept"
+    timestamp living in the state store across micro-batches (one 8-byte
+    value per user; checkpointed, RocksDB-backed in production, restart-
+    durable like every GroupState op here). Append-mode output: kept
+    events only, as they are admitted. Batch twin parity is exact for
+    time-ordered batch arrival (tested, incl. a two-batch drain where the
+    second batch's events throttle against state from the first)."""
+    return events.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _make_throttle_fn(min_gap_seconds),
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

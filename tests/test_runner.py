@@ -102,3 +102,41 @@ def test_pipeline_runner_incremental_mode_agrees(spark, tmp_path):
     )
     assert a["n_abt_rows"] == b["n_abt_rows"]
     assert a["n_snapshots"] == b["n_snapshots"]
+
+
+# ---------------------------------------------------------------------------
+# conform_schema (io.py): schema-evolution gate
+# ---------------------------------------------------------------------------
+
+
+def test_conform_schema_adds_drops_casts_orders(spark):
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from f1_data_engineering_machine_learning_spark.io import conform_schema
+
+    df = spark.createDataFrame(
+        [("7", 1.5, "junk"), ("x", 2.5, "junk")], ["a", "b", "zz"]
+    )
+    target = StructType(
+        [
+            StructField("a", LongType()),      # retype string -> long
+            StructField("b", DoubleType()),    # unchanged
+            StructField("c", StringType()),    # new column
+        ]
+    )
+    out = conform_schema(df, target)
+    assert out.columns == ["a", "b", "c"]
+    rows = {r.b: (r.a, r.c) for r in out.collect()}
+    assert rows[1.5] == (7, None)
+    assert rows[2.5] == (None, None)  # try_cast: bad value -> NULL, no throw
+    assert [f.dataType for f in out.schema.fields] == [
+        f.dataType for f in target.fields
+    ]
+
+    with pytest.raises(ValueError, match="zz"):
+        conform_schema(df, target, on_extra="error")
+    with pytest.raises(ValueError, match="'a'"):
+        conform_schema(df, target, on_type_mismatch="error")
