@@ -5186,3 +5186,103 @@ def trending_daily_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("integer").alias("rnk"),
         )
     )
+
+
+@query(
+    "lineitem_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_pp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_dd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_qd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_pd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           CAST((n * s_qp - s_q * s_p)
+                / (sqrt(n * s_qq - s_q * s_q)
+                   * sqrt(n * s_pp - s_p * s_p)) AS DOUBLE) AS r
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           CAST((n * s_qd - s_q * s_d)
+                / (sqrt(n * s_qq - s_q * s_q)
+                   * sqrt(n * s_dd - s_d * s_d)) AS DOUBLE)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           CAST((n * s_pd - s_p * s_d)
+                / (sqrt(n * s_pp - s_p * s_p)
+                   * sqrt(n * s_dd - s_d * s_d)) AS DOUBLE)
+    FROM m
+    """,
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson MATRIX over 3 measures from ONE aggregation pass:
+    all 9 sufficient statistics (counts, sums, squares, cross-products)
+    accumulate together — a profiling sweep over k columns needs k(k+3)/2
+    aggregates in one scan, not k(k-1)/2 separate corr() jobs. All
+    moments are exact decimal sums; each coefficient is a fixed-order
+    double expression (sqrt is IEEE correctly-rounded, hence
+    cross-engine-deterministic). Result unpivoted to (col_a, col_b, r)
+    rows from the 1-row moment frame — pure projection, no Expand."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s_q"),
+        F.sum(p).cast("double").alias("s_p"),
+        F.sum(d).cast("double").alias("s_d"),
+        F.sum(q * q).cast("double").alias("s_qq"),
+        F.sum(p * p).cast("double").alias("s_pp"),
+        F.sum(d * d).cast("double").alias("s_dd"),
+        F.sum(q * p).cast("double").alias("s_qp"),
+        F.sum(q * d).cast("double").alias("s_qd"),
+        F.sum(p * d).cast("double").alias("s_pd"),
+    )
+
+    def _r(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return (
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
+            )
+        ).cast("double")
+
+    pairs = [
+        ("l_quantity", "l_extendedprice", _r("s_qp", "s_q", "s_p", "s_qq", "s_pp")),
+        ("l_quantity", "l_discount", _r("s_qd", "s_q", "s_d", "s_qq", "s_dd")),
+        ("l_extendedprice", "l_discount", _r("s_pd", "s_p", "s_d", "s_pp", "s_dd")),
+    ]
+    # one explode over the single moment row — a 3-way union of selects
+    # from m would re-run the whole lineitem aggregation three times
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        expr.alias("r"),
+                    )
+                    for a, b, expr in pairs
+                ]
+            )
+        ).alias("x")
+    ).select("x.col_a", "x.col_b", "x.r")
