@@ -5286,3 +5286,111 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x")
     ).select("x.col_a", "x.col_b", "x.r")
+
+
+@query(
+    "click_next_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, -epoch_us(ts) AS nts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id,
+             CAST(value AS DOUBLE) AS purchase_value, -epoch_us(ts) AS nts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_id AS purchase_id_next,
+           p.purchase_value AS purchase_value_next
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.nts >= p.nts
+    """,
+)
+def click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward'): each
+    click matched to the user's EARLIEST purchase at-or-after it — the
+    attribution-forward lookup ("did this click convert, and to what").
+    DuckDB ASOF only walks backward, so the oracle negates the epoch
+    (backward over -t == forward over t, inclusive) — a direction-parity
+    proof, not just a rows check."""
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("double").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        ["purchase_id", "purchase_value"],
+        suffix="_next",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_id_next", "purchase_value_next"
+    )
+
+
+@query(
+    "click_nearest_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, -epoch_us(ts) AS nts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id, -epoch_us(ts) AS nts
+      FROM events WHERE event_type = 'purchase'
+    ), prev AS (
+      SELECT c.event_id, p.purchase_id, p.ts
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ), nxt AS (
+      SELECT c.event_id, p.purchase_id, p.ts
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.nts >= p.nts
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN n.purchase_id IS NULL THEN b.purchase_id
+                WHEN b.purchase_id IS NULL THEN n.purchase_id
+                WHEN epoch_us(c.ts) - epoch_us(b.ts)
+                     <= epoch_us(n.ts) - epoch_us(c.ts) THEN b.purchase_id
+                ELSE n.purchase_id END AS purchase_id_near
+    FROM clicks c
+    LEFT JOIN prev b ON b.event_id = c.event_id
+    LEFT JOIN nxt n ON n.event_id = c.event_id
+    """,
+)
+def click_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (direction='nearest'): each click matched to the
+    temporally closest purchase either direction, exact-microsecond
+    distances, ties to backward — pandas merge_asof(direction='nearest')
+    semantics as ONE window pass (both frames over the same sort; the
+    oracle needs two ASOF joins plus a combine to say the same thing)."""
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        ["purchase_id"],
+        suffix="_near",
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "purchase_id_near")

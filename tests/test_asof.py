@@ -78,3 +78,57 @@ def test_asof_preserves_left_rowcount(spark, sf_dir):
     )
     joined = asof_join(purchases, clicks, ["user_id"], "ts", ["click_id"])
     assert joined.count() == purchases.count()  # left join: no loss, no fanout
+
+
+def test_asof_forward_and_nearest_directions(spark):
+    import datetime
+
+    import pytest
+
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "L10"), (1, t(20), "L20"), (1, t(35), "L35")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), "R8"), (1, t(20), "R20"), (1, t(30), "R30")],
+        ["k", "ts", "val"],
+    )
+
+    fwd = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", ["val"], direction="forward"
+        ).collect()
+    }
+    # earliest at-or-after: L10 -> R20, L20 -> R20 (inclusive), L35 -> none
+    assert fwd == {"L10": "R20", "L20": "R20", "L35": None}
+
+    fwd_strict = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", ["val"], direction="forward", strict=True
+        ).collect()
+    }
+    assert fwd_strict["L20"] == "R30"  # equal ts excluded under strict
+
+    near = {
+        r.tag: r.val_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", ["val"], direction="nearest"
+        ).collect()
+    }
+    # L10: R8 at d=2 beats R20 at d=10; L20: exact hit; L35: R30 at d=5
+    assert near == {"L10": "R8", "L20": "R20", "L35": "R30"}
+
+    # equidistant tie goes backward: left at 25 between R20 and R30
+    tie = spark.createDataFrame([(1, t(25), "L25")], ["k", "ts", "tag"])
+    got = asof_join(tie, right, ["k"], "ts", ["val"], direction="nearest").collect()
+    assert got[0].val_asof == "R20"
+
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, ["k"], "ts", ["val"], direction="nearest", strict=True)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], "ts", ["val"], direction="sideways")
