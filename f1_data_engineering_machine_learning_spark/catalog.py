@@ -5394,3 +5394,91 @@ def click_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return out.select("event_id", "user_id", "purchase_id_near")
+
+
+@query(
+    "session_incident_overlaps",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             MIN(ts) AS s_start, MAX(ts) + INTERVAL 1 MINUTE AS s_end
+      FROM sess GROUP BY 1, 2
+    ), incidents AS (
+      SELECT event_id AS inc_id,
+             ts - INTERVAL 30 MINUTE AS i_start,
+             ts + INTERVAL 30 MINUTE AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.user_id, i.sid,
+           CAST(COUNT(x.inc_id) AS BIGINT) AS n_incidents
+    FROM intervals i LEFT JOIN incidents x
+      ON i.s_start < x.i_end AND x.i_start < i.s_end
+    GROUP BY 1, 2
+    """,
+)
+def session_incident_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/range_join.py::
+    interval_overlap_join, BUCKETED strategy): user sessions (30-min-gap
+    sessionization, +1-min closeout) overlap-counted against global
+    incident windows (error ts +-30 min). Both interval sets are derived
+    — the point is the operator: two interval tables equi-joined on time
+    buckets with the first-overlap-bucket guard emitting each pair
+    exactly once (no distinct), vs the oracle's plain inequality join.
+    LEFT keeps incident-free sessions at count 0."""
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minutes")),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    intervals = flagged.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("sid")
+    ).agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("interval 1 minute")).alias("s_end"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        (F.col("ts") - F.expr("interval 30 minutes")).alias("i_start"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("i_end"),
+    )
+    joined = interval_overlap_join(
+        intervals,
+        incidents,
+        "s_start",
+        "s_end",
+        "i_start",
+        "i_end",
+        how="left",
+        strategy="bucketed",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id", "sid").agg(
+        F.count("inc_id").alias("n_incidents")
+    )

@@ -109,3 +109,49 @@ def test_events_to_session_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_interval_overlap_join_strategies_agree(spark):
+    import datetime
+
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [
+            (1, t(0), t(5)),    # long interval spanning many buckets
+            (2, t(6), t(7)),    # overlaps nothing
+            (3, t(8, 30), t(9, 30)),
+        ],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(1), t(2)),     # inside lid=1
+            (11, t(4), t(6)),     # tail-overlaps lid=1 (and not lid=2: half-open)
+            (12, t(9), t(11)),    # overlaps lid=3
+            (13, t(20), t(21)),   # overlaps nothing
+        ],
+        ["rid", "rs", "re"],
+    )
+    kw = dict(bucket_seconds=3600)
+    for how in ("inner", "left"):
+        b = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", how=how, strategy="broadcast"
+        )
+        k = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", how=how, strategy="bucketed", **kw
+        )
+        bp = sorted((r.lid, r.rid) for r in b.collect())
+        kp = sorted((r.lid, r.rid) for r in k.collect())
+        assert bp == kp, how
+    # exactly-once emission despite multi-bucket overlaps; half-open ends
+    assert sorted((r.lid, r.rid) for r in k.collect() if r.rid is not None) == [
+        (1, 10),
+        (1, 11),
+        (3, 12),
+    ]
+    # left: no-overlap interval survives NULL-extended
+    assert (2, None) in {(r.lid, r.rid) for r in k.collect()}
