@@ -587,6 +587,13 @@ def dedup_by_preference(
     *preferred* — e.g. the highest-tier source, then the smallest id as
     the deterministic tie-break.
 
+    NULL handling: a NULL in an ``order_cols`` value means "preference
+    unknown" — it must never beat a known preference, so every order
+    column is encoded ``(col IS NULL, col)`` inside the struct
+    (``asc_nulls_last`` semantics; a bare struct-min would sort NULL
+    smallest and hand the win to the NULL row). Equivalent to
+    ``row_number() OVER (ORDER BY order_cols ASC NULLS LAST)`` = 1.
+
     Plan: single aggregation — ``min(struct(order_cols..., row))`` per
     key. The struct min is an associative, order-independent selection,
     so it PARTIAL-AGGREGATES map-side (each input partition contributes
@@ -602,8 +609,16 @@ def dedup_by_preference(
     for c in [*key_cols, *order_cols]:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
+    encoded = [
+        part
+        for i, c in enumerate(order_cols)
+        for part in (
+            F.col(c).isNull().alias(f"__n{i}"),  # False < True: nulls last
+            F.col(c).alias(f"__o{i}"),
+        )
+    ]
     picked = df.groupBy(*key_cols).agg(
-        F.min(F.struct(*order_cols, F.struct(*df.columns).alias("__row"))).alias(
+        F.min(F.struct(*encoded, F.struct(*df.columns).alias("__row"))).alias(
             "__best"
         )
     )

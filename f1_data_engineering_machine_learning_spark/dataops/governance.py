@@ -18,6 +18,10 @@ overwrite, consistent with io.py's slice-replace story.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,21 +64,71 @@ def forget_audit(
     )
 
 
+_PART_SEG = re.compile(r"^([^=/]+)=[^/]*$")
+
+
+def _partition_cols(df: DataFrame, root: str) -> list[str]:
+    """Hive-style partition columns of a stored parquet table, inferred
+    from the ``col=value`` directory segments between the table root and
+    the data files (Spark folds them into the schema on read, so the
+    frame alone can't tell a partition column from a data column)."""
+    root = os.path.abspath(root.removeprefix("file:"))
+    for f in df.inputFiles():
+        rel = os.path.relpath(os.path.abspath(f.removeprefix("file:")), root)
+        segs = rel.split(os.sep)[:-1]  # drop the filename
+        cols = [m.group(1) for s in segs if (m := _PART_SEG.match(s))]
+        if cols:
+            return cols
+    return []
+
+
 def forget_in_table(
     spark: SparkSession,
     path: str,
     keys: DataFrame,
     key_col: str,
 ) -> dict[str, int]:
-    """Apply a deletion request to a stored parquet table IN PLACE and
-    return the audit counts. The read-modify-overwrite is staged through
-    a local checkpoint of the filtered frame so the overwrite never
-    scans the files it is replacing (the classic self-overwrite trap)."""
+    """Apply a deletion request to a stored parquet table and return the
+    audit counts. On a real Delta cluster this is ``DELETE WHERE``; the
+    parquet path here is made failure-safe by staging, NOT by rewriting
+    in place:
+
+    1. write the filtered frame to a sibling temp directory (preserving
+       the table's hive partitioning, re-inferred from its file layout),
+    2. verify the staged row count equals the audited ``n_kept``,
+    3. swap directories (old table renamed aside, staged promoted, old
+       removed last).
+
+    The original table stays intact until the staged copy is fully
+    written AND verified — a failure at any earlier point leaves the
+    table untouched (a checkpoint-then-overwrite scheme destroys it if
+    an executor dies mid-overwrite, which is unacceptable for a
+    compliance-deletion operator)."""
     df = spark.read.parquet(path)
+    parts = _partition_cols(df, path)
     audit = {k: v for k, v in zip(
         ("n_scanned", "n_dropped", "n_kept", "n_subjects_found"),
         forget_audit(df, keys, key_col).first(),
     )}
-    kept = forget_keys(df, keys, key_col).localCheckpoint(eager=True)
-    kept.write.mode("overwrite").parquet(path)
+    root = os.path.abspath(path.removeprefix("file:"))
+    tmp = root.rstrip(os.sep) + ".__forget_staging"
+    old = root.rstrip(os.sep) + ".__forget_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    writer = forget_keys(df, keys, key_col).write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
+
+    staged_n = spark.read.parquet(tmp).count()
+    if staged_n != audit["n_kept"]:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"forget_in_table verification failed: staged {staged_n} rows, "
+            f"audit expected {audit['n_kept']}; original table untouched"
+        )
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
     return audit

@@ -49,15 +49,32 @@ from pyspark.sql import functions as F
 _DIRECTIONS = ("backward", "forward", "nearest")
 
 
+_NUMERIC_BASES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+}
+
+
 def _exact_ts(col: Column, dtype: str) -> Column:
-    """Exact comparable time value: long microseconds for timestamps
-    (a double cast would round the epoch and can flip exact-tie
-    decisions in ``nearest``), plain double for numeric order columns."""
+    """Exact comparable time value for ``nearest`` distance arithmetic:
+    long microseconds for timestamps (a double cast would round the
+    epoch and can flip exact-tie decisions), long days-since-epoch for
+    dates (DATE has no double cast in Spark), plain double for numeric
+    order columns. Anything else (string, boolean, ...) has no defined
+    distance — raise instead of silently yielding NULLs that would
+    corrupt the nearest pick."""
     if dtype.startswith("timestamp"):
         # NTZ -> LTZ reinterpretation is stable (session tz pinned UTC);
         # unix_micros accepts only TIMESTAMP proper
         return F.unix_micros(col.cast("timestamp"))
-    return col.cast("double")
+    if dtype == "date":
+        return F.unix_date(col).cast("long")
+    if dtype.split("(", 1)[0] in _NUMERIC_BASES:
+        return col.cast("double")
+    raise TypeError(
+        "direction='nearest' requires a temporal or numeric ordering "
+        f"column for distance arithmetic; got ts_col of type {dtype!r}. "
+        "Directions 'backward'/'forward' accept any orderable type."
+    )
 
 
 def asof_join(
@@ -111,15 +128,20 @@ def asof_join(
 
     left_cols = [c for c in left.columns]
     ts_dtype = dict(right.dtypes)[ts_col]
-    # one struct per right row (matched ts + payload): the carry is atomic,
-    # so NULL fields inside the matched row survive and no output row
-    # mixes two right rows
-    rvals_type = right.select(
-        F.struct(
-            _exact_ts(F.col(ts_col), ts_dtype).alias("__mts"),
-            F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
-        ).alias("__rvals")
-    ).schema["__rvals"].dataType
+    # one struct per right row (payload + matched ts for 'nearest'): the
+    # carry is atomic, so NULL fields inside the matched row survive and
+    # no output row mixes two right rows. __mts (the exact comparable
+    # time for distance arithmetic) exists ONLY for 'nearest' —
+    # backward/forward order purely through the window sort, so they
+    # keep working on any orderable ts_col type (e.g. string).
+    def _rvals_struct() -> Column:
+        fields = []
+        if direction == "nearest":
+            fields.append(_exact_ts(F.col(ts_col), ts_dtype).alias("__mts"))
+        fields.append(F.struct(*[F.col(c) for c in value_cols]).alias("__v"))
+        return F.struct(*fields).alias("__rvals")
+
+    rvals_type = right.select(_rvals_struct()).schema["__rvals"].dataType
     tagged_left = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
@@ -132,10 +154,7 @@ def asof_join(
         F.col(ts_col).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
         F.lit(None).cast(tagged_left.schema["__left"].dataType).alias("__left"),
-        F.struct(
-            _exact_ts(F.col(ts_col), ts_dtype).alias("__mts"),
-            F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
-        ).alias("__rvals"),
+        _rvals_struct(),
     )
 
     unioned = tagged_left.unionByName(tagged_right)

@@ -41,12 +41,26 @@ def latest_change_per_key(
 ) -> DataFrame:
     """One row per key: the change with the greatest
     ``(seq_col, *tiebreak_cols)`` — partial-aggregating struct-max, no
-    window sort."""
+    window sort.
+
+    NULL handling: a NULL sequence value means "ordering unknown" and
+    always LOSES to any non-null sequence (explicitly encoded as
+    ``(col IS NOT NULL, col)`` inside the max-struct — ``desc_nulls_last``
+    semantics, matching ``row_number() OVER (ORDER BY seq DESC NULLS
+    LAST)`` = 1 rather than relying on implicit struct-NULL ordering)."""
     key_cols = list(key_cols)
     order = [seq_col, *tiebreak_cols]
+    encoded = [
+        part
+        for i, c in enumerate(order)
+        for part in (
+            F.col(c).isNotNull().alias(f"__n{i}"),  # max: non-null (true) wins
+            F.col(c).alias(f"__o{i}"),
+        )
+    ]
     picked = changes.groupBy(*key_cols).agg(
         F.max(
-            F.struct(*order, F.struct(*changes.columns).alias("__row"))
+            F.struct(*encoded, F.struct(*changes.columns).alias("__row"))
         ).alias("__best")
     )
     return picked.select(

@@ -189,10 +189,31 @@ def interpolate_linear(
     Determinism: day offsets are exact ints; one IEEE divide + multiply +
     add per output row, bit-identical across engines and partitionings.
     Output: entity cols, ``d``, ``{value_col}_lerp``, ``observed``.
+
+    Duplicate (entity, date) observations are collapsed to ONE row first
+    — the greatest non-null value wins (deterministic) — because a
+    duplicate would otherwise make ``next_d == d`` and the span bound
+    ``date_sub(next_d, 1) < d`` is an illegal ``sequence()`` at runtime
+    (and which duplicate feeds each interpolation would be partition-
+    order luck). The dedup rides the SAME entity-partitioned exchange as
+    the lead window — an extra per-partition sort, no extra shuffle.
     """
     entity_cols = list(entity_cols)
     ordered = Window.partitionBy(*entity_cols).orderBy(date_col)
-    obs = observations.withColumn(
+    # keep-greatest-per-date: first row of each date group under
+    # (date ASC, value DESC NULLS LAST) — detected via lag, not a
+    # groupBy, so it reuses the window exchange
+    pick = Window.partitionBy(*entity_cols).orderBy(
+        F.col(date_col), F.col(value_col).desc()
+    )
+    deduped = (
+        observations.withColumn("__prev_d", F.lag(date_col).over(pick))
+        .filter(
+            F.col("__prev_d").isNull() | (F.col("__prev_d") != F.col(date_col))
+        )
+        .drop("__prev_d")
+    )
+    obs = deduped.withColumn(
         "__next_d", F.lead(date_col).over(ordered)
     ).withColumn("__next_v", F.lead(value_col).over(ordered))
     spans = obs.select(

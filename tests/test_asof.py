@@ -132,3 +132,46 @@ def test_asof_forward_and_nearest_directions(spark):
         asof_join(left, right, ["k"], "ts", ["val"], direction="nearest", strict=True)
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["k"], "ts", ["val"], direction="sideways")
+
+
+def test_asof_date_typed_ts_col_all_directions(spark):
+    """DATE ordering columns must work for every direction (DATE has no
+    double cast in Spark — nearest distance goes through days-since-epoch)."""
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10), "L10"), (1, d(2024, 1, 21), "L21")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 8), "R08"), (1, d(2024, 1, 20), "R20"),
+         (1, d(2024, 1, 25), "R25")],
+        ["k", "ts", "val"],
+    )
+    back = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"]).collect()}
+    assert back == {"L10": "R08", "L21": "R20"}
+    fwd = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], direction="forward").collect()}
+    assert fwd == {"L10": "R20", "L21": "R25"}
+    near = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], direction="nearest").collect()}
+    # L10: R08 at 2d beats R20 at 10d; L21: R20 at 1d beats R25 at 4d
+    assert near == {"L10": "R08", "L21": "R20"}
+
+
+def test_asof_string_ts_col_orderable_but_no_nearest(spark):
+    """Any orderable type works for backward/forward (pure window sort);
+    'nearest' needs distance arithmetic and must raise a clear TypeError
+    rather than silently compute NULL distances."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "2024-01-15", "L")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, "2024-01-10", "R10"), (1, "2024-01-20", "R20")], ["k", "ts", "val"]
+    )
+    back = asof_join(left, right, ["k"], "ts", ["val"]).collect()
+    assert back[0].val_asof == "R10"  # lexicographic == chronological here
+    fwd = asof_join(left, right, ["k"], "ts", ["val"], direction="forward").collect()
+    assert fwd[0].val_asof == "R20"
+    with pytest.raises(TypeError, match="nearest"):
+        asof_join(left, right, ["k"], "ts", ["val"], direction="nearest")

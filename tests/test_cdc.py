@@ -67,3 +67,18 @@ def test_apply_cdc_idempotent_on_replay(state):
     once = apply_cdc(snap, changes, ["k"], "seq", "op", tiebreak_cols=["tb"])
     twice = apply_cdc(once, changes, ["k"], "seq", "op", tiebreak_cols=["tb"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_null_seq_always_loses(spark):
+    """A NULL sequence value ('ordering unknown') must never be selected
+    as the latest change when any non-null sequence exists for the key —
+    explicitly desc_nulls_last, not implicit struct-NULL ordering."""
+    changes = spark.createDataFrame(
+        [(1, "nullseq", None, 0, "U"), (1, "real", 1, 0, "U"),
+         # key 2: only NULL seqs -> tiebreak decides deterministically
+         (2, "tb-big", None, 9, "U"), (2, "tb-small", None, 1, "U")],
+        "k int, payload string, seq int, tb int, op string",
+    )
+    latest = {r.k: r.payload
+              for r in latest_change_per_key(changes, ["k"], "seq", ["tb"]).collect()}
+    assert latest == {1: "real", 2: "tb-big"}

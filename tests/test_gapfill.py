@@ -79,3 +79,27 @@ def test_gap_fill_matches_scaffold_plan(spark):
         (r.user, str(r.d), r.value_ff, r.observed) for r in df.collect()
     )
     assert key(fast) == key(slow)
+
+
+def test_interpolate_linear_duplicate_observations(spark):
+    """Duplicate (entity, date) rows previously made next_d == d and the
+    span sequence() crashed with illegal boundaries. They now collapse
+    to one observation (greatest value wins, deterministically)."""
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators.gapfill import (
+        interpolate_linear,
+    )
+
+    d = dt.date
+    obs = spark.createDataFrame(
+        [("e", d(2024, 1, 1), 10.0),
+         ("e", d(2024, 1, 1), 2.0),    # duplicate date — loses (smaller)
+         ("e", d(2024, 1, 5), 50.0)],
+        ["k", "dt", "v"],
+    )
+    out = interpolate_linear(obs, ["k"], "dt", "v").orderBy("d").collect()
+    assert [r.d for r in out] == [d(2024, 1, 1 + i) for i in range(5)]
+    # greatest duplicate (10.0) anchors the interpolation toward 50.0
+    assert [r.v_lerp for r in out] == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert [r.observed for r in out] == [True, False, False, False, True]

@@ -65,3 +65,44 @@ def test_forget_keys_validates(frames):
     df, keys = frames
     with pytest.raises(ValueError, match="nope"):
         forget_keys(df, keys, "nope")
+
+
+def test_forget_in_table_preserves_partitioning(spark, tmp_path, frames):
+    """The rewrite must keep the table's hive partition layout (a
+    compliance delete that silently flattens a partitioned table breaks
+    every downstream partition-pruned read)."""
+    df, keys = frames
+    path = str(tmp_path / "tp")
+    df.write.partitionBy("user_id").parquet(path)
+    forget_in_table(spark, path, keys, "user_id")
+    import os
+
+    part_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("user_id=")
+    )
+    assert part_dirs == ["user_id=0", "user_id=2", "user_id=4"]
+    back = spark.read.parquet(path)
+    assert back.count() == 9
+    # no staging/backup residue next to the table
+    assert not os.path.exists(path + ".__forget_staging")
+    assert not os.path.exists(path + ".__forget_old")
+
+
+def test_forget_in_table_survives_failed_staging(spark, tmp_path, frames, monkeypatch):
+    """If verification fails, the ORIGINAL table must be untouched."""
+    df, keys = frames
+    path = str(tmp_path / "tf")
+    df.write.parquet(path)
+    import f1_data_engineering_machine_learning_spark.dataops.governance as gov
+
+    real_forget = gov.forget_keys
+    # sabotage: staged frame drops one extra row -> count mismatch
+    monkeypatch.setattr(
+        gov, "forget_keys",
+        lambda d, k, c: real_forget(d, k, c).limit(8),
+    )
+    with pytest.raises(RuntimeError, match="verification failed"):
+        gov.forget_in_table(spark, path, keys, "user_id")
+    monkeypatch.undo()
+    back = spark.read.parquet(path)
+    assert back.count() == 15  # original intact

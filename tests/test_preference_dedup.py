@@ -78,3 +78,20 @@ def test_partial_aggregation_no_window(dupes):
     assert "Window" not in plan
     # partial_min present == map-side combine happens before the shuffle
     assert "partial_min" in plan
+
+
+def test_null_preference_never_wins(spark):
+    """A NULL order value means 'preference unknown' — it must lose to
+    any known preference (asc_nulls_last), not win via struct-NULL-first."""
+    df = spark.createDataFrame(
+        [
+            ("a", None, 1, "null-tier"),
+            ("a", 5, 2, "known-tier"),
+            # key "b": ALL tiers NULL -> fall through to id tiebreak
+            ("b", None, 9, "null-id9"),
+            ("b", None, 3, "null-id3"),
+        ],
+        "k string, tier int, id int, payload string",
+    )
+    got = {r.k: r.payload for r in dedup_by_preference(df, ["k"], ["tier", "id"]).collect()}
+    assert got == {"a": "known-tier", "b": "null-id3"}

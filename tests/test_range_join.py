@@ -155,3 +155,31 @@ def test_interval_overlap_join_strategies_agree(spark):
     ]
     # left: no-overlap interval survives NULL-extended
     assert (2, None) in {(r.lid, r.rid) for r in k.collect()}
+
+
+def test_left_join_duplicate_rows_count_preserved(spark):
+    """Content-derived __rid: exact duplicate left rows share an id.
+    Matched duplicates must BOTH fan out; missed duplicates must BOTH
+    null-extend — left-join row accounting survives duplicates."""
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        range_join,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    left = spark.createDataFrame(
+        [("dup-hit", t(10)), ("dup-hit", t(10)),      # both inside the window
+         ("dup-miss", t(20)), ("dup-miss", t(20))],   # both outside
+        ["tag", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [("w", t(9), t(11))], ["iv", "start", "end"]
+    )
+    out = range_join(left, iv, "ts", "start", "end",
+                     how="left", strategy="bucketed", bucket_seconds=3600)
+    rows = out.collect()
+    assert len(rows) == 4
+    got = sorted((r.tag, r.iv) for r in rows)
+    assert got == [("dup-hit", "w"), ("dup-hit", "w"),
+                   ("dup-miss", None), ("dup-miss", None)]
