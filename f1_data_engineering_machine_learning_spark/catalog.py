@@ -2203,16 +2203,28 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vecs AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), tables AS (
-      SELECT unnest(range(0, 4)) AS t
+      SELECT unnest(range(0, 8)) AS t
     ), planes AS (
-      SELECT t, unnest(range(0, 8)) AS p FROM tables
+      SELECT t, unnest(range(0, 4)) AS p FROM tables
+    ), dims AS (
+      SELECT t, p, unnest(range(0, 64)) AS d FROM planes
+    ), mx0 AS (
+      SELECT t, p, d,
+             ((d + 97 * p + 389 * t) * 1103515245 + 12345) % 2147483648 AS x0
+      FROM dims
+    ), mx1 AS (
+      SELECT t, p, d, xor(x0, x0 >> 13) AS x1 FROM mx0
+    ), mx2 AS (
+      SELECT t, p, d, (x1 * 1103515245 + 12345) % 2147483648 AS x2 FROM mx1
+    ), mx3 AS (
+      SELECT t, p, d, xor(x2, x2 >> 17) AS x3 FROM mx2
+    ), mx4 AS (
+      SELECT t, p, d, (x3 * 69069 + 1) % 2147483648 AS x4 FROM mx3
     ), plane_signs AS (
       SELECT t, p,
-             list_transform(range(0, 64), d ->
-               CASE WHEN ((1103515245 * (d + 97 * p + 389 * t) + 12345)
-                          % 2147483648) % 2 = 1
-                    THEN 1.0 ELSE -1.0 END) AS signs
-      FROM planes
+             list(CASE WHEN xor(x4, x4 >> 16) % 2 = 1
+                       THEN 1.0 ELSE -1.0 END ORDER BY d) AS signs
+      FROM mx4 GROUP BY t, p
     ), proj AS (
       SELECT vec_id, t, p,
              list_reduce(list_transform(list_zip(v, signs),
@@ -2255,7 +2267,7 @@ def embedding_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     out = rp_lsh_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_tables=4, n_planes=8, dim=64
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_tables=8, n_planes=4, dim=64
     )
     return out.select(
         "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
@@ -3527,8 +3539,17 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dup_pairs",
     """
-    WITH e AS (
+    WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), twins AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(
+               list_zip(v, range(0, len(v))),
+               p -> p[1] + 0.002 * CAST(((vec_id + p[2]) % 5) - 2 AS DOUBLE)
+             ) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ), allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM twins
     )
     SELECT a.vec_id AS i, b.vec_id AS j,
            CAST(list_reduce(list_transform(list_zip(a.v, b.v),
@@ -3538,31 +3559,62 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * sqrt(list_reduce(list_transform(b.v, x -> x * x),
                                       (x, y) -> x + y)))
                 AS DOUBLE) AS cosine_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
     WHERE CAST(list_reduce(list_transform(list_zip(a.v, b.v),
                                           p -> p[1] * p[2]), (x, y) -> x + y)
                / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
                                    (x, y) -> x + y))
                   * sqrt(list_reduce(list_transform(b.v, x -> x * x),
                                      (x, y) -> x + y)))
-               AS DOUBLE) >= 0.45
+               AS DOUBLE) >= 0.95
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the 5th dedup family:
-    exact / Jaccard / MinHash / SimHash / embedding). Exact all-pairs at a
-    threshold chosen to be non-empty on this corpus (no planted embedding
-    dups; max pairwise cosine ~0.51). The sequential-fold dot product makes
-    Spark and DuckDB agree bitwise. Scale path:
-    ``embedding_cosine_dup_pairs_blocked`` (RP-LSH bucket blocking +
-    exact verify, recall ~0.998 at t=0.9) — equivalence-tested on planted
-    near-dups in test_dataops.py."""
+    exact / Jaccard / MinHash / SimHash / embedding) — headlined by the
+    SCALE path: RP-LSH bucket blocking + exact in-bucket verification
+    (``embedding_cosine_dup_pairs_blocked``), never the O(n^2) all-pairs
+    scan. The corpus has no natural embedding dups (max pairwise cosine
+    ~0.6), so near-dups are PLANTED deterministically: every 10th vector
+    gets a twin perturbed by ``0.002 * (((vec_id + i) % 5) - 2)`` per
+    element — integer-derived, so DuckDB re-derives the identical twin —
+    yielding planted cosine ~0.9997 vs threshold 0.95. At that gap the
+    blocked path's per-pair miss probability is ~3e-8, so the EXACT
+    all-pairs oracle (the WHERE >= 0.95 self-join in SQL) value-matches
+    bitwise: recall 1.0 is part of the hash, the same structure the
+    MinHash family uses. The exact Spark-side all-pairs twin
+    (``embedding_cosine_dup_pairs``) remains library + equivalence-tested
+    (test_dataops.py) but is no longer a benched entry."""
     from f1_data_engineering_machine_learning_spark.dataops.similarity import (
-        embedding_cosine_dup_pairs,
+        embedding_cosine_dup_pairs_blocked,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_dup_pairs(emb, threshold=0.45, dim=64)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.lit(0.002)
+            * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
+        ).alias("v"),
+    )
+    allv = base.unionByName(twins)
+    # n_planes=16 (vs the 8-plane default) because this corpus is
+    # CLUSTERED: at 8 sign bits half the vectors share one bucket and the
+    # candidate join quadratically explodes the hot bucket; 16 bits
+    # disperse the clusters while the planted pairs (cosine ~0.9997,
+    # per-table collision 0.9928^16 ~ 0.89, miss over 6 tables ~2e-6)
+    # still all collide — plane count tunes to the DUP cosine, not the
+    # report threshold.
+    return embedding_cosine_dup_pairs_blocked(
+        allv, id_col="vec_id", vec_col="v", threshold=0.95,
+        n_planes=16, n_tables=6, dim=64,
+    )
 
 
 @query(
