@@ -3145,19 +3145,23 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile banding of per-customer lifetime spend with per-band
-    stats. Exact decile ASSIGNMENT requires a global sort (the
-    unpartitioned window here — fine for the post-aggregate customer
-    frame, which is |customers| rows, not |orders|); at 100 TB the scale
-    path is approx-percentile band EDGES (see approx_stats_scale_mode)
+    stats. Exact decile ASSIGNMENT now comes from
+    ``operators/windows.py::range_partitioned_rank`` — parallel
+    range-local sorts + broadcast offsets, no single-task global window
+    (plan-asserted); the cheaper-but-approximate alternative at 100 TB
+    remains approx-percentile band EDGES (see approx_stats_scale_mode)
     applied map-side. Ties broken by (spend, custkey) so band membership
-    is deterministic; spend sums stay in DECIMAL through the window."""
+    is deterministic; spend sums stay in DECIMAL through the ranking."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s")
     )
-    t = spend.select(
-        "s",
-        F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile"),
+    t = range_partitioned_rank(
+        spend, ["s"], ntile=10, ntile_col="decile", tiebreak=["o_custkey"]
     )
     return (
         t.groupBy(F.col("decile").cast("int").alias("decile"))
@@ -3515,24 +3519,38 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics over per-customer spend: PERCENT_RANK and
-    CUME_DIST (tie-aware, no tie-break needed — peers get equal values in
-    both engines) plus a deterministic NTILE centile. Scale design: the
-    aggregation distributes on custkey; the single global window is the
-    documented trade for exact ranks — at 100 TB swap to the two-pass
-    range-partitioned rank in operators/windows.py or approx quantiles;
-    the decimal spend sum keeps ordering (and thus ranks) reproducible."""
+    CUME_DIST (tie-aware — peers get equal values in both engines) plus a
+    deterministic NTILE centile. Scale design: the aggregation
+    distributes on custkey; the ranks come from
+    ``operators/windows.py::range_partitioned_rank`` — the two-pass
+    range-partitioned plan (per-range counts -> broadcast offsets ->
+    parallel local ranks), so NO unpartitioned global window exists in
+    the plan (plan-asserted in tools/plan_audit.py); the largest single
+    task holds ~|customers|/32 rows instead of all of them. The decimal
+    spend sum keeps ordering (and thus ranks) reproducible."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").cast("bigint").alias("custkey")).agg(
         dsum("o_totalprice").alias("total_spend")
     )
-    w = Window.orderBy("total_spend")
-    wt = Window.orderBy("total_spend", "custkey")
-    return spend.select(
+    ranked = range_partitioned_rank(
+        spend,
+        ["total_spend"],
+        percent_rank_col="pct_rank",
+        cume_dist_col="cume",
+        ntile=100,
+        ntile_col="centile",
+        tiebreak=["custkey"],
+    )
+    return ranked.select(
         "custkey",
         "total_spend",
-        F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        F.cume_dist().over(w).cast("double").alias("cume"),
-        F.ntile(100).over(wt).cast("int").alias("centile"),
+        F.col("pct_rank").cast("double").alias("pct_rank"),
+        F.col("cume").cast("double").alias("cume"),
+        F.col("centile").cast("int").alias("centile"),
     )
 
 

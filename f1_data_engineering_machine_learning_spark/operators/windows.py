@@ -72,6 +72,137 @@ def dedup_keep_last(
     )
 
 
+def range_partitioned_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str | None = None,
+    row_number_col: str | None = None,
+    percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
+    ntile: int | None = None,
+    ntile_col: str = "ntile",
+    tiebreak: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL rank / percent_rank / cume_dist / ntile without the
+    single-task global window (``Window.orderBy`` with no partitionBy
+    funnels the whole dataset through one task — the classic scale
+    killer). Two-pass distributed plan:
+
+    1. ``repartitionByRange`` on ``order_by`` — equal keys colocate, so
+       every tie group lives in exactly one range partition;
+    2. count rows per range partition (one tiny aggregation; the
+       per-partition counts — O(num_partitions) values — are the ONLY
+       thing the driver ever holds) and turn them into broadcast
+       cumulative offsets;
+    3. rank locally inside each range partition (parallel sorts of
+       N/partitions rows) and add the range's offset:
+       ``global_rank = offset[p] + local_rank``. Descending-order local
+       ranks plus the suffix offsets give exact tie-aware ``cume_dist``
+       (rows <= x == N - rows > x) without a RANGE window frame.
+
+    All four outputs agree exactly with the single-window formulation
+    (equivalence-tested, ties included):
+
+    - ``rank_col``: tie-aware RANK() over ``order_by``.
+    - ``row_number_col``: ROW_NUMBER() over ``(order_by, tiebreak)`` —
+      pass a ``tiebreak`` making that a total order, or intra-tie
+      numbering is partition luck, exactly as with a plain window.
+    - ``percent_rank_col``: (rank - 1) / (N - 1); 0.0 when N == 1.
+    - ``cume_dist_col``: tie-inclusive rows-at-or-below / N.
+    - ``ntile``: SQL NTILE(n) bucket from the global row number (first
+      ``N mod n`` buckets get the extra row), needs the total order too.
+
+    Tie-aware outputs (rank / percent_rank / cume_dist) ignore
+    ``tiebreak`` — peers tie exactly as ``OVER (ORDER BY order_by)``
+    would — while row_number / ntile use the full order: one hash
+    exchange, three per-partition sorts, matching the mixed-window SQL
+    formulation (``PERCENT_RANK() OVER (ORDER BY v)`` next to
+    ``NTILE(k) OVER (ORDER BY v, id)``) in a single operator.
+
+    Cost: one range exchange + one hash exchange on the partition id
+    (each moving N rows, all partitions in parallel) + the counts job.
+    The largest single task holds ~N/num_partitions rows — sized by the
+    range sampler, vs N for the naive global window. The counts job runs
+    eagerly at plan-build time (same tier as curate.py's convergence
+    scalar: a num_partitions-sized driver value, never row data).
+    """
+    order_by = [str(c) for c in order_by]
+    tiebreak = [str(c) for c in tiebreak]
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
+    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        empty_cols = []
+        for name, typ in (
+            (rank_col, "bigint"), (row_number_col, "bigint"),
+            (percent_rank_col, "double"), (cume_dist_col, "double"),
+            (ntile_col if ntile else None, "int"),
+        ):
+            if name:
+                empty_cols.append(F.lit(None).cast(typ).alias(name))
+        return df.select("*", *empty_cols).limit(0)
+
+    # prefix offsets (rows in ranges BELOW p) and suffix offsets (rows
+    # ABOVE p), broadcast as literal maps — num_partitions entries, not data
+    pids = sorted(counts)
+    prefix, acc = {}, 0
+    for p in pids:
+        prefix[p] = acc
+        acc += counts[p]
+    off_lo = F.create_map(
+        *[F.lit(x) for p in pids for x in (p, prefix[p])]
+    )[F.col("__pid")]
+    off_hi = F.create_map(
+        *[F.lit(x) for p in pids for x in (p, total - prefix[p] - counts[p])]
+    )[F.col("__pid")]
+
+    asc = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
+    desc = Window.partitionBy("__pid").orderBy(*[F.col(c).desc() for c in order_by])
+    full = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).asc() for c in [*order_by, *tiebreak]]
+    )
+
+    out = tagged
+    g_rank = (off_lo + F.rank().over(asc)).cast("bigint")
+    g_rn = (off_lo + F.row_number().over(full)).cast("bigint")
+    # tie-aware rows-at-or-below: N - (strictly greater) where strictly
+    # greater = global desc-rank - 1 (desc rank is tie-aware too)
+    g_cume_n = F.lit(total) - (off_hi + F.rank().over(desc)) + 1
+    if rank_col:
+        out = out.withColumn(rank_col, g_rank)
+    if row_number_col:
+        out = out.withColumn(row_number_col, g_rn)
+    if percent_rank_col:
+        pr = (
+            F.lit(0.0) if total == 1
+            else (g_rank - 1).cast("double") / F.lit(float(total - 1))
+        )
+        out = out.withColumn(percent_rank_col, pr)
+    if cume_dist_col:
+        out = out.withColumn(
+            cume_dist_col, g_cume_n.cast("double") / F.lit(float(total))
+        )
+    if ntile:
+        base, rem = divmod(total, ntile)
+        boundary = rem * (base + 1)
+        in_big = g_rn <= boundary
+        tile = (
+            F.when(F.lit(base == 0) | in_big, ((g_rn - 1) / (base + 1)).cast("bigint") + 1)
+            .otherwise(F.lit(rem) + ((g_rn - 1 - boundary) / base).cast("bigint") + 1)
+        )
+        out = out.withColumn(ntile_col, tile.cast("int"))
+    return out.drop("__pid")
+
+
 def running_agg(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -171,3 +171,87 @@ def test_unpivot_melt_is_single_expand_no_shuffle(spark):
     assert rows == [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0), (2, "b", None)]
     plan = long._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Exchange" not in plan
+
+
+class TestRangePartitionedRank:
+    """Two-pass distributed rank == single-global-window rank, exactly."""
+
+    def _frame(self, spark):
+        import random
+
+        rng = random.Random(7)
+        # heavy ties (values 0..19 over 400 rows) + unique id tiebreak
+        rows = [(i, rng.randint(0, 19)) for i in range(400)]
+        return spark.createDataFrame(rows, ["id", "v"])
+
+    def test_matches_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from f1_data_engineering_machine_learning_spark.operators.windows import (
+            range_partitioned_rank,
+        )
+
+        df = self._frame(spark)
+        got = range_partitioned_rank(
+            df, ["v"], rank_col="rk", row_number_col="rn",
+            percent_rank_col="pr", cume_dist_col="cd",
+            ntile=7, ntile_col="nt", tiebreak=["id"], num_partitions=8,
+        )
+        w = Window.orderBy("v")
+        wt = Window.orderBy("v", "id")
+        want = df.select(
+            "id", "v",
+            F.rank().over(w).cast("bigint").alias("rk"),
+            F.row_number().over(wt).cast("bigint").alias("rn"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.ntile(7).over(wt).cast("int").alias("nt"),
+        )
+        key = lambda frame: sorted(
+            (r.id, r.v, r.rk, r.rn, r.pr, r.cd, r.nt) for r in frame.collect()
+        )
+        assert key(got) == key(want)
+
+    def test_no_single_task_window(self, spark):
+        """The plan must contain no unpartitioned Window: every Window
+        node partitions by the range-partition id."""
+        import io
+        from contextlib import redirect_stdout
+
+        from f1_data_engineering_machine_learning_spark.operators.windows import (
+            range_partitioned_rank,
+        )
+
+        df = self._frame(spark)
+        got = range_partitioned_rank(
+            df, ["v"], rank_col="rk", percent_rank_col="pr",
+            tiebreak=["id"], num_partitions=8,
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" in plan
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line.lower():
+                assert "__pid" in line, f"unpartitioned window: {line}"
+
+    def test_empty_and_singleton(self, spark):
+        from f1_data_engineering_machine_learning_spark.operators.windows import (
+            range_partitioned_rank,
+        )
+
+        empty = spark.createDataFrame([], "id int, v int")
+        out = range_partitioned_rank(
+            empty, ["v"], rank_col="rk", percent_rank_col="pr", ntile=4
+        )
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "v", "rk", "pr", "ntile"}
+
+        one = spark.createDataFrame([(1, 5)], ["id", "v"])
+        row = range_partitioned_rank(
+            one, ["v"], rank_col="rk", percent_rank_col="pr",
+            cume_dist_col="cd", ntile=4,
+        ).collect()[0]
+        assert (row.rk, row.pr, row.cd, row.ntile) == (1, 0.0, 1.0, 1)
