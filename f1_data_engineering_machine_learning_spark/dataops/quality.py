@@ -59,43 +59,40 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     exact distinct count, min/max (stringified for a uniform long-format
     report).
 
-    Plan shape: count/null/min/max for ALL columns run in one
-    aggregation pass; each exact distinct count runs as its own
-    column-pruned job. Folding several ``count_distinct``s on different
-    columns into the shared agg would plan an Expand that replicates
-    every input row once per distinct column — (1+n_cols)x the row
-    volume through the shuffle; separate single-distinct aggregations
-    have no Expand and each scan reads exactly one column. At 100 TB
-    swap in approx_count_distinct (the catalog's approx_stats_scale_mode
-    shows the sketch twin) to drop the extra passes entirely."""
+    Plan shape: ONE LAZY PLAN — a union of per-column aggregation
+    branches, each computing that column's full stat row (count / nulls
+    / exact distinct / min / max) over a scan pruned to exactly that
+    column. Nothing executes until the caller acts on the report, and
+    when it does, all branches run inside ONE job with their stages
+    scheduled concurrently — not the serial one-job-per-column loop this
+    replaces, and with no driver-side collect in the operator at all.
+
+    Why branches instead of folding the distincts into a shared
+    aggregation: several ``count_distinct``s on different columns in one
+    agg plan an Expand that replicates every input row once per distinct
+    column — (1+n_cols)x the row volume through the shuffle; one
+    single-distinct aggregation per branch has no Expand. At 100 TB swap
+    in approx_count_distinct (the catalog's approx_stats_scale_mode
+    shows the sketch twin) and the branches collapse back into a single
+    shared pass."""
     cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i, c in enumerate(cols):
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null{i}"),
-            F.min(F.col(c)).cast("string").alias(f"__min{i}"),
-            F.max(F.col(c)).cast("string").alias(f"__max{i}"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    distincts = {
-        c: df.agg(F.count_distinct(F.col(c))).collect()[0][0] for c in cols
-    }
-    report_rows = [
-        (
-            c,
-            int(row["__n"]),
-            int(row[f"__null{i}"]),
-            int(distincts[c]),
-            row[f"__min{i}"],
-            row[f"__max{i}"],
+    parts = []
+    for c in cols:
+        parts.append(
+            df.select(F.col(c)).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("n_null"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_value"),
+                F.max(F.col(c)).cast("string").alias("max_value"),
+            ).select(F.lit(c).alias("column"), "*")
         )
-        for i, c in enumerate(cols)
-    ]
-    return df.sparkSession.createDataFrame(
-        report_rows,
-        "column string, n_rows long, n_null long, n_distinct long, "
-        "min_value string, max_value string",
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:

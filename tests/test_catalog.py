@@ -72,3 +72,18 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_gate_priority_queries_in_first_50():
+    """The external correctness gate snapshots the first 50 queries() in
+    iteration order; every flagship in _GATE_PRIORITY must be inside that
+    window, registered, and oracle-paired (value-checked, not rows-only
+    — curated_docs_survivors et al. carry full oracles)."""
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    names = list(catalog.queries())
+    oracles = catalog.oracle_sql()
+    for n in catalog._GATE_PRIORITY:
+        assert n in catalog._QUERIES, f"{n} not registered"
+        assert names.index(n) < 50, f"{n} outside the 50-slot gate"
+        assert n in oracles, f"{n} has no oracle"

@@ -156,3 +156,58 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert j.count() == o.filter(F.col("o_year") == 1997).count()
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    """S11: a fragmented partitioned table compacts to fewer files per
+    partition while the frame stays identical and the (dtYear, dtRef)
+    hive layout survives (compaction must never flatten partitioning)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.plans import IncrementalIngestor
+
+    path = str(tmp_path / "frag")
+
+    def builder(d):
+        rows = [(d, i, f"v{i}") for i in range(40)]
+        return (
+            spark.createDataFrame(rows, ["dtRef", "k", "payload"])
+            # fragment hard: many tiny tasks -> many tiny files per slice
+            .repartition(8)
+            .withColumn("dtYear", F.year(F.col("dtRef").cast("date")))
+        )
+
+    ing = IncrementalIngestor(builder, path)
+    dates = ["2022-03-05", "2022-07-01", "2023-01-14"]
+    ing.exec(dates)
+
+    def data_files():
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before_files = data_files()
+    assert len(before_files) >= 8 * len(dates)  # genuinely fragmented
+    before = sorted(map(tuple, ing.read().select("dtRef", "k", "payload").collect()))
+
+    ing.compact()
+
+    after_files = data_files()
+    # per-partition merge: one file per (dtYear, dtRef) slice
+    assert len(after_files) == len(dates)
+    assert len(after_files) < len(before_files)
+    # layout preserved
+    years = {d[:4] for d in dates}
+    for y in years:
+        assert os.path.isdir(os.path.join(path, f"dtYear={y}"))
+    for d in dates:
+        y = d[:4]
+        assert os.path.isdir(os.path.join(path, f"dtYear={y}", f"dtRef={d}"))
+    # frame identical
+    after = sorted(map(tuple, ing.read().select("dtRef", "k", "payload").collect()))
+    assert after == before
+    # no temp residue
+    assert not os.path.exists(path + ".__compact_tmp")

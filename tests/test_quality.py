@@ -72,3 +72,24 @@ def test_numeric_histogram_buckets_and_mergeability(spark):
     )
     total = {r.bucket: r.n for r in merged.collect()}
     assert sum(total.values()) == 4
+
+
+def test_table_profile_is_lazy_single_plan(spark):
+    """The profile must be a single lazy DataFrame (no jobs at
+    construction) whose plan prunes each branch's scan to one column."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (2, None, 3.0)], ["k", "s", "v"]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    prof = table_profile(df)  # construction must not run jobs
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    rows = {r.column: r for r in prof.collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_distinct == 2
+    assert rows["s"].n_null == 1 and rows["s"].min_value == "a"
+    assert rows["v"].n_null == 1 and rows["v"].max_value == "3.0"
