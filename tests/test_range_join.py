@@ -183,3 +183,40 @@ def test_left_join_duplicate_rows_count_preserved(spark):
     got = sorted((r.tag, r.iv) for r in rows)
     assert got == [("dup-hit", "w"), ("dup-hit", "w"),
                    ("dup-miss", None), ("dup-miss", None)]
+
+
+def test_interval_overlap_join_planted_skew(spark):
+    """Skew guard: one hot entity with thousands of intervals piled into
+    the SAME time bucket on both sides must still complete and produce
+    exactly-once pairs (the bucketed join degrades into one big join
+    partition — AQE-splittable since the refine is a post-join filter —
+    rather than any per-key collect or executor-memory structure).
+    Output here is genuinely quadratic (all pairs overlap), so the test
+    plants a size where exactness is checkable: 2000 x 60 = 120k pairs,
+    all in one bucket."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    base = "2024-01-01 12:"
+    left = spark.range(2000).select(
+        F.col("id").alias("lid"),
+        F.to_timestamp(F.lit("2024-01-01 12:00:00")).alias("ls"),
+        F.to_timestamp(F.lit("2024-01-01 12:50:00")).alias("le"),
+    )
+    right = spark.range(60).select(
+        F.col("id").alias("rid"),
+        F.to_timestamp(F.lit("2024-01-01 12:10:00")).alias("rs"),
+        F.to_timestamp(F.lit("2024-01-01 12:20:00")).alias("re"),
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re",
+        how="inner", strategy="bucketed", bucket_seconds=3600,
+    )
+    assert out.count() == 2000 * 60  # exactly once per overlapping pair
+    # spot-check no duplicate (lid, rid)
+    assert (
+        out.groupBy("lid", "rid").count().filter(F.col("count") > 1).count() == 0
+    )

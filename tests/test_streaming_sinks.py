@@ -58,6 +58,14 @@ def test_foreach_batch_upsert_converges_to_batch_aggregate(spark, tmp_path):
     assert got2 == {"click": 50, "view": 50}
     assert spark.read.parquet(table).count() == 2  # one row per key, upserted
 
+    # replay with NO new data: the checkpoint yields an empty (or
+    # replayed) batch and the idempotent upsert leaves the table
+    # byte-identical — the at-least-once -> effectively-once guarantee
+    foreach_batch_upsert(counts, table, ["event_type"], ckpt, output_mode="update")
+    got3 = {r.event_type: r.n for r in spark.read.parquet(table).collect()}
+    assert got3 == got2
+    assert spark.read.parquet(table).count() == 2
+
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     from f1_data_engineering_machine_learning_spark.streaming.jobs import (
