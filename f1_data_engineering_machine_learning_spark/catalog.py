@@ -5578,3 +5578,78 @@ def session_incident_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "sid").agg(
         F.count("inc_id").alias("n_incidents")
     )
+
+
+@query(
+    "doc_token_familiarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), vocab AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS sum_freq,
+           CAST(CAST(SUM(c) AS DOUBLE) / COUNT(*) / MAX(tot.n) AS DOUBLE)
+             AS familiarity
+    FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal without transcendentals
+    (dataops/text.py::token_familiarity): average corpus frequency of
+    each document's tokens. All sums are BIGINT; the only float ops are
+    the two final divisions, so the double value-hashes bitwise against
+    DuckDB (a log-prob formulation would drift on libm ulps — the same
+    reason the catalog avoids ln everywhere). The Zipf-hot token join is
+    the documented AQE-skew-join case."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        token_familiarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_familiarity(docs, id_col="doc_id", text_col="text")
+
+
+@query(
+    "doc_split_assignment",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM s GROUP BY split
+    """,
+)
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split from document CONTENT
+    (dataops/sampling.py::split_by_content_hash): membership depends only
+    on md5(text) — every engine (the DuckDB oracle literally re-derives
+    it) and any future re-run reproduces the same split, the property an
+    eval-contamination audit needs. Cutoffs are hex-aligned integer
+    bucket bounds (0xcccc / 0xe666 of 0x10000), map-only, no shuffle
+    before the per-split aggregate."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        split_by_content_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = split_by_content_hash(
+        docs, "text", {"train": 0.8, "val": 0.1, "test": 0.1}, hex_chars=4
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

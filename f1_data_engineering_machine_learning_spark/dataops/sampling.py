@@ -154,3 +154,41 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def split_by_content_hash(
+    df: DataFrame,
+    key: Column | str,
+    splits: Mapping[str, float],
+    hex_chars: int = 4,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from CONTENT — the split a
+    row lands in depends only on its key bytes, never on partitioning,
+    cluster shape, or engine: the assignment hashes with MD5 (every
+    engine and language has an identical implementation, unlike
+    xxhash64) and buckets on the first ``hex_chars`` hex digits
+    lexicographically. Any system — Spark, DuckDB, a Python one-liner —
+    reproduces the exact same membership, which is the property an
+    eval-contamination audit needs from a split.
+
+    Fractions are realized as integer cutoffs over ``16**hex_chars``
+    buckets (the achieved fraction is exact to 1/65536 at the default) —
+    document the cutoffs, not the nominal fractions, when exactness
+    matters. Map-only: no shuffle, streams at scan speed.
+    """
+    n_buckets = 16 ** hex_chars
+    names = list(splits)
+    fracs = [splits[n] for n in names]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must be non-negative and sum to 1")
+    cuts, acc = [], 0.0
+    for f in fracs[:-1]:
+        acc += f
+        cuts.append(format(int(acc * n_buckets), f"0{hex_chars}x"))
+    c = F.col(key) if isinstance(key, str) else key
+    prefix = F.substring(F.md5(c.cast("string").cast("binary")), 1, hex_chars)
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(prefix < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

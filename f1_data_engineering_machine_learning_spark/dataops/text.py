@@ -290,3 +290,50 @@ def inverted_index(
     if max_df is not None:
         idx = idx.filter(F.col("df") <= max_df)
     return idx
+
+
+def token_familiarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus-familiarity score — the unigram-LM quality
+    signal without transcendentals: the average CORPUS FREQUENCY of the
+    document's tokens, ``(sum of each token's corpus count) / n_tokens /
+    total_tokens``. Rare-token-heavy documents (OCR noise, codes, exotic
+    boilerplate) score low; documents of common words score high. The
+    monotone information matches average unigram probability; avoiding
+    ``ln`` keeps the result an exact rational of integer counts — all
+    sums are BIGINT and the ONLY float ops are the two final divisions,
+    so any engine reproduces the double bitwise (the repo-wide oracle
+    discipline; a log-prob variant would hash-drift on libm ulps).
+
+    Plan: explode to (doc, token) once; token vocabulary (one shuffle on
+    token); re-join counts onto the token stream (token-keyed shuffle —
+    Zipf-hot tokens skew this join, which is exactly what AQE skew-join
+    splits, and the carried payload is one BIGINT); per-doc aggregation
+    (one shuffle on doc id). The 1-row total joins in broadcast.
+
+    Output: ``id_col``, ``n_tokens``, ``sum_freq``, ``familiarity``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    vocab = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        toks.join(vocab, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__c").cast("bigint").alias("sum_freq"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double") / F.col("n_tokens") / F.col("__n")
+        ).alias("familiarity"),
+    )

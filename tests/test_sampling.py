@@ -73,3 +73,53 @@ def test_mixture_sample_hits_target_shares(spark):
     )
     with pytest.raises(ValueError, match="absent"):
         mixture_sample(df, "lang", F.col("n_tokens"), {"zz": 1.0}, key="doc_id")
+
+
+def test_split_by_content_hash_properties(spark):
+    """Deterministic, partition-invariant, exhaustive-and-disjoint, and
+    approximately honoring the fractions."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        split_by_content_hash,
+    )
+
+    df = spark.createDataFrame([(i, f"document number {i}") for i in range(2000)],
+                               ["id", "text"])
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_by_content_hash(df, "text", splits)
+    b = split_by_content_hash(df.repartition(13), "text", splits)
+    ka = sorted((r.id, r.split) for r in a.collect())
+    kb = sorted((r.id, r.split) for r in b.collect())
+    assert ka == kb  # content-only decision
+    shares = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(shares) == {"train", "val", "test"}
+    assert abs(shares["train"] / 2000 - 0.8) < 0.05
+    assert abs(shares["val"] / 2000 - 0.1) < 0.03
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_content_hash(df, "text", {"a": 0.5, "b": 0.2})
+
+
+def test_token_familiarity_exact_rational(spark):
+    """Hand-checkable corpus: familiarity = sum(corpus freq of tokens) /
+    n_tokens / total_tokens, exactly."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        token_familiarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")],  # corpus counts: a=3, b=1, c=1; total=5
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in token_familiarity(docs).collect()}
+    # doc 1: tokens a,a,b -> sum_freq 3+3+1=7, n=3 -> 7/3/5
+    assert (got[1].n_tokens, got[1].sum_freq) == (3, 7)
+    assert got[1].familiarity == 7 / 3 / 5
+    # doc 2: a,c -> 3+1=4, n=2 -> 4/2/5
+    assert (got[2].n_tokens, got[2].sum_freq) == (2, 4)
+    assert got[2].familiarity == 4 / 2 / 5
+    # common-word doc scores higher than rare-word doc
+    assert got[1].familiarity > got[2].familiarity
