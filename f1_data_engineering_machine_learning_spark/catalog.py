@@ -5653,3 +5653,45 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+@query(
+    "purchase_click_attribution_window",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN p.ts - c.ts <= INTERVAL 30 MINUTE
+                THEN c.click_id END AS click_id_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_click_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with a LOOKBACK WINDOW: each purchase credits the
+    user's latest click only if it happened within the last 30 minutes —
+    ``asof_join(tolerance=...)``, the pandas ``merge_asof(tolerance=)``
+    semantic (the as-of pick happens first; tolerance only vetoes it, no
+    fallback to an older in-window click). Oracle: DuckDB native ASOF
+    JOIN with the same post-pick CASE veto. Same single-shuffle plan as
+    the untolerated as-of."""
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts", ["click_id"],
+        tolerance=30 * 60 * 1_000_000,  # 30 min in exact microseconds
+    )
+    return out.select("event_id", "user_id", "value", "click_id_asof")

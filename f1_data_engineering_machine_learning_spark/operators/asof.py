@@ -71,9 +71,10 @@ def _exact_ts(col: Column, dtype: str) -> Column:
     if dtype.split("(", 1)[0] in _NUMERIC_BASES:
         return col.cast("double")
     raise TypeError(
-        "direction='nearest' requires a temporal or numeric ordering "
-        f"column for distance arithmetic; got ts_col of type {dtype!r}. "
-        "Directions 'backward'/'forward' accept any orderable type."
+        "direction='nearest' and tolerance require a temporal or numeric "
+        f"ordering column for distance arithmetic; got ts_col of type "
+        f"{dtype!r}. Directions 'backward'/'forward' without tolerance "
+        "accept any orderable type."
     )
 
 
@@ -86,6 +87,7 @@ def asof_join(
     suffix: str = "_asof",
     strict: bool = False,
     direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """Left as-of join: nearest right values per ``direction``.
 
@@ -101,12 +103,24 @@ def asof_join(
     direction  : 'backward' (latest at-or-before, DuckDB ASOF), 'forward'
                  (earliest at-or-after), 'nearest' (closer of the two,
                  exact-microsecond distance, ties to backward).
+    tolerance  : maximum |distance| between left and matched right, in
+                 the ordering column's exact units (MICROSECONDS for
+                 timestamps, DAYS for dates, the raw value for numerics
+                 — the units of ``_exact_ts``); a match farther away
+                 NULLs out, the pandas ``merge_asof(tolerance=...)``
+                 semantic. The filter runs post-carry on the already
+                 matched row — same single shuffle, and the match does
+                 NOT fall back to an older row inside tolerance (pandas
+                 parity: the as-of pick happens first, tolerance only
+                 vetoes it).
     """
     on = list(on)
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
     if direction == "nearest" and strict:
         raise ValueError("strict=True is not supported with direction='nearest'")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
     for c in [*on, ts_col]:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist on both sides")
@@ -134,9 +148,11 @@ def asof_join(
     # time for distance arithmetic) exists ONLY for 'nearest' —
     # backward/forward order purely through the window sort, so they
     # keep working on any orderable ts_col type (e.g. string).
+    need_mts = direction == "nearest" or tolerance is not None
+
     def _rvals_struct() -> Column:
         fields = []
-        if direction == "nearest":
+        if need_mts:
             fields.append(_exact_ts(F.col(ts_col), ts_dtype).alias("__mts"))
         fields.append(F.struct(*[F.col(c) for c in value_cols]).alias("__v"))
         return F.struct(*fields).alias("__rvals")
@@ -189,6 +205,11 @@ def asof_join(
             .otherwise(F.col("__f"))
         )
 
+    if tolerance is not None:
+        here_t = _exact_ts(F.col("__ts"), ts_dtype)
+        chosen = F.when(
+            F.abs(here_t - chosen["__mts"]) <= F.lit(tolerance), chosen
+        )
     out = carried.withColumn("__chosen", chosen).filter(
         F.col("__tag") == left_tag
     ).select(

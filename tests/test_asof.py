@@ -175,3 +175,45 @@ def test_asof_string_ts_col_orderable_but_no_nearest(spark):
     assert fwd[0].val_asof == "R20"
     with pytest.raises(TypeError, match="nearest"):
         asof_join(left, right, ["k"], "ts", ["val"], direction="nearest")
+
+
+def test_asof_tolerance_all_directions(spark):
+    """pandas merge_asof(tolerance=...) parity: a match farther than the
+    tolerance NULLs out; the as-of pick itself is unchanged (no fallback
+    to an older in-tolerance row)."""
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "L10"), (1, t(40), "L40")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        # for L40 backward: R38 is the as-of pick; R5 is older but would
+        # NOT be used even if R38 fell out of tolerance
+        [(1, t(5), "R5"), (1, t(38), "R38")], ["k", "ts", "val"]
+    )
+    # tolerance in MICROSECONDS for timestamps
+    sec = 1_000_000
+    back = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], tolerance=6 * sec).collect()}
+    # L10: pick R5 at d=5s (within 6s); L40: pick R38 at d=2s
+    assert back == {"L10": "R5", "L40": "R38"}
+    tight = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], tolerance=3 * sec).collect()}
+    # L10's pick R5 (5s away) is vetoed -> NULL, no fallback
+    assert tight == {"L10": None, "L40": "R38"}
+
+    fwd = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], direction="forward",
+        tolerance=10 * sec).collect()}
+    # L10 -> R38 is 28s forward: vetoed; L40 -> nothing after
+    assert fwd == {"L10": None, "L40": None}
+
+    near = {r.tag: r.val_asof for r in asof_join(
+        left, right, ["k"], "ts", ["val"], direction="nearest",
+        tolerance=4 * sec).collect()}
+    # L10: nearest is R5 at 5s -> vetoed; L40: R38 at 2s -> kept
+    assert near == {"L10": None, "L40": "R38"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-negative"):
+        asof_join(left, right, ["k"], "ts", ["val"], tolerance=-1)
