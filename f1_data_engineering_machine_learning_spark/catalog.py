@@ -115,6 +115,9 @@ _GATE_PRIORITY = [
     "embedding_rp_lsh_topk",
     "token_budget_packing",
     "doc_line_dedup",
+    "purchase_click_attribution_window",
+    "doc_token_familiarity",
+    "doc_split_assignment",
 ]
 
 
@@ -5695,3 +5698,53 @@ def purchase_click_attribution_window(spark: SparkSession, sf_dir: str) -> DataF
         tolerance=30 * 60 * 1_000_000,  # 30 min in exact microseconds
     )
     return out.select("event_id", "user_id", "value", "click_id_asof")
+
+
+@query(
+    "daily_distinct_sketch_rollup",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS ed
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(DISTINCT user_id) AS et FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(tot.et) AS BIGINT) AS exact_total,
+           CAST(SUM(ed) AS BIGINT) AS sum_daily,
+           TRUE AS merged_within_5pct
+    FROM daily CROSS JOIN tot
+    """,
+)
+def daily_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the incremental-rollup pattern
+    that makes 100 TB dashboards cheap: one Datasketches HLL per day
+    (map-side, each day's partial independently computable and storable),
+    merged with ``hll_union_agg`` into the full-range estimate WITHOUT
+    rescanning history. The oracle can't replay sketch binaries, so the
+    value contract is the approx_stats_scale_mode pattern: exact values
+    (day count, exact distinct total, sum of daily exacts — larger than
+    the total, showing cross-day overlap the merge must handle) plus a
+    CLAIM column asserting the merged estimate lands within 5% of exact —
+    the claim is hashed, so a sketch regression flips the value hash."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("ed"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ed").cast("bigint").alias("sum_daily"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_total"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_total",
+        "sum_daily",
+        (
+            F.abs(F.col("__est") - F.col("exact_total"))
+            / F.col("exact_total")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )

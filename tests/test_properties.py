@@ -110,3 +110,52 @@ def test_scd2_episodes_tile_the_timeline(spark, events):
         for a, b in zip(eps, eps[1:]):
             assert a.valid_to == b.valid_from              # consecutive, no gaps
             assert a.state != b.state                      # real changes only
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=6),
+    ntile=st.integers(min_value=1, max_value=9),
+)
+@_settings
+def test_range_partitioned_rank_matches_python(spark, vals, parts, ntile):
+    """Distributed two-pass rank == Python ground truth on arbitrary
+    multisets (heavy ties included), for every output and any partition
+    count."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(3)
+    got = {
+        r.id: (r.rk, r.rn, r.pr, r.cd, r.nt)
+        for r in range_partitioned_rank(
+            df, ["v"], rank_col="rk", row_number_col="rn",
+            percent_rank_col="pr", cume_dist_col="cd",
+            ntile=ntile, ntile_col="nt", tiebreak=["id"],
+            num_partitions=parts,
+        ).collect()
+    }
+    n = len(vals)
+    order = sorted(range(n), key=lambda i: (vals[i], i))
+    rn_of = {i: pos + 1 for pos, i in enumerate(order)}
+    rank_of = {i: 1 + sum(1 for v in vals if v < vals[i]) for i in range(n)}
+    le_of = {i: sum(1 for v in vals if v <= vals[i]) for i in range(n)}
+    base, rem = divmod(n, ntile)
+    for i in range(n):
+        rk, rn, pr, cd, nt = got[i]
+        assert rk == rank_of[i]
+        assert rn == rn_of[i]
+        assert pr == (0.0 if n == 1 else (rank_of[i] - 1) / (n - 1))
+        assert cd == le_of[i] / n
+        # SQL NTILE: first rem buckets have base+1 rows
+        r0 = rn_of[i] - 1
+        want_nt = (
+            r0 // (base + 1) + 1
+            if base == 0 or r0 < rem * (base + 1)
+            else rem + (r0 - rem * (base + 1)) // base + 1
+        )
+        assert nt == want_nt, (vals, i)
