@@ -5748,3 +5748,66 @@ def daily_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+@query(
+    "doc_pooled_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id, vec_id % 50 AS doc, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), g AS (
+      SELECT doc, COUNT(*) AS n_chunks, list(v ORDER BY vec_id) AS vs
+      FROM e GROUP BY doc
+    ), s AS (
+      SELECT doc, n_chunks,
+             list_reduce(vs, (a, b) ->
+               list_transform(list_zip(a, b), p -> p[1] + p[2])) AS summed
+      FROM g
+    ), m AS (
+      SELECT doc, n_chunks,
+             list_transform(summed, x -> x / n_chunks) AS mean
+      FROM s
+    ), nrm AS (
+      SELECT doc, n_chunks, mean,
+             sqrt(list_reduce(list_transform(mean, x -> x * x),
+                              (x, y) -> x + y)) AS nm
+      FROM m
+    )
+    SELECT CAST(doc AS BIGINT) AS doc,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(u.pos AS INTEGER) AS pos,
+           CAST(u.val AS DOUBLE) AS val
+    FROM (
+      SELECT doc, n_chunks,
+             unnest(list_transform(generate_series(1, len(mean)),
+               i -> {'pos': i - 1,
+                     'val': CASE WHEN nm = 0 THEN mean[i]
+                                 ELSE mean[i] / nm END})) AS u
+      FROM nrm
+    )
+    """,
+)
+def doc_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling
+    (dataops/similarity.py::pool_chunk_embeddings): chunks grouped into
+    pseudo-documents (vec_id % 50), mean-pooled elementwise and
+    L2-normalized. Float sums are order-dependent, so the pool folds each
+    group's vectors in SORTED id order (list_reduce left-fold — DuckDB
+    replays the identical accumulation, making a bitwise value oracle
+    possible for a float reduction over groups). Exploded to (doc, pos,
+    val) scalar rows for the hash."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        pool_chunk_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "doc", (F.col("vec_id") % 50).cast("bigint")
+    )
+    pooled = pool_chunk_embeddings(emb, "doc", id_col="vec_id", vec_col="embedding")
+    return pooled.select(
+        "doc",
+        "n_chunks",
+        F.posexplode("pooled").alias("pos", "val"),
+    ).select("doc", "n_chunks", F.col("pos").cast("int").alias("pos"),
+             F.col("val").cast("double").alias("val"))

@@ -758,3 +758,55 @@ def quantize_embeddings(
         F.transform(v, lambda x: F.round(x * scale).cast("int")).alias("qvec"),
         scale.cast("double").alias("scale"),
     )
+
+
+def pool_chunk_embeddings(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Chunk-to-document embedding pooling: MEAN-pool every group's chunk
+    vectors elementwise (then optionally L2-normalize) — the standard
+    reduction from chunk-level embeddings to one document/entity vector.
+
+    Determinism is the design constraint: a float sum's value depends on
+    accumulation ORDER, so a plain elementwise AVG would drift across
+    partitionings and engines. Instead each group's vectors are collected
+    SORTED by ``id_col`` and folded sequentially (``aggregate`` over
+    ``zip_with`` addition) — one defined order, bit-identical everywhere,
+    which is what lets the catalog value-oracle this against DuckDB's
+    ``list_reduce`` replay of the same fold.
+
+    Scale shape: one shuffle on ``group_col``; ``collect_list`` is safe
+    here BECAUSE the group is a document's chunks — bounded by chunking
+    policy (tens, not millions; this is the sanctioned bounded-group use,
+    unlike LSH buckets which are data-dependent). Map-side combine does
+    not apply to an order-sensitive fold — the cost of exactness.
+
+    Output: ``group_col``, ``n_chunks``, ``pooled`` (array<double>).
+    """
+    d = _as_double(F.col(vec_col))
+    grouped = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("__k"), d.alias("__v")))
+        ).alias("__vs"),
+    )
+    summed = F.aggregate(
+        F.expr("slice(__vs, 2, size(__vs) - 1)"),
+        F.col("__vs")[0]["__v"],
+        lambda acc, s: F.zip_with(acc, s["__v"], lambda a, b: a + b),
+    )
+    mean = F.transform(summed, lambda x: x / F.col("n_chunks"))
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(mean, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        pooled = F.when(norm == 0.0, mean).otherwise(
+            F.transform(mean, lambda x: x / norm)
+        )
+    else:
+        pooled = mean
+    return grouped.select(group_col, "n_chunks", pooled.alias("pooled"))

@@ -517,3 +517,34 @@ def test_inverted_index_postings(spark):
     assert idx["cherry"] == (1, [1])
     bounded = {r.term for r in t.inverted_index(df, min_df=2).collect()}
     assert bounded == {"banana"}
+
+
+def test_pool_chunk_embeddings_deterministic_and_normalized(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        pool_chunk_embeddings,
+    )
+
+    rows = [(i, i % 3, [float(i + j) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "doc", "embedding"])
+    a = pool_chunk_embeddings(df, "doc")
+    b = pool_chunk_embeddings(df.repartition(7), "doc")
+    ka = sorted((r.doc, r.n_chunks, tuple(r.pooled)) for r in a.collect())
+    kb = sorted((r.doc, r.n_chunks, tuple(r.pooled)) for r in b.collect())
+    assert ka == kb  # partitioning-invariant (sorted fold)
+    for doc, n, v in ka:
+        assert n == 4
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-12  # unit norm
+    # unnormalized mean matches Python ground truth exactly
+    raw = {r.doc: list(r.pooled) for r in pool_chunk_embeddings(
+        df, "doc", normalize=False).collect()}
+    import itertools
+
+    for doc in range(3):
+        chunks = [e for i, d, e in rows if d == doc]
+        want = [0.0] * 4
+        for c in chunks:  # same left-fold order (vec_id ascending)
+            want = [a_ + b_ for a_, b_ in zip(want, c)]
+        want = [x / len(chunks) for x in want]
+        assert raw[doc] == want
