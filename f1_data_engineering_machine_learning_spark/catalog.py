@@ -2097,15 +2097,173 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_dup_candidates_docs")
+@query(
+    "simhash_dup_candidates_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+    ), votes AS (
+      SELECT id, COUNT(*) AS n,
+           SUM((h >> 0) & 1) AS b0,
+           SUM((h >> 1) & 1) AS b1,
+           SUM((h >> 2) & 1) AS b2,
+           SUM((h >> 3) & 1) AS b3,
+           SUM((h >> 4) & 1) AS b4,
+           SUM((h >> 5) & 1) AS b5,
+           SUM((h >> 6) & 1) AS b6,
+           SUM((h >> 7) & 1) AS b7,
+           SUM((h >> 8) & 1) AS b8,
+           SUM((h >> 9) & 1) AS b9,
+           SUM((h >> 10) & 1) AS b10,
+           SUM((h >> 11) & 1) AS b11,
+           SUM((h >> 12) & 1) AS b12,
+           SUM((h >> 13) & 1) AS b13,
+           SUM((h >> 14) & 1) AS b14,
+           SUM((h >> 15) & 1) AS b15,
+           SUM((h >> 16) & 1) AS b16,
+           SUM((h >> 17) & 1) AS b17,
+           SUM((h >> 18) & 1) AS b18,
+           SUM((h >> 19) & 1) AS b19,
+           SUM((h >> 20) & 1) AS b20,
+           SUM((h >> 21) & 1) AS b21,
+           SUM((h >> 22) & 1) AS b22,
+           SUM((h >> 23) & 1) AS b23,
+           SUM((h >> 24) & 1) AS b24,
+           SUM((h >> 25) & 1) AS b25,
+           SUM((h >> 26) & 1) AS b26,
+           SUM((h >> 27) & 1) AS b27,
+           SUM((h >> 28) & 1) AS b28,
+           SUM((h >> 29) & 1) AS b29,
+           SUM((h >> 30) & 1) AS b30,
+           SUM((h >> 31) & 1) AS b31,
+           SUM((h >> 32) & 1) AS b32,
+           SUM((h >> 33) & 1) AS b33,
+           SUM((h >> 34) & 1) AS b34,
+           SUM((h >> 35) & 1) AS b35,
+           SUM((h >> 36) & 1) AS b36,
+           SUM((h >> 37) & 1) AS b37,
+           SUM((h >> 38) & 1) AS b38,
+           SUM((h >> 39) & 1) AS b39,
+           SUM((h >> 40) & 1) AS b40,
+           SUM((h >> 41) & 1) AS b41,
+           SUM((h >> 42) & 1) AS b42,
+           SUM((h >> 43) & 1) AS b43,
+           SUM((h >> 44) & 1) AS b44,
+           SUM((h >> 45) & 1) AS b45,
+           SUM((h >> 46) & 1) AS b46,
+           SUM((h >> 47) & 1) AS b47,
+           SUM((h >> 48) & 1) AS b48,
+           SUM((h >> 49) & 1) AS b49,
+           SUM((h >> 50) & 1) AS b50,
+           SUM((h >> 51) & 1) AS b51,
+           SUM((h >> 52) & 1) AS b52,
+           SUM((h >> 53) & 1) AS b53,
+           SUM((h >> 54) & 1) AS b54,
+           SUM((h >> 55) & 1) AS b55,
+           SUM((h >> 56) & 1) AS b56,
+           SUM((h >> 57) & 1) AS b57,
+           SUM((h >> 58) & 1) AS b58,
+           SUM((h >> 59) & 1) AS b59
+      FROM hashed GROUP BY id
+    ), sh AS (
+      SELECT id,
+             (CASE WHEN b0 * 2 > n THEN (CAST(1 AS BIGINT) << 0) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b1 * 2 > n THEN (CAST(1 AS BIGINT) << 1) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b2 * 2 > n THEN (CAST(1 AS BIGINT) << 2) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b3 * 2 > n THEN (CAST(1 AS BIGINT) << 3) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b4 * 2 > n THEN (CAST(1 AS BIGINT) << 4) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b5 * 2 > n THEN (CAST(1 AS BIGINT) << 5) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b6 * 2 > n THEN (CAST(1 AS BIGINT) << 6) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b7 * 2 > n THEN (CAST(1 AS BIGINT) << 7) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b8 * 2 > n THEN (CAST(1 AS BIGINT) << 8) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b9 * 2 > n THEN (CAST(1 AS BIGINT) << 9) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b10 * 2 > n THEN (CAST(1 AS BIGINT) << 10) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b11 * 2 > n THEN (CAST(1 AS BIGINT) << 11) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b12 * 2 > n THEN (CAST(1 AS BIGINT) << 12) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b13 * 2 > n THEN (CAST(1 AS BIGINT) << 13) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b14 * 2 > n THEN (CAST(1 AS BIGINT) << 14) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b15 * 2 > n THEN (CAST(1 AS BIGINT) << 15) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b16 * 2 > n THEN (CAST(1 AS BIGINT) << 16) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b17 * 2 > n THEN (CAST(1 AS BIGINT) << 17) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b18 * 2 > n THEN (CAST(1 AS BIGINT) << 18) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b19 * 2 > n THEN (CAST(1 AS BIGINT) << 19) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b20 * 2 > n THEN (CAST(1 AS BIGINT) << 20) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b21 * 2 > n THEN (CAST(1 AS BIGINT) << 21) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b22 * 2 > n THEN (CAST(1 AS BIGINT) << 22) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b23 * 2 > n THEN (CAST(1 AS BIGINT) << 23) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b24 * 2 > n THEN (CAST(1 AS BIGINT) << 24) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b25 * 2 > n THEN (CAST(1 AS BIGINT) << 25) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b26 * 2 > n THEN (CAST(1 AS BIGINT) << 26) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b27 * 2 > n THEN (CAST(1 AS BIGINT) << 27) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b28 * 2 > n THEN (CAST(1 AS BIGINT) << 28) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b29 * 2 > n THEN (CAST(1 AS BIGINT) << 29) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b30 * 2 > n THEN (CAST(1 AS BIGINT) << 30) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b31 * 2 > n THEN (CAST(1 AS BIGINT) << 31) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b32 * 2 > n THEN (CAST(1 AS BIGINT) << 32) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b33 * 2 > n THEN (CAST(1 AS BIGINT) << 33) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b34 * 2 > n THEN (CAST(1 AS BIGINT) << 34) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b35 * 2 > n THEN (CAST(1 AS BIGINT) << 35) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b36 * 2 > n THEN (CAST(1 AS BIGINT) << 36) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b37 * 2 > n THEN (CAST(1 AS BIGINT) << 37) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b38 * 2 > n THEN (CAST(1 AS BIGINT) << 38) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b39 * 2 > n THEN (CAST(1 AS BIGINT) << 39) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b40 * 2 > n THEN (CAST(1 AS BIGINT) << 40) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b41 * 2 > n THEN (CAST(1 AS BIGINT) << 41) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b42 * 2 > n THEN (CAST(1 AS BIGINT) << 42) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b43 * 2 > n THEN (CAST(1 AS BIGINT) << 43) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b44 * 2 > n THEN (CAST(1 AS BIGINT) << 44) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b45 * 2 > n THEN (CAST(1 AS BIGINT) << 45) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b46 * 2 > n THEN (CAST(1 AS BIGINT) << 46) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b47 * 2 > n THEN (CAST(1 AS BIGINT) << 47) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b48 * 2 > n THEN (CAST(1 AS BIGINT) << 48) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b49 * 2 > n THEN (CAST(1 AS BIGINT) << 49) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b50 * 2 > n THEN (CAST(1 AS BIGINT) << 50) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b51 * 2 > n THEN (CAST(1 AS BIGINT) << 51) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b52 * 2 > n THEN (CAST(1 AS BIGINT) << 52) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b53 * 2 > n THEN (CAST(1 AS BIGINT) << 53) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b54 * 2 > n THEN (CAST(1 AS BIGINT) << 54) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b55 * 2 > n THEN (CAST(1 AS BIGINT) << 55) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b56 * 2 > n THEN (CAST(1 AS BIGINT) << 56) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b57 * 2 > n THEN (CAST(1 AS BIGINT) << 57) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b58 * 2 > n THEN (CAST(1 AS BIGINT) << 58) ELSE CAST(0 AS BIGINT) END)
+             + (CASE WHEN b59 * 2 > n THEN (CAST(1 AS BIGINT) << 59) ELSE CAST(0 AS BIGINT) END) AS simhash
+      FROM votes
+    ), chunks AS (
+      SELECT id, simhash, u.c AS chunk_idx,
+             (simhash >> (15 * u.c)) & 32767 AS chunk_val
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) u
+    ), cand AS (
+      SELECT DISTINCT a.id AS i, b.id AS j, a.simhash AS si, b.simhash AS sj
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.id < b.id
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(bit_count(xor(si, sj)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(si, sj)) <= 3
+    """,
+)
 def simhash_dup_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates, Hamming <= 3, via 16-bit-chunk
-    pigeonhole (dataops/dedup.py). Rows-only check: the 64-bit sketch is
-    xxhash64-based, which no external oracle reproduces."""
+    """SimHash near-dup candidates, Hamming <= 3, via 4-chunk pigeonhole
+    (dataops/dedup.py) — now the PORTABLE 60-bit sketch (token hash = 15
+    md5 hex chars), so the DuckDB oracle re-derives the ENTIRE pipeline
+    bit-for-bit: per-bit majority votes, sketch assembly, chunk blocking,
+    Hamming verification. This upgrades simhash from the catalog's last
+    text rows-only check to a full value oracle; the xxhash64 64-bit
+    variant remains the fast default in the library (identity-tested
+    against the Arrow/NumPy twin)."""
     from f1_data_engineering_machine_learning_spark.dataops.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_candidates(docs, "doc_id", "text", max_hamming=3, portable=True)
+    return out.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
 
 
 @query("embedding_lsh_topk")

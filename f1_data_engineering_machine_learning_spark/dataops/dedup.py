@@ -444,7 +444,18 @@ def _simhash_udf():
     return simhash_from_hashes
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, impl: str = "jvm") -> DataFrame:
+#: portable simhash width: 15 hex chars of md5 = 60 bits, the widest
+#: hex-derived value that fits a SIGNED 64-bit int in every engine
+PORTABLE_SIMHASH_BITS = 60
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    impl: str = "jvm",
+    portable: bool = False,
+) -> DataFrame:
     """(id, simhash). Two implementations producing IDENTICAL sketches
     (tested):
 
@@ -454,24 +465,41 @@ def simhash(df: DataFrame, id_col: str, text_col: str, impl: str = "jvm") -> Dat
       wins on a cluster.
     - ``impl='pandas_udf'``: the Arrow-batched NumPy majority vote — kept
       as the reference shape for sketches that genuinely need Python.
+
+    ``portable=True`` swaps the token hash from xxhash64 (fast,
+    engine-specific) to the first 15 hex chars of md5 interpreted as a
+    60-bit integer (``PORTABLE_SIMHASH_BITS``) — every engine has an
+    identical md5, so a second engine (the DuckDB oracle) re-derives the
+    SAME sketch bit-for-bit, upgrading simhash from a rows-only check to
+    a full value oracle. Same plan shape; md5 costs ~2x xxhash64 in the
+    hash stage — pick per deployment.
     """
     df = ensure_min_parallelism(df)
     if impl == "pandas_udf":
+        if portable:
+            raise ValueError("portable simhash is jvm-impl only")
         token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
         return df.select(
             F.col(id_col).alias("id"),
             _simhash_udf()(token_hashes).alias("simhash"),
         )
 
+    n_bits = PORTABLE_SIMHASH_BITS if portable else 64
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
-    hashed = tok.select("id", F.xxhash64("t").alias("h"))
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64("t")
+    hashed = tok.select("id", h.alias("h"))
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     votes = hashed.groupBy("id").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         bit = (
             F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1))
             .otherwise(F.lit(0))
@@ -482,20 +510,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, impl: str = "jvm") -> Dat
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """Candidate pairs with Hamming distance <= max_hamming via the 4x16-bit
-    chunk pigeonhole (any pair within distance 3 shares at least one exact
-    chunk). Verification computes the true distance with bit_count."""
-    sh = simhash(df, id_col, text_col)
+    """Candidate pairs with Hamming distance <= max_hamming via the
+    4-chunk pigeonhole (any pair within distance 3 shares at least one
+    exact chunk; chunks are 16 bits, or 15 with ``portable=True``'s
+    60-bit sketch). Verification computes the true distance with
+    bit_count."""
+    sh = simhash(df, id_col, text_col, portable=portable)
+    width = (PORTABLE_SIMHASH_BITS if portable else 64) // 4
+    mask = (1 << width) - 1
     chunks = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), width * c)
+                    .bitwiseAND(F.lit(mask))
                     .alias(f"c{c}")
                     for c in range(4)
                 ]

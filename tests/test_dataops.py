@@ -548,3 +548,32 @@ def test_pool_chunk_embeddings_deterministic_and_normalized(spark):
             want = [a_ + b_ for a_, b_ in zip(want, c)]
         want = [x / len(chunks) for x in want]
         assert raw[doc] == want
+
+
+def test_portable_simhash_candidates(spark):
+    """The 60-bit md5-based sketch finds planted near-identical docs and
+    is invariant to partitioning; pandas impl rejects portable mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        simhash,
+        simhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "extra"), (3, "completely different words here")],
+        ["doc_id", "text"],
+    )
+    got = {(r.i, r.j) for r in simhash_candidates(
+        docs, "doc_id", "text", max_hamming=3, portable=True).collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    # sketches bounded to 60 bits and partition-invariant
+    a = {r.id: r.simhash for r in simhash(docs, "doc_id", "text", portable=True).collect()}
+    b = {r.id: r.simhash
+         for r in simhash(docs.repartition(5), "doc_id", "text", portable=True).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 60) for v in a.values())
+    with pytest.raises(ValueError, match="jvm-impl only"):
+        simhash(docs, "doc_id", "text", impl="pandas_udf", portable=True)
