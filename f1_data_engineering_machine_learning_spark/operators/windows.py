@@ -91,10 +91,14 @@ def range_partitioned_rank(
 
     1. ``repartitionByRange`` on ``order_by`` — equal keys colocate, so
        every tie group lives in exactly one range partition;
-    2. count rows per range partition (one tiny aggregation; the
-       per-partition counts — O(num_partitions) values — are the ONLY
-       thing the driver ever holds) and turn them into broadcast
-       cumulative offsets;
+    2. count rows per range partition and turn the counts into
+       cumulative offsets — AS A PLAN, not a driver action: the
+       O(num_partitions)-row counts frame self-joins (broadcast
+       nested-loop over tiny frames) into prefix/suffix sums and
+       broadcast-joins back onto the data by partition id. The operator
+       is fully LAZY — construction runs zero jobs, the driver never
+       holds anything, and within one action ReuseExchange collapses
+       the two appearances of the range exchange;
     3. rank locally inside each range partition (parallel sorts of
        N/partitions rows) and add the range's offset:
        ``global_rank = offset[p] + local_rank``. Descending-order local
@@ -121,11 +125,9 @@ def range_partitioned_rank(
     ``NTILE(k) OVER (ORDER BY v, id)``) in a single operator.
 
     Cost: one range exchange + one hash exchange on the partition id
-    (each moving N rows, all partitions in parallel) + the counts job.
-    The largest single task holds ~N/num_partitions rows — sized by the
-    range sampler, vs N for the naive global window. The counts job runs
-    eagerly at plan-build time (same tier as curate.py's convergence
-    scalar: a num_partitions-sized driver value, never row data).
+    (each moving N rows, all partitions in parallel) + the O(P)-row
+    counts subplan. The largest single task holds ~N/num_partitions
+    rows — sized by the range sampler, vs N for the naive global window.
     """
     order_by = [str(c) for c in order_by]
     tiebreak = [str(c) for c in tiebreak]
@@ -135,35 +137,34 @@ def range_partitioned_rank(
     ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
     tagged = ranged.withColumn("__pid", F.spark_partition_id())
 
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    if total == 0:
-        empty_cols = []
-        for name, typ in (
-            (rank_col, "bigint"), (row_number_col, "bigint"),
-            (percent_rank_col, "double"), (cume_dist_col, "double"),
-            (ntile_col if ntile else None, "int"),
-        ):
-            if name:
-                empty_cols.append(F.lit(None).cast(typ).alias(name))
-        return df.select("*", *empty_cols).limit(0)
-
-    # prefix offsets (rows in ranges BELOW p) and suffix offsets (rows
-    # ABOVE p), broadcast as literal maps — num_partitions entries, not data
-    pids = sorted(counts)
-    prefix, acc = {}, 0
-    for p in pids:
-        prefix[p] = acc
-        acc += counts[p]
-    off_lo = F.create_map(
-        *[F.lit(x) for p in pids for x in (p, prefix[p])]
-    )[F.col("__pid")]
-    off_hi = F.create_map(
-        *[F.lit(x) for p in pids for x in (p, total - prefix[p] - counts[p])]
-    )[F.col("__pid")]
+    # prefix offset __lo (rows in ranges BELOW p), suffix offset __hi
+    # (rows ABOVE p), and the global total __n — computed lazily from the
+    # tiny counts frame via a broadcast non-equi self-join (O(P^2) pairs
+    # over O(P) rows; P = num_partitions), then broadcast back onto the
+    # data. No driver collect anywhere.
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    other = counts.select(
+        F.col("__pid").alias("__q"), F.col("__cnt").alias("__qc")
+    )
+    offsets = (
+        counts.crossJoin(F.broadcast(other))
+        .groupBy("__pid", "__cnt")
+        .agg(
+            F.sum(
+                F.when(F.col("__q") < F.col("__pid"), F.col("__qc")).otherwise(0)
+            ).alias("__lo"),
+            F.sum("__qc").alias("__n"),
+        )
+        .select(
+            "__pid",
+            F.col("__lo").cast("bigint").alias("__lo"),
+            (F.col("__n") - F.col("__lo") - F.col("__cnt"))
+            .cast("bigint")
+            .alias("__hi"),
+            F.col("__n").cast("bigint").alias("__n"),
+        )
+    )
+    tagged = tagged.join(F.broadcast(offsets), "__pid")
 
     asc = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_by])
     desc = Window.partitionBy("__pid").orderBy(*[F.col(c).desc() for c in order_by])
@@ -172,35 +173,40 @@ def range_partitioned_rank(
     )
 
     out = tagged
-    g_rank = (off_lo + F.rank().over(asc)).cast("bigint")
-    g_rn = (off_lo + F.row_number().over(full)).cast("bigint")
+    n = F.col("__n")
+    g_rank = (F.col("__lo") + F.rank().over(asc)).cast("bigint")
+    g_rn = (F.col("__lo") + F.row_number().over(full)).cast("bigint")
     # tie-aware rows-at-or-below: N - (strictly greater) where strictly
     # greater = global desc-rank - 1 (desc rank is tie-aware too)
-    g_cume_n = F.lit(total) - (off_hi + F.rank().over(desc)) + 1
+    g_cume_n = n - (F.col("__hi") + F.rank().over(desc)) + 1
     if rank_col:
         out = out.withColumn(rank_col, g_rank)
     if row_number_col:
         out = out.withColumn(row_number_col, g_rn)
     if percent_rank_col:
-        pr = (
-            F.lit(0.0) if total == 1
-            else (g_rank - 1).cast("double") / F.lit(float(total - 1))
+        pr = F.when(n == 1, F.lit(0.0)).otherwise(
+            (g_rank - 1).cast("double") / (n - 1).cast("double")
         )
         out = out.withColumn(percent_rank_col, pr)
     if cume_dist_col:
         out = out.withColumn(
-            cume_dist_col, g_cume_n.cast("double") / F.lit(float(total))
+            cume_dist_col, g_cume_n.cast("double") / n.cast("double")
         )
     if ntile:
-        base, rem = divmod(total, ntile)
+        base = (n / ntile).cast("bigint")  # exact for N < 2^53
+        rem = n % ntile
         boundary = rem * (base + 1)
-        in_big = g_rn <= boundary
         tile = (
-            F.when(F.lit(base == 0) | in_big, ((g_rn - 1) / (base + 1)).cast("bigint") + 1)
-            .otherwise(F.lit(rem) + ((g_rn - 1 - boundary) / base).cast("bigint") + 1)
+            F.when(
+                g_rn <= boundary, ((g_rn - 1) / (base + 1)).cast("bigint") + 1
+            ).otherwise(
+                # base > 0 whenever any row lands here: boundary covers
+                # all rows when N < ntile (base == 0 => boundary == N)
+                rem + ((g_rn - 1 - boundary) / base).cast("bigint") + 1
+            )
         )
         out = out.withColumn(ntile_col, tile.cast("int"))
-    return out.drop("__pid")
+    return out.drop("__pid", "__lo", "__hi", "__n", "__cnt")
 
 
 def running_agg(

@@ -255,3 +255,22 @@ class TestRangePartitionedRank:
             cume_dist_col="cd", ntile=4,
         ).collect()[0]
         assert (row.rk, row.pr, row.cd, row.ntile) == (1, 0.0, 1.0, 1)
+
+
+def test_range_partitioned_rank_is_lazy(spark):
+    """Construction must run ZERO Spark jobs — the offsets are a plan
+    (broadcast self-join over the counts frame), not a driver collect."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], ["id", "v"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = range_partitioned_rank(
+        df, ["v"], rank_col="rk", percent_rank_col="pr",
+        cume_dist_col="cd", ntile=4, tiebreak=["id"], num_partitions=8,
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert out.count() == 100  # and it still executes fine
