@@ -592,12 +592,12 @@ def rollup_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_xy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_x2,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_y2
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n, sum_x, sum_y, sum_xy,
@@ -614,7 +614,12 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression over identical components on both engines. (Built-in
     ``corr`` accumulates in floating point and drifts with partitioning —
     unusable under an exact-match gate; this is the decomposition that
-    makes second-order statistics reproducible at any scale.)"""
+    makes second-order statistics reproducible at any scale.) The
+    oracle's product sums cast to DOUBLE via VARCHAR: once a decimal's
+    scaled integer exceeds 2^53 (squares of prices do), DuckDB's direct
+    decimal->double cast double-rounds (int128 then /10^scale) and can
+    land 1 ulp off the JVM's correctly-rounded cast — the string route
+    is correctly rounded in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -5453,18 +5458,18 @@ def trending_daily_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
              CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qq,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_pp,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_dd,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qp,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_qd,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_pd
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_qq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_pp,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_dd,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_qp,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_qd,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s_pd
       FROM lineitem
     )
     SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
@@ -5969,3 +5974,68 @@ def doc_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("pooled").alias("pos", "val"),
     ).select("doc", "n_chunks", F.col("pos").cast("int").alias("pos"),
              F.col("val").cast("double").alias("val"))
+
+
+@query(
+    "doc_markup_cleaned",
+    """
+    WITH marked AS (
+      SELECT doc_id, text,
+             '<div class="doc"> <p>' || replace(text, ' ', '</p> <p>')
+               || '</p> </div> &amp; &lt;raw&gt;' AS html
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                   '&quot;', '"', 'g'),
+                 '&#39;', CHR(39), 'g')
+               , '\\s+', ' ', 'g')) AS c0
+      FROM marked
+    ), final AS (
+      SELECT doc_id, text, replace(c0, '&amp;', '&') AS clean
+      FROM cleaned
+    )
+    SELECT doc_id,
+           clean = text || ' & <raw>' AS roundtrip_ok,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM final
+    """,
+)
+def doc_markup_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup cleaning (dataops/text.py::strip_markup) value-checked by
+    ROUNDTRIP: each document is wrapped in deterministic HTML (tags
+    between every word, trailing escaped entities), cleaned, and compared
+    against the expected reconstruction — the boolean and the cleaned
+    length are hashed, so any behavioral drift in tag stripping, entity
+    order, or whitespace collapsing flips the oracle. Both engines run
+    the identical conservative patterns (portable across Java regex and
+    RE2). Map-only, no shuffle.
+
+    NOTE the DuckDB side decodes ``&amp;`` via plain replace AFTER the
+    regex chain — same decode-last ordering as the Spark side."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit('<div class="doc"> <p>'),
+            F.regexp_replace("text", " ", "</p> <p>"),
+            F.lit("</p> </div> &amp; &lt;raw&gt;"),
+        ).alias("html"),
+    )
+    return marked.select(
+        "doc_id",
+        (
+            strip_markup("html") == F.concat(F.col("text"), F.lit(" & <raw>"))
+        ).alias("roundtrip_ok"),
+        F.length(strip_markup("html")).cast("bigint").alias("clean_len"),
+    )

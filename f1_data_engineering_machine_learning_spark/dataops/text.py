@@ -337,3 +337,27 @@ def token_familiarity(
             F.col("sum_freq").cast("double") / F.col("n_tokens") / F.col("__n")
         ).alias("familiarity"),
     )
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/markup cleaning for scraped corpora: drop tags, unescape the
+    five core entities, collapse whitespace — the boilerplate-removal
+    step every web-scrape pipeline runs before tokenization.
+
+    Deliberately conservative and ENGINE-PORTABLE: the tag pattern
+    ``<[^>]+>`` and literal entity replacements behave identically under
+    Java regex and RE2 (no backrefs, no lookaround), so a second engine
+    replays the cleaning bit-for-bit (catalog ``doc_markup_cleaned``).
+    Order matters twice: tags strip BEFORE entity unescape (entities that
+    decode to angle brackets are content, not markup) and ``&amp;``
+    decodes LAST (else ``&amp;lt;`` double-decodes). Map-only expression;
+    no UDF, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        out = F.regexp_replace(out, ent, ch)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

@@ -577,3 +577,24 @@ def test_portable_simhash_candidates(spark):
     assert all(0 <= v < (1 << 60) for v in a.values())
     with pytest.raises(ValueError, match="jvm-impl only"):
         simhash(docs, "doc_id", "text", impl="pandas_udf", portable=True)
+
+
+def test_strip_markup_edges(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.text import strip_markup
+
+    rows = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("a &amp;&amp; b", "a && b"),
+        ("&amp;lt; stays encoded once", "&lt; stays encoded once"),  # no double-decode
+        ("<br/>x<hr >y", "x y"),
+        ("  <div>  spaced   out </div>  ", "spaced out"),
+        ("no markup at all", "no markup at all"),
+        ("&lt;kept&gt; literal tags", "<kept> literal tags"),  # decoded AFTER strip
+    ]
+    df = spark.createDataFrame(rows, ["raw", "want"])
+    bad = df.select(strip_markup("raw").alias("got"), "want").filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0, bad.collect()
