@@ -6039,3 +6039,59 @@ def doc_markup_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roundtrip_ok"),
         F.length(strip_markup("html")).cast("bigint").alias("clean_len"),
     )
+
+
+@query(
+    "rolling_7d_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS d,
+           CAST(COUNT(DISTINCT du.u) AS BIGINT) AS exact_7d,
+           TRUE AS est_within_5pct
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE sketches: one HLL per
+    day, then ``hll_union_agg`` over a 7-day RANGE window — each day's
+    estimate reuses the stored daily sketches instead of rescanning a
+    week of raw events, the sliding-window sibling of
+    ``daily_distinct_sketch_rollup``. The window is unpartitioned BUT
+    runs over the per-day frame, whose size is bounded by the CALENDAR
+    (3650 rows per decade), not by data volume — the sanctioned
+    exception to the no-global-window rule. The oracle is the exact
+    rolling distinct (scaffold join, both engines) plus the hashed claim
+    that every day's sketch estimate lands within 5% of exact."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(F.to_date("ts").alias("d"), F.col("user_id").alias("u")).distinct()
+    daily = du.groupBy("d").agg(
+        F.hll_sketch_agg("u").alias("sk"),
+    )
+    w = Window.orderBy(F.unix_date("d")).rangeBetween(-6, 0)
+    est = daily.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("__est")
+    )
+    days = du.select("d").distinct().select(F.col("d").alias("__day"))
+    exact = (
+        days.join(
+            du,
+            (F.col("d") >= F.date_sub(F.col("__day"), 6))
+            & (F.col("d") <= F.col("__day")),
+        )
+        .groupBy("__day")
+        .agg(F.count_distinct("u").cast("bigint").alias("exact_7d"))
+    )
+    return est.join(exact, est.d == exact.__day).select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "exact_7d",
+        (
+            F.abs(F.col("__est") - F.col("exact_7d"))
+            / F.col("exact_7d")
+            <= 0.05
+        ).alias("est_within_5pct"),
+    )
