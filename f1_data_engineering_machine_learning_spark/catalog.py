@@ -6095,3 +6095,73 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_within_5pct"),
     )
+
+
+@query(
+    "embedding_incremental_near_dups",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), twins AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(
+               list_zip(v, range(0, len(v))),
+               p -> p[1] + 0.002 * CAST(((vec_id + p[2]) % 5) - 2 AS DOUBLE)
+             ) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ), allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM twins
+    )
+    SELECT t.vec_id AS batch_id, b.vec_id AS match_id,
+           CAST(list_reduce(list_transform(list_zip(t.v, b.v),
+                                           p -> p[1] * p[2]), (x, y) -> x + y)
+                / (sqrt(list_reduce(list_transform(t.v, x -> x * x),
+                                    (x, y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                      (x, y) -> x + y)))
+                AS DOUBLE) AS cosine_sim,
+           CASE WHEN b.vec_id >= 10000000 THEN 'batch' ELSE 'corpus' END
+             AS match_side
+    FROM twins t JOIN allv b
+      ON (b.vec_id < 10000000 OR t.vec_id < b.vec_id)
+     AND t.vec_id != b.vec_id
+    WHERE CAST(list_reduce(list_transform(list_zip(t.v, b.v),
+                                          p -> p[1] * p[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(t.v, x -> x * x),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                     (x, y) -> x + y)))
+               AS DOUBLE) >= 0.95
+    """,
+)
+def embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup: a new batch (the planted twins)
+    screened against the existing corpus + itself via RP-LSH blocking —
+    never corpus x corpus, the property that keeps daily ingestion cost
+    proportional to the batch (dataops/similarity.py::
+    embedding_incremental_dup_pairs; completes the incremental family:
+    exact / MinHash / embeddings). Every twin must find its base on the
+    'corpus' side — the exact batch-vs-all oracle makes recall 1.0 part
+    of the value hash."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        embedding_incremental_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.lit(0.002)
+            * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
+        ).alias("v"),
+    )
+    return embedding_incremental_dup_pairs(
+        base, twins, id_col="vec_id", vec_col="v",
+        threshold=0.95, n_planes=16, n_tables=6, dim=64,
+    )

@@ -810,3 +810,82 @@ def pool_chunk_embeddings(
     else:
         pooled = mean
     return grouped.select(group_col, "n_chunks", pooled.alias("pooled"))
+
+
+def embedding_incremental_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental near-dup detection for embeddings: every pair between
+    a NEW batch and the existing corpus (plus batch-internal pairs) at
+    cosine >= threshold — NEVER corpus x corpus, which is what makes
+    daily ingestion affordable: cost scales with |batch| x collisions,
+    not the corpus (mirrors ``incremental_exact_dedup`` /
+    ``incremental_minhash_pairs`` for the embedding family).
+
+    Same RP-LSH blocking as :func:`embedding_cosine_dup_pairs_blocked`
+    (deterministic hyperplanes, id-only candidate join, exact verify),
+    but candidates come from joining BATCH bucket rows against
+    (corpus + batch) bucket rows — the corpus side contributes only
+    bucket collisions with the batch. Output: (batch_id, match_id,
+    cosine_sim, match_side 'corpus'|'batch'); batch-internal pairs
+    emit once (i < j).
+    """
+    bucket_udf = _np_bucket_udf(n_tables, n_planes, dim)
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        return base.select(
+            "__id",
+            F.lit(side).alias("__side"),
+            F.posexplode(bucket_udf(_as_double(F.col("__v")))).alias(
+                "__table", "__bucket"
+            ),
+        )
+
+    hb = hashed(batch, "batch")
+    hc = hashed(corpus, "corpus").unionByName(hb)
+    a = hb.select("__table", "__bucket", F.col("__id").alias("i"))
+    b = hc.select(
+        "__table", "__bucket", F.col("__id").alias("j"), F.col("__side").alias("side")
+    )
+    cand = (
+        a.join(b, ["__table", "__bucket"])
+        .filter((F.col("side") == "corpus") | (F.col("i") < F.col("j")))
+        .select("i", "j", "side")
+        .dropDuplicates(["i", "j"])
+    )
+    withnorm_b = batch.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("__va"),
+        l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__na"),
+    )
+    allv = corpus.select(
+        F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"),
+        l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__nb"),
+    ).unionByName(
+        batch.select(
+            F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"),
+            l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__nb"),
+        )
+    )
+    pairs = cand.join(withnorm_b, "i").join(allv, "j")
+    sim = (
+        dot_fixed(F.col("__va"), F.col("__vb"), dim)
+        / (F.col("__na") * F.col("__nb"))
+    ).cast("double")
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("i").alias("batch_id"),
+            F.col("j").alias("match_id"),
+            "cosine_sim",
+            F.col("side").alias("match_side"),
+        )
+    )

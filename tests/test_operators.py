@@ -274,3 +274,36 @@ def test_range_partitioned_rank_is_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert out.count() == 100  # and it still executes fine
+
+
+def test_range_partitioned_rank_null_order_values(spark):
+    """NULL order values rank first (Spark ASC NULLS FIRST default),
+    matching the single-window formulation exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 1), (5, 5)],
+        "id int, v int",
+    )
+    got = {
+        r.id: (r.rk, r.cd)
+        for r in range_partitioned_rank(
+            df, ["v"], rank_col="rk", cume_dist_col="cd",
+            tiebreak=["id"], num_partitions=3,
+        ).collect()
+    }
+    w = Window.orderBy("v")
+    want = {
+        r.id: (r.rk, r.cd)
+        for r in df.select(
+            "id",
+            F.rank().over(w).cast("bigint").alias("rk"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == want
