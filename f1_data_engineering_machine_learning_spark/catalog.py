@@ -118,6 +118,12 @@ _GATE_PRIORITY = [
     "purchase_click_attribution_window",
     "doc_token_familiarity",
     "doc_split_assignment",
+    "embedding_incremental_near_dups",
+    "simhash_dup_candidates_docs",
+    "daily_distinct_sketch_rollup",
+    "rolling_7d_distinct_users",
+    "doc_pooled_embeddings",
+    "doc_markup_cleaned",
 ]
 
 
@@ -6164,4 +6170,61 @@ def embedding_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_incremental_dup_pairs(
         base, twins, id_col="vec_id", vec_col="v",
         threshold=0.95, n_planes=16, n_tables=6, dim=64,
+    )
+
+
+@query(
+    "customer_time_weighted_balance",
+    """
+    WITH obs AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(30,6)) AS v
+      FROM orders
+    ), dedup AS (
+      SELECT o_custkey, d, MAX(v) AS v FROM obs GROUP BY o_custkey, d
+    ), spans AS (
+      SELECT o_custkey, d, v,
+             COALESCE(date_diff('day', d,
+               LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d)), 1) AS days
+      FROM dedup
+    )
+    SELECT o_custkey,
+           CAST(CAST(SUM(v * days) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(days) AS DOUBLE) AS twa,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(days) AS BIGINT) AS days_covered
+    FROM spans GROUP BY o_custkey
+    """,
+)
+def customer_time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average order price per customer
+    (operators/gapfill.py::time_weighted_avg): each order's price is
+    weighted by the days until the customer's next order — the mean that
+    doesn't over-weight bursts, used for balances/sensor state. Weights
+    are integer days and values DECIMAL, so both sums are exact and the
+    one final division value-hashes bitwise (the oracle routes its
+    decimal->double cast via VARCHAR per the 2^53 rule). Same-day
+    duplicate orders collapse to the max price first (deterministic),
+    since a same-day pair would get weight 0 and an engine-dependent
+    LEAD order."""
+    from f1_data_engineering_machine_learning_spark.operators.gapfill import (
+        time_weighted_avg,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            F.col("o_totalprice").cast("decimal(30,6)").alias("v"),
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.max("v").alias("v"))
+    )
+    out = time_weighted_avg(obs, ["o_custkey"], "d", "v")
+    return out.select(
+        "o_custkey",
+        F.col("twa").cast("double").alias("twa"),
+        "n_obs",
+        "days_covered",
     )

@@ -244,3 +244,49 @@ def interpolate_linear(
         lerp.alias(f"{value_col}_lerp"),
         (F.col("d") == F.col("__obs_d")).alias("observed"),
     )
+
+
+def time_weighted_avg(
+    observations: DataFrame,
+    entity_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per entity: each observation's value counts
+    for the number of DAYS it remained current (until the next
+    observation; the last one counts 1 day) — the correct mean for
+    irregularly sampled state (account balances, sensor readings,
+    prices), where the arithmetic mean over-weights busy periods.
+
+    Exactness: weights are integer day counts, values go through
+    DECIMAL, so ``sum(value*days)`` and ``sum(days)`` are exact and the
+    single final division is the only float op — bitwise reproducible
+    across engines/partitionings (the catalog value-oracles it). Plan:
+    one entity-partitioned window (lead) + one aggregation on the same
+    key — the aggregation reuses the window's exchange.
+
+    Output: entity cols, ``twa`` (double), ``n_obs``, ``days_covered``.
+    """
+    entity_cols = list(entity_cols)
+    w = Window.partitionBy(*entity_cols).orderBy(date_col)
+    spans = observations.withColumn(
+        "__days",
+        F.coalesce(
+            F.datediff(F.lead(date_col).over(w), F.col(date_col)), F.lit(1)
+        ).cast("long"),
+    )
+    v = F.col(value_col).cast("decimal(30,6)")
+    return (
+        spans.groupBy(*entity_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("__days").cast("bigint").alias("days_covered"),
+            F.sum(v * F.col("__days")).alias("__wsum"),
+        )
+        .select(
+            *entity_cols,
+            (F.col("__wsum").cast("double") / F.col("days_covered")).alias("twa"),
+            "n_obs",
+            "days_covered",
+        )
+    )

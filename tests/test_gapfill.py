@@ -103,3 +103,26 @@ def test_interpolate_linear_duplicate_observations(spark):
     # greatest duplicate (10.0) anchors the interpolation toward 50.0
     assert [r.v_lerp for r in out] == [10.0, 20.0, 30.0, 40.0, 50.0]
     assert [r.observed for r in out] == [True, False, False, False, True]
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    """Each value weighted by days-until-next; last observation counts 1
+    day; exact rational result."""
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators.gapfill import (
+        time_weighted_avg,
+    )
+
+    d = dt.date
+    obs = spark.createDataFrame(
+        # e: 10.0 for 3 days (1st->4th), 40.0 for 1 day (last) => (30+40)/4
+        [("e", d(2024, 1, 1), 10.0), ("e", d(2024, 1, 4), 40.0),
+         # f: single observation => its own value
+         ("f", d(2024, 1, 1), 7.5)],
+        ["k", "dt", "v"],
+    )
+    got = {r.k: (r.twa, r.n_obs, r.days_covered)
+           for r in time_weighted_avg(obs, ["k"], "dt", "v").collect()}
+    assert got["e"] == ((10.0 * 3 + 40.0 * 1) / 4, 2, 4)
+    assert got["f"] == (7.5, 1, 1)
