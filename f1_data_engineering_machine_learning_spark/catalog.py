@@ -103,6 +103,8 @@ def query(name: str, oracle: str | None = None):
 #: weaker rows-only evidence reached them. Everything not listed keeps
 #: registration (file) order behind these; total content is identical.
 _GATE_PRIORITY = [
+    "order_pit_features",
+    "copurchase_pagerank",
     "purchase_asof_click",
     "click_nearest_purchase",
     "session_incident_overlaps",
@@ -6227,4 +6229,178 @@ def customer_time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("twa").cast("double").alias("twa"),
         "n_obs",
         "days_covered",
+    )
+
+
+@query(
+    "order_pit_features",
+    """
+    WITH day_spend AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS pit_ts,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_spend,
+             CAST(COUNT(*) AS BIGINT) AS day_orders
+      FROM orders GROUP BY 1, 2
+    ), ev AS (
+      SELECT user_id AS o_custkey, ts AS pit_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ev_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           d.day_spend AS prev_day_spend,
+           d.day_orders AS prev_day_orders,
+           e.ev_value AS last_event_value,
+           strftime(e.pit_ts, '%Y-%m-%d %H:%M:%S') AS last_event_ts
+    FROM orders o
+    ASOF LEFT JOIN day_spend d
+      ON o.o_custkey = d.o_custkey AND o.o_orderdate > d.pit_ts
+    ASOF LEFT JOIN ev e
+      ON o.o_custkey = e.o_custkey AND o.o_orderdate >= e.pit_ts
+    """,
+)
+def order_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store correctness
+    pattern: a label spine (every order) enriched from TWO feature tables
+    with as-of semantics and no leakage. Feature 1: the customer's most
+    recent STRICTLY-earlier order-day spend (their own history, strict
+    backward so the label row never sees itself). Feature 2: the latest
+    event value at-or-before the order. Each feature table is
+    pre-aggregated to one row per (entity, ts) so the as-of pick is
+    well-defined on both engines; each attach is one union-and-carry
+    as-of join (operators/asof.py — single shuffle each, no row
+    explosion, never an inequality-join blowup). The oracle chains two
+    native DuckDB ASOF LEFT JOINs, making this a cross-engine check of
+    chained as-of semantics (strict > AND non-strict >=) in one plan.
+    At 100 TB both attaches shuffle on the same entity key, so the
+    spine's partitioning is reused across features (ReuseExchange).
+    Reference parity: SURVEY §2 J2/P3 (temporal joins), generalized to
+    the multi-feature PIT shape every training pipeline needs."""
+    from f1_data_engineering_machine_learning_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    spine = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("pit_ts"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    day_spend = (
+        o.groupBy("o_custkey", F.col("o_orderdate").alias("pit_ts"))
+        .agg(
+            dsum("o_totalprice").alias("day_spend"),
+            F.count(F.lit(1)).alias("day_orders"),
+        )
+    )
+    ev = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("o_custkey"), F.col("ts").alias("pit_ts"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("ev_value")
+        )
+    )
+    step1 = asof_join(
+        spine, day_spend, ["o_custkey"], "pit_ts",
+        ["day_spend", "day_orders"], strict=True,
+    )
+    step2 = asof_join(
+        step1, ev, ["o_custkey"], "pit_ts", ["ev_value", "pit_ts"],
+        suffix="_ev",
+    )
+    return step2.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.to_date("pit_ts"), "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.col("day_spend_asof").alias("prev_day_spend"),
+        F.col("day_orders_asof").alias("prev_day_orders"),
+        F.col("ev_value_ev").alias("last_event_value"),
+        F.date_format("pit_ts_ev", "yyyy-MM-dd HH:mm:ss").alias("last_event_ts"),
+    )
+
+
+@query(
+    "copurchase_pagerank",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+    ), pr0 AS (
+      SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg
+    ), it1 AS (
+      SELECT e.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * (SUM(CAST(FLOOR(p.pr / d.outdeg * 1e9) AS BIGINT)) / 1e9) AS pr
+      FROM edges e
+      JOIN pr0 p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ), it2 AS (
+      SELECT e.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * (SUM(CAST(FLOOR(p.pr / d.outdeg * 1e9) AS BIGINT)) / 1e9) AS pr
+      FROM edges e
+      JOIN it1 p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ), it3 AS (
+      SELECT e.dst AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * (SUM(CAST(FLOOR(p.pr / d.outdeg * 1e9) AS BIGINT)) / 1e9) AS pr
+      FROM edges e
+      JOIN it2 p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    )
+    SELECT node AS part, CAST(pr AS DOUBLE) AS pagerank FROM it3
+    """,
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (operators/graph.py):
+    the same symmetric edge set as ``copurchased_parts`` (pairs sharing
+    >= 2 orders, both directions), 3 fixed iterations, damping 0.85 —
+    graph centrality as corpus/product influence scoring. Each iteration
+    is one edges-to-ranks join plus one destination aggregate (the
+    Pregel message round as DataFrame ops); per-edge contributions are
+    quantized to exact integer nano-units so the BIGINT sum is
+    associative and the value hash is engine- and partitioning-
+    independent (the catalog's decimal-sum rule, applied to an iterative
+    float algorithm). The oracle unrolls the identical 3 iterations as
+    chained CTEs — a cross-engine replay of a LOOP, not just one query.
+    Fixed iteration count (vs convergence stop) keeps the oracle exact;
+    the operator itself takes ``iterations`` as a knob."""
+    from f1_data_engineering_machine_learning_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part"), F.col("pr").cast("double").alias("pagerank")
     )

@@ -1,0 +1,58 @@
+"""PageRank (operators/graph.py): fixed-point, hand-computed, and
+partition-invariance checks. The cross-engine loop replay lives in the
+catalog oracle (`copurchase_pagerank`); these cover the operator's
+algebra directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_regular_graph_is_fixed_point(spark):
+    # triangle (3-regular-symmetric): every node has equal in/out mass,
+    # so PR stays at its teleport fixed point 1.0 every iteration
+    tri = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    out = {r["node"]: r["pr"] for r in pagerank(_edges(spark, tri), iterations=4).collect()}
+    assert set(out) == {1, 2, 3}
+    for v in out.values():
+        assert v == pytest.approx(1.0, abs=1e-8)
+
+
+def test_one_iteration_matches_hand_computation(spark):
+    # star: hub 1 <-> leaves 2,3,4 (symmetric). outdeg(1)=3, outdeg(leaf)=1.
+    # After 1 iter: pr(1) = 0.15 + 0.85*(1+1+1) = 2.7
+    #              pr(leaf) = 0.15 + 0.85*(1/3) ~ 0.43333 (quantized 1e-9)
+    star = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)]
+    out = {r["node"]: r["pr"] for r in pagerank(_edges(spark, star), iterations=1).collect()}
+    assert out[1] == pytest.approx(2.7, abs=1e-8)
+    for leaf in (2, 3, 4):
+        assert out[leaf] == pytest.approx(0.15 + 0.85 / 3, abs=1e-6)
+
+
+def test_mass_conservation_symmetric(spark):
+    # symmetric graph, no dangling mass: total PR == n_nodes at every
+    # iteration (up to quantization), the unnormalized-PageRank invariant
+    pairs = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]]
+    sym = pairs + [(b, a) for a, b in pairs]
+    pr = pagerank(_edges(spark, sym), iterations=3)
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert total == pytest.approx(4.0, abs=1e-6)
+
+
+def test_partition_invariance_bitwise(spark):
+    # the quantized-BIGINT formulation makes the result independent of
+    # physical partitioning — the property the catalog oracle relies on
+    pairs = [(i % 17, (i * 7) % 17) for i in range(200) if i % 17 != (i * 7) % 17]
+    sym = pairs + [(b, a) for a, b in pairs]
+    e1 = _edges(spark, sym).repartition(1)
+    e32 = _edges(spark, sym).repartition(32)
+    r1 = {r["node"]: r["pr"] for r in pagerank(e1, iterations=3).collect()}
+    r32 = {r["node"]: r["pr"] for r in pagerank(e32, iterations=3).collect()}
+    assert r1 == r32  # bit-identical, not approx
