@@ -105,6 +105,7 @@ def query(name: str, oracle: str | None = None):
 _GATE_PRIORITY = [
     "order_pit_features",
     "copurchase_pagerank",
+    "heavy_hitter_tokens",
     "purchase_asof_click",
     "click_nearest_purchase",
     "session_incident_overlaps",
@@ -6404,3 +6405,39 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("part"), F.col("pr").cast("double").alias("pagerank")
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_count FROM toks
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS item_count, tot.total_count
+    FROM toks CROSS JOIN tot
+    GROUP BY token, tot.total_count
+    HAVING COUNT(*) > CAST(0.002 AS DOUBLE) * tot.total_count
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters over the corpus token stream
+    (dataops/heavyhitters.py): tokens with share > 0.2%, found via
+    per-partition Misra-Gries summaries (bounded memory, candidates are
+    a guaranteed superset) then an exact broadcast-filtered recount.
+    Unlike ``vocabulary_top_terms`` (full token-multiset shuffle), this
+    never shuffles non-candidate tokens — two cheap column scans replace
+    the one expensive shuffle, the right trade at 100 TB where the token
+    multiset is trillions of rows but the answer is <= 1/phi rows. The
+    oracle is the plain exact GROUP BY + HAVING, so the gate checks the
+    sketch's exactness claim, not an approximation."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        heavy_hitters,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.002)

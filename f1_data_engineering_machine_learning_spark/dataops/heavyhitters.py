@@ -1,0 +1,115 @@
+"""Exact phi-heavy-hitters in two bounded-memory passes (Misra-Gries).
+
+The problem at 100 TB: "which tokens make up more than phi of the corpus?"
+A full ``groupBy(token).count()`` shuffles the ENTIRE token multiset —
+trillions of rows — to answer a question whose output is at most ``1/phi``
+rows. The sketch route bounds that:
+
+Pass 1 (candidates): each partition runs a Misra-Gries summary with
+``capacity = ceil(1/phi)`` counters — O(capacity) memory regardless of
+partition size. Pigeonhole guarantee: any item with global frequency
+``> phi * n`` has frequency ``> phi * n_p`` in at least one partition, and
+an MG summary of capacity ``ceil(1/phi)`` retains every item with local
+share above ``phi`` — so the union of per-partition candidates is a
+SUPERSET of the true heavy hitters (with false positives, never false
+negatives). Only the tiny candidate sets cross the network.
+
+Pass 2 (exact refine): re-scan with the candidate set as a broadcast hash
+semi-filter (map-side, no shuffle of non-candidates), exact-count the
+survivors, and keep those with ``count > phi * n``. The result is EXACT —
+bit-identical to the full groupBy — which is what lets a plain SQL
+``HAVING count > phi * n`` serve as the oracle.
+
+Two scans of the source vs one full-multiset shuffle: at scale the scan is
+cheap (columnar, pushed-down projection of one column) and the shuffle is
+the bottleneck, so this trades the expensive resource for the cheap one.
+
+The MG loop is per-partition sequential state — the sanctioned
+``mapInPandas`` tier (Arrow-batched, bounded dict, no Python in the
+refine pass).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["misra_gries_candidates", "heavy_hitters"]
+
+
+def _mg_update(counters: dict, value, capacity: int) -> None:
+    if value in counters:
+        counters[value] += 1
+    elif len(counters) < capacity:
+        counters[value] = 1
+    else:
+        # decrement-all step; drop zeros (amortized O(1) via dict rebuild)
+        dead = []
+        for k in counters:
+            counters[k] -= 1
+            if counters[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del counters[k]
+
+
+def misra_gries_candidates(
+    items: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: ``(item, mg_count)``.
+
+    ``mg_count`` underestimates the partition-local count by at most
+    ``n_p / (capacity + 1)``; items absent from every summary are
+    guaranteed to have local share ``< 1/(capacity+1)`` everywhere.
+    """
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is not None:
+                    _mg_update(counters, v, capacity)
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    src = items.select(col).filter(F.col(col).isNotNull())
+    schema_type = dict(src.dtypes)[col]
+    return src.mapInPandas(_summarize, schema=f"{col} {schema_type}, mg_count long")
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, phi: float, count_expr: Column | None = None
+) -> DataFrame:
+    """All items with frequency ``> phi * n`` and their EXACT counts.
+
+    Strictly greater: the Misra-Gries superset guarantee covers items
+    with share strictly above ``phi`` (an item at exactly ``phi * n``
+    can evade every partition summary), so the refine filter is ``>``
+    on both the operator and any oracle. Returns
+    ``(item, item_count, total_count)`` — exact, two passes, bounded
+    executor memory; candidate state per task is ``ceil(1/phi)``
+    counters.
+    """
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    capacity = math.ceil(1.0 / phi)
+    src = items.select(col).filter(F.col(col).isNotNull())
+    candidates = (
+        misra_gries_candidates(src, col, capacity).select(col).distinct()
+    )
+    total = src.agg(F.count(F.lit(1)).alias("total_count"))
+    exact = (
+        src.join(F.broadcast(candidates), col)  # map-side hash semi-filter
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("item_count") > F.lit(phi) * F.col("total_count"))
+        .select(col, "item_count", "total_count")
+    )

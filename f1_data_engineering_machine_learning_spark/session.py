@@ -69,6 +69,14 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime semi-join reduction: when a selective dim-side filter
+        # survives to a shuffle join, inject a Bloom filter of the dim's
+        # join keys into the fact scan (Catalyst's InjectRuntimeFilter).
+        # At 100 TB this is the difference between shuffling the whole
+        # fact table and shuffling only rows that can possibly match —
+        # the declarative counterpart of a hand-built bloom pre-join.
+        # No effect on broadcast joins (DPP/broadcast already prunes).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Long sessions (the 100+-query bench) generate thousands of
         # whole-stage-codegen classes; the JVM's default 240 MB reserved

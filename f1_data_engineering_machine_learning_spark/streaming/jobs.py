@@ -77,6 +77,26 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup for RETRIED records whose event times differ:
+    ``dropDuplicatesWithinWatermark`` treats two rows with equal keys as
+    duplicates whenever their event times land within the watermark delay
+    of each other — the at-least-once-ingest case (producer retries stamp
+    a fresh ts, so plain ``dropDuplicates(key + ts)`` would keep both,
+    and ``dropDuplicates(key)`` without ts in the key could never expire
+    state deterministically). State per key expires one watermark after
+    its FIRST occurrence, so memory stays bounded by the horizon's key
+    cardinality at any scale."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def click_attribution_stream(
     events: DataFrame,
     max_lag: str = "30 minutes",

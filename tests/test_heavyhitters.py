@@ -1,0 +1,70 @@
+"""Misra-Gries two-pass exact heavy hitters (dataops/heavyhitters.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+    heavy_hitters,
+    misra_gries_candidates,
+)
+
+
+def _items(spark, values, parts=8):
+    return spark.createDataFrame(
+        [(v,) for v in values], "item string"
+    ).repartition(parts)
+
+
+def test_exactly_matches_full_groupby(spark):
+    # Zipf-ish: item i appears 1000 // (i + 1) times
+    vals = [f"t{i}" for i in range(60) for _ in range(1000 // (i + 1))]
+    df = _items(spark, vals)
+    phi = 0.02
+    got = {
+        (r["item"], r["item_count"], r["total_count"])
+        for r in heavy_hitters(df, "item", phi).collect()
+    }
+    n = len(vals)
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    want = {(k, c, n) for k, c in exact.items() if c > phi * n}
+    assert got == want and len(want) > 0
+
+
+def test_candidates_are_superset_under_adversarial_tail(spark):
+    # one true heavy hitter drowned in a sea of distinct singletons — the
+    # MG decrement storm's worst case; the hitter must still survive
+    vals = ["HOT"] * 300 + [f"u{i}" for i in range(5000)]
+    df = _items(spark, vals, parts=16)
+    phi = 0.05  # 300 / 5300 ~ 5.7% > phi
+    cands = {
+        r["item"]
+        for r in misra_gries_candidates(df, "item", capacity=20).collect()
+    }
+    assert "HOT" in cands
+    got = heavy_hitters(df, "item", phi).collect()
+    assert [(r["item"], r["item_count"]) for r in got] == [("HOT", 300)]
+
+
+def test_partition_count_does_not_change_result(spark):
+    vals = ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(200)]
+    for parts in (1, 4, 32):
+        got = {
+            (r["item"], r["item_count"])
+            for r in heavy_hitters(_items(spark, vals, parts), "item", 0.1).collect()
+        }
+        assert got == {("a", 50), ("b", 30)}
+
+
+def test_nulls_excluded_and_phi_validated(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "item string")
+    got = heavy_hitters(df, "item", 0.5).collect()
+    # n = 3 non-null; only 'a' (2/3) exceeds 0.5
+    assert [(r["item"], r["item_count"], r["total_count"]) for r in got] == [
+        ("a", 2, 3)
+    ]
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "item", 0.0)
