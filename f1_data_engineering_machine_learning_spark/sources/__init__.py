@@ -22,3 +22,7 @@ from f1_data_engineering_machine_learning_spark.sql_runner import (  # noqa: F40
     run_sql,
     run_sql_file,
 )
+from f1_data_engineering_machine_learning_spark.sources.f1_api import (  # noqa: F401
+    F1ResultsDataSource,
+    register as register_f1_source,
+)
