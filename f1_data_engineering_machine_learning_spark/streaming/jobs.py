@@ -133,6 +133,44 @@ def click_attribution_stream(
     ).select("purchase_id", "user_id", "ts", "click_id", "click_ts", "value")
 
 
+def unattributed_clicks_stream(
+    events: DataFrame,
+    max_lead: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with the user's first
+    purchase within ``max_lead`` AFTER it when one exists, else NULLs —
+    the conversion-funnel stream (unconverted clicks are the product
+    signal, so an inner join is wrong). Outer semantics force the engine
+    to hold each click until the watermark proves no matching purchase
+    can still arrive (click_ts + max_lead + watermark), THEN emit the
+    NULL row — so null emission is watermark-driven and state stays
+    bounded. The time-bound on the purchase side is mandatory: Spark
+    rejects an un-bounded outer stream-stream join outright because its
+    state could never be evicted."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"), "value")
+        .withWatermark("ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") >= F.col("click_ts"))
+        & (F.col("ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_lead}")),
+        "left_outer",
+    ).select("click_id", "c_user", "click_ts", "purchase_id", "ts", "value")
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,
