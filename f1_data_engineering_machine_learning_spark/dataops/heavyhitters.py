@@ -41,20 +41,17 @@ from pyspark.sql import functions as F
 __all__ = ["misra_gries_candidates", "heavy_hitters"]
 
 
-def _mg_update(counters: dict, value, capacity: int) -> None:
-    if value in counters:
-        counters[value] += 1
-    elif len(counters) < capacity:
-        counters[value] = 1
-    else:
-        # decrement-all step; drop zeros (amortized O(1) via dict rebuild)
-        dead = []
-        for k in counters:
-            counters[k] -= 1
-            if counters[k] == 0:
-                dead.append(k)
-        for k in dead:
-            del counters[k]
+def _mg_merge(counters: dict, batch_counts: dict, capacity: int) -> dict:
+    """Merge exact batch counts into an MG summary (Agarwal et al.'s
+    mergeable-summaries rule): add, then if over capacity subtract the
+    (capacity+1)-th largest count from everything and drop non-positives.
+    Total decrement stays <= n_p/(capacity+1), the MG error bound."""
+    for k, c in batch_counts.items():
+        counters[k] = counters.get(k, 0) + int(c)
+    if len(counters) > capacity:
+        offset = sorted(counters.values(), reverse=True)[capacity]
+        counters = {k: c - offset for k, c in counters.items() if c > offset}
+    return counters
 
 
 def misra_gries_candidates(
@@ -65,14 +62,16 @@ def misra_gries_candidates(
     ``mg_count`` underestimates the partition-local count by at most
     ``n_p / (capacity + 1)``; items absent from every summary are
     guaranteed to have local share ``< 1/(capacity+1)`` everywhere.
+    Each Arrow batch is counted exactly with vectorized ``value_counts``
+    (C speed, no per-row Python) and folded into the bounded summary —
+    the summary dict, not the batch, is the only sequential state.
     """
 
     def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col]:
-                if v is not None:
-                    _mg_update(counters, v, capacity)
+            vc = pdf[col].value_counts(dropna=True)
+            counters = _mg_merge(counters, vc.to_dict(), capacity)
         yield pd.DataFrame(
             {col: list(counters.keys()), "mg_count": list(counters.values())}
         )

@@ -52,11 +52,23 @@ def pagerank(
     GraphX behavior. Returns ``(node, pr)``.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if iterations > 1:
+        # every iteration (and the degree count) references the edge
+        # frame; without materialization Catalyst re-executes the whole
+        # upstream edge-build per reference (measured: zero ReusedExchange
+        # across AQE stage boundaries). A LAZY local checkpoint pins the
+        # edges to executor blocks on first use — the standard in-job
+        # materialization for iterative graph state (lost-executor => job
+        # retry, acceptable for derived in-flight state, unlike the
+        # table-rewrite case in dataops/governance.py).
+        e = e.localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # one shuffle to co-locate edges with their source's rank; reused by
-    # every iteration below
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     ew = e.join(deg, "src")  # (src, dst, outdeg)
+    if iterations > 1:
+        # co-located (edge, outdeg) pairs: one shuffle, then every
+        # iteration's join reads these blocks instead of re-deriving them
+        ew = ew.localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
