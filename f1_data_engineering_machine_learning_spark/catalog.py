@@ -6441,3 +6441,63 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = docs.select(F.explode(tokens("text")).alias("token"))
     return heavy_hitters(toks, "token", phi=0.002)
+
+
+@query(
+    "customer_spend_year_diff",
+    """
+    WITH y97 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ), y98 AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.spend IS NOT DISTINCT FROM b.spend
+                 AND a.n_orders IS NOT DISTINCT FROM b.n_orders
+                THEN 'identical' ELSE 'changed' END AS status,
+           a.spend AS spend_left, b.spend AS spend_right,
+           a.n_orders AS n_orders_left, b.n_orders AS n_orders_right
+    FROM y97 a FULL OUTER JOIN y98 b ON a.o_custkey = b.o_custkey
+    """,
+)
+def customer_spend_year_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff / reconciliation (operators/diff.py::table_diff): the
+    per-customer 1997 spend snapshot against the 1998 snapshot — which
+    customers appeared, disappeared, or changed between two versions of
+    a keyed table. ONE full-outer sort-merge join on the key (the only
+    FULL OUTER shape in the catalog), null-safe column comparison JVM-
+    side. The reconciliation every backfill/rewrite pipeline needs
+    ("what did this run change?") and the verification half of the
+    staged compliance delete."""
+    from f1_data_engineering_machine_learning_spark.operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                dsum("o_totalprice").alias("spend"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    return table_diff(snap(1997), snap(1998), ["o_custkey"])
