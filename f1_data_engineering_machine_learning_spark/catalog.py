@@ -6501,3 +6501,50 @@ def customer_spend_year_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return table_diff(snap(1997), snap(1998), ["o_custkey"])
+
+
+@query(
+    "temperature_mixture_docs",
+    """
+    WITH totals AS (
+      SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+      FROM documents GROUP BY 1
+    ), sc AS (
+      SELECT MIN(w / sqrt(w)) AS scale FROM totals
+    ), fr AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), sqrt(w) * sc.scale / w) * 100)
+                  AS BIGINT) AS thresh
+      FROM totals CROSS JOIN sc
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN fr ON d.source = fr.source
+    WHERE d.doc_id % 100 < fr.thresh
+    """,
+)
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus mixture (dataops/sampling.py::
+    temperature_targets + mixture_sample): per-source character mass is
+    raised to alpha=0.5, so low-resource sources keep a larger share —
+    the standard pre-training mixing knob. Every number on the decision
+    path is one IEEE operation per domain (exact integer char sums,
+    correctly-rounded sqrt, one divide, floor to an integer threshold,
+    key mod 100) — no seeded RNG, no accumulation-order floats — so the
+    DuckDB oracle replays the ENTIRE mixture computation, thresholds
+    included, bit-for-bit. The keep decision is content-based (doc_id),
+    deterministic under any partitioning/resume."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        mixture_sample,
+        temperature_targets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    totals = {
+        r[0]: float(r[1])
+        for r in docs.groupBy("source").agg(F.sum("n_chars")).collect()
+    }
+    target = temperature_targets(totals, alpha=0.5)
+    out, _ = mixture_sample(
+        docs, "source", F.col("n_chars"), target, key="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars")

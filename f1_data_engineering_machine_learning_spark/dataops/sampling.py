@@ -114,6 +114,30 @@ def mixture_sample(
     return out, fractions
 
 
+def temperature_targets(
+    totals: Mapping[str, float], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-sampling mixture targets: ``t_d = W_d ** alpha``.
+
+    The standard multilingual/pre-training rebalancing knob (alpha=1
+    keeps natural proportions, alpha->0 approaches uniform): raising the
+    per-domain mass to ``alpha`` flattens the distribution, so
+    low-resource domains keep a larger share of the mix. The targets are
+    deliberately UNNORMALIZED — ``mixture_sample`` fractions are
+    invariant to a common scaling of the targets, and skipping the
+    normalizing sum keeps every number on the path a single IEEE
+    operation per domain (no accumulation-order dependence), which is
+    what lets a SQL oracle replay the whole mixture bit-for-bit.
+    ``alpha=0.5`` routes through ``math.sqrt`` (correctly rounded and
+    identical in every engine, unlike the libm ``pow`` family).
+    """
+    import math
+
+    if alpha == 0.5:
+        return {d: math.sqrt(float(w)) for d, w in totals.items()}
+    return {d: float(w) ** alpha for d, w in totals.items()}
+
+
 def weighted_sample(
     df: DataFrame,
     key: str,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from f1_data_engineering_machine_learning_spark.dataops.sampling import (
@@ -123,3 +124,17 @@ def test_token_familiarity_exact_rational(spark):
     assert got[2].familiarity == 4 / 2 / 5
     # common-word doc scores higher than rare-word doc
     assert got[1].familiarity > got[2].familiarity
+
+
+def test_temperature_targets_flatten_shares():
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        temperature_targets,
+    )
+
+    totals = {"big": 1_000_000.0, "small": 10_000.0}
+    t = temperature_targets(totals, alpha=0.5)
+    # flattening: the big/small ratio shrinks from 100x to 10x
+    assert t["big"] / t["small"] == pytest.approx(10.0)
+    # alpha=1 keeps natural proportions
+    t1 = temperature_targets(totals, alpha=1.0)
+    assert t1["big"] / t1["small"] == pytest.approx(100.0)
