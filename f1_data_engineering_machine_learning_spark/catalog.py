@@ -6548,3 +6548,49 @@ def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", F.col("n_chars"), target, key="doc_id"
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "lang_upsampled_docs",
+    """
+    WITH ex AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'zh' THEN 3 WHEN 'de' THEN 2 WHEN 'fr' THEN 1
+                       WHEN 'es' THEN 2 ELSE 1 END AS base,
+             CASE lang WHEN 'zh' THEN 25 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                       WHEN 'es' THEN 0 ELSE 0 END AS thresh
+      FROM documents
+    ), nn AS (
+      SELECT doc_id, lang,
+             base + CASE WHEN doc_id % 100 < thresh THEN 1 ELSE 0 END AS n
+      FROM ex
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, CAST(n AS BIGINT))) AS BIGINT)
+             AS repeat_idx
+    FROM nn WHERE n >= 1
+    """,
+)
+def lang_upsampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor upsampling (dataops/sampling.py::
+    upsample_with_repeats): low-resource languages trained for
+    fractional epochs — zh 3.25x, de 2.5x, fr 1.5x, es 2.0x, en 1x. The
+    integer part repeats every row; the fractional part repeats exactly
+    the rows whose content key falls under the integer threshold, so
+    which copies exist is partition-invariant and the oracle replays the
+    multiplicities row-for-row (generate_series == explode(sequence)).
+    Map-side only: no shuffle, blow-up factor declared by the epoch
+    map — the upweighting half of mixture control, paired with
+    temperature_mixture_docs' downsampling."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        upsample_with_repeats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = upsample_with_repeats(
+        docs,
+        "lang",
+        {"zh": 3.25, "de": 2.5, "fr": 1.5, "es": 2.0, "en": 1.0},
+        key="doc_id",
+    )
+    return out.select("doc_id", "lang", "repeat_idx")

@@ -180,6 +180,60 @@ def weighted_sample(
     )
 
 
+def upsample_with_repeats(
+    df: DataFrame,
+    domain_col: str,
+    epochs: Mapping[str, float],
+    key: str,
+    resolution: int = 100,
+) -> DataFrame:
+    """Deterministic fractional upsampling: domain ``d`` rows appear
+    ``floor(e_d)`` or ``ceil(e_d)`` times so multiplicity averages
+    ``e_d`` — the repeat-factor half of mixture control (downsampling is
+    ``mixture_sample``; epochs > 1 express "train 2.5 epochs of the
+    high-quality domain"). The extra repeat goes to rows with
+    ``key % resolution < floor(frac(e_d) * resolution)`` — the same
+    content-keyed integer rule as the samplers, so the choice of which
+    rows repeat is partition-invariant, resumable, and engine-replayable.
+    Output adds ``repeat_idx`` (1..n, BIGINT) so downstream shuffles/
+    dedup see distinct rows. Domains absent from ``epochs`` keep one
+    copy; ``e_d < 1`` probabilistically DROPS rows (0 or 1 copies) —
+    mixture_sample with exact shares is usually the better tool there.
+
+    Scale: map-side only (one ``explode(sequence(...))``, no shuffle,
+    no driver state); the blow-up factor is exactly ``e_d``, declared
+    up front.
+    """
+    base_expr = None
+    thresh_expr = None
+    for d, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {d}={e}")
+        base, frac = int(e), e - int(e)
+        t = int(frac * resolution)
+        cond = F.col(domain_col) == d
+        base_expr = (
+            F.when(cond, base) if base_expr is None else base_expr.when(cond, base)
+        )
+        thresh_expr = (
+            F.when(cond, t) if thresh_expr is None else thresh_expr.when(cond, t)
+        )
+    base_expr = base_expr.otherwise(F.lit(1)) if base_expr is not None else F.lit(1)
+    thresh_expr = thresh_expr.otherwise(F.lit(0)) if thresh_expr is not None else F.lit(0)
+    n = base_expr + (
+        F.pmod(F.col(key), F.lit(resolution)) < thresh_expr
+    ).cast("int")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn(
+            "repeat_idx",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n").cast("long"))),
+        )
+        .drop("__n")
+    )
+
+
 def split_by_content_hash(
     df: DataFrame,
     key: Column | str,

@@ -138,3 +138,33 @@ def test_temperature_targets_flatten_shares():
     # alpha=1 keeps natural proportions
     t1 = temperature_targets(totals, alpha=1.0)
     assert t1["big"] / t1["small"] == pytest.approx(100.0)
+
+
+def test_upsample_with_repeats_multiplicities(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        upsample_with_repeats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 2 else "cold") for i in range(200)],
+        "k long, dom string",
+    )
+    out = upsample_with_repeats(df, "dom", {"hot": 2.5, "cold": 1.0}, key="k")
+    counts = {
+        (r["dom"], r["k"]): r["n"]
+        for r in out.groupBy("dom", "k").agg(F.count("*").alias("n")).collect()
+    }
+    # cold rows: exactly one copy; hot rows: 2 or 3 by k % 100 < 50
+    for (dom, k), n in counts.items():
+        if dom == "cold":
+            assert n == 1
+        else:
+            assert n == (3 if k % 100 < 50 else 2)
+    # repeat_idx distinguishes copies
+    assert (
+        out.select("k", "dom", "repeat_idx").distinct().count() == out.count()
+    )
+    # sub-1.0 epochs drop rows deterministically (0 or 1 copies)
+    down = upsample_with_repeats(df, "dom", {"hot": 0.5, "cold": 1.0}, key="k")
+    hot = {r["k"] for r in down.filter("dom = 'hot'").collect()}
+    assert hot == {k for k in range(200) if k % 2 and k % 100 < 50}
