@@ -6594,3 +6594,57 @@ def lang_upsampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
     )
     return out.select("doc_id", "lang", "repeat_idx")
+
+
+@query(
+    "corpus_curriculum_stages",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE)
+               / len(regexp_split_to_array(lower(text), '\\s+')) AS difficulty
+      FROM documents WHERE text IS NOT NULL
+    ), staged AS (
+      SELECT doc_id, difficulty,
+             CAST(NTILE(4) OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+               AS stage
+      FROM scored
+    )
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(difficulty) AS min_difficulty,
+           MAX(difficulty) AS max_difficulty,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM staged GROUP BY stage
+    """,
+)
+def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: documents ordered by a difficulty proxy (mean
+    token length — exact integer inputs, one IEEE divide per row) and
+    cut into 4 equal-size training stages. The global NTILE runs the
+    two-pass range-partitioned rank (operators/windows.py::
+    range_partitioned_rank — no single-task window, the same machinery
+    as customer_spend_deciles but on the corpus axis where curriculum
+    schedules actually need it). Stage summary keeps the oracle output
+    small while hashing every stage boundary."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        (
+            F.col("n_chars").cast("double") / F.size(tokens("text"))
+        ).alias("difficulty"),
+    )
+    staged = range_partitioned_rank(
+        scored, ["difficulty"], ntile=4, ntile_col="stage", tiebreak=["doc_id"]
+    )
+    return staged.groupBy(F.col("stage").cast("bigint").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("difficulty").alias("min_difficulty"),
+        F.max("difficulty").alias("max_difficulty"),
+        F.min("doc_id").alias("first_doc"),
+    )
