@@ -106,6 +106,10 @@ _GATE_PRIORITY = [
     "order_pit_features",
     "copurchase_pagerank",
     "heavy_hitter_tokens",
+    "customer_spend_year_diff",
+    "temperature_mixture_docs",
+    "lang_upsampled_docs",
+    "corpus_curriculum_stages",
     "purchase_asof_click",
     "click_nearest_purchase",
     "session_incident_overlaps",
@@ -6648,3 +6652,114 @@ def corpus_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("difficulty").alias("max_difficulty"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "winsorized_quantity_stats",
+    """
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS p_lo,
+             quantile_cont(l_quantity, 0.95) AS p_hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag AS returnflag,
+           CAST(b.p_lo AS DOUBLE) AS p_lo,
+           CAST(b.p_hi AS DOUBLE) AS p_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(LEAST(GREATEST(l.l_quantity, b.p_lo), b.p_hi)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS clipped_sum,
+           CAST(SUM(CASE WHEN l.l_quantity < b.p_lo
+                           OR l.l_quantity > b.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY 1, 2, 3
+    """,
+)
+def winsorized_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/robust.py::winsorize): per-returnflag
+    quantities clipped to their exact [p05, p95] — the outlier-immune
+    feature-prep step before scale-sensitive models. Exact group
+    percentiles (integral column => interpolation on exact binary
+    fractions, bitwise cross-engine), broadcast back, JVM clip; the
+    clipped sum goes through DECIMAL so the aggregate is
+    accumulation-order free. n_clipped hashes the clip mask itself."""
+    from f1_data_engineering_machine_learning_spark.operators.robust import winsorize
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li, "l_quantity", ["l_returnflag"])
+    return w.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("__p_lo").cast("double").alias("p_lo"),
+        F.col("__p_hi").cast("double").alias("p_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity_wins").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("clipped_sum"),
+        F.sum(
+            (
+                (F.col("l_quantity") < F.col("__p_lo"))
+                | (F.col("l_quantity") > F.col("__p_hi"))
+            ).cast("long")
+        ).alias("n_clipped"),
+    )
+
+
+@query(
+    "user_daily_value_anomalies",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS v_q
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT user_id, quantile_cont(v_q, 0.5) AS med FROM daily GROUP BY 1
+    ), mad AS (
+      SELECT d2.user_id, quantile_cont(abs(d2.v_q - m.med), 0.5) AS mad
+      FROM daily d2 JOIN med m ON d2.user_id = m.user_id GROUP BY 1
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN abs(d.v_q - m.med) > 3.0 * x.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(m.med AS DOUBLE) AS med_vq,
+           CAST(x.mad AS DOUBLE) AS mad_vq
+    FROM daily d
+    JOIN med m ON d.user_id = m.user_id
+    JOIN mad x ON d.user_id = x.user_id
+    GROUP BY 1, 4, 5
+    """,
+)
+def user_daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly monitoring (operators/robust.py::mad_anomalies):
+    per-user daily value totals flagged where the deviation from the
+    user's median exceeds 3x their MAD — the quality-monitoring rule
+    that one corrupted day cannot inflate its own threshold (unlike a
+    stddev z-score). Daily totals are decimal-exact then quantized to
+    integer micro-units, so every percentile interpolates on integers —
+    bitwise cross-engine. Two percentile passes + broadcasts; the
+    per-user anomaly counts are the hashed output."""
+    from f1_data_engineering_machine_learning_spark.operators.robust import (
+        mad_anomalies,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("v_q")
+    )
+    flagged = mad_anomalies(daily, "v_q", ["user_id"], k=3.0)
+    return flagged.groupBy(
+        "user_id",
+        F.col("__med").cast("double").alias("med_vq"),
+        F.col("__mad").cast("double").alias("mad_vq"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+    ).select("user_id", "n_days", "n_anomalies", "med_vq", "mad_vq")

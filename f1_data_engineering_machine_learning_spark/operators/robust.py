@@ -1,0 +1,72 @@
+"""Robust statistics for feature preparation and quality monitoring.
+
+Winsorization (percentile clipping) and MAD-based anomaly flags — the
+outlier-immune twins of stddev-based clipping/z-scores, which a single
+corrupt sensor value can drag arbitrarily. Both follow the same
+scale shape as the MAD aggregate (catalog.lineitem_quantity_mad): one
+shuffle per percentile pass on the group key, the tiny per-group stats
+frame broadcast back, per-row arithmetic JVM-side. Exactness contract:
+feed integral (or pre-quantized) value columns so the cross-engine
+percentile interpolation stays on exact binary fractions — the catalog
+rule that keeps oracles bitwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winsorize", "mad_anomalies"]
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower, upper] exact
+    percentiles (appended as ``{value_col}_wins`` by default, plus the
+    ``__p_lo``/``__p_hi`` bounds for auditability)."""
+    out_col = out_col or f"{value_col}_wins"
+    group_cols = list(group_cols)
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("__p_lo"),
+        F.percentile(value_col, F.lit(upper)).alias("__p_hi"),
+    )
+    j = df.join(F.broadcast(bounds), group_cols)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__p_lo")), F.col("__p_hi"))
+    return j.withColumn(out_col, clipped)
+
+
+def mad_anomalies(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Flag rows where ``|value - group_median| > k * group_MAD`` —
+    the robust outlier rule (a stddev rule would let one huge outlier
+    inflate its own threshold). Appends ``__med``, ``__mad``,
+    ``is_anomaly``. Groups with MAD == 0 flag any deviation (strictly
+    greater keeps the all-equal group clean). Two percentile passes +
+    one broadcast-back, same as the MAD aggregate."""
+    group_cols = list(group_cols)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    j1 = df.join(F.broadcast(med), group_cols)
+    mad = j1.groupBy(*group_cols).agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias(
+            "__mad"
+        )
+    )
+    j2 = j1.join(F.broadcast(mad), group_cols)
+    return j2.withColumn(
+        "is_anomaly",
+        F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad"),
+    )
