@@ -121,6 +121,7 @@ _GATE_PRIORITY = [
     "customer_spend_deciles",
     "embedding_rp_lsh_topk",
     "embedding_pq_topk",
+    "bpe_merges_docs",
     "token_budget_packing",
     "doc_line_dedup",
     "purchase_click_attribution_window",
@@ -6876,4 +6877,144 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.join(recall.select("query_id", "recall_at_k"), "query_id").select(
         "query_id", "neighbor_id", "l2_dist",
         F.col("rank").cast("int").alias("rank"), "recall_at_k",
+    )
+
+
+def _bpe_stages_sql(n_merges: int) -> str:
+    """Chained-CTE DuckDB reproduction of the distributed BPE trainer
+    (dataops/bpe.py): stage k recomputes freq-weighted adjacent pair
+    counts from symbol table s{k}, picks the argmax pair (count desc,
+    then lexicographic — the trainer's exact tie-break), and applies the
+    merge with the run/parity formulation (islands of consecutive
+    matching positions, merge even offsets, drop consumed rows) — the
+    relational equivalent of the trainer's greedy leftmost
+    non-overlapping fold. Generated, not hand-written, so the oracle
+    scales to any merge count."""
+    parts = ["""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w
+    ), s0 AS (
+      SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+      FROM (SELECT word, freq,
+                   unnest(generate_series(1, length(word))) AS i FROM words) t
+      UNION ALL
+      SELECT word, freq, length(word) AS pos, '</w>' AS sym FROM words
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""", c{k} AS (
+      SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{k}) t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), b{k} AS (
+      SELECT lhs, rhs, c FROM c{k} ORDER BY c DESC, lhs, rhs LIMIT 1
+    ), m{k} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.rhs AS br,
+             COALESCE(s.sym = b.lhs AND
+               LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.rhs,
+               FALSE) AS mt
+      FROM s{k} s CROSS JOIN b{k} b
+    ), k{k} AS (
+      SELECT *, mt AND ((pos - MIN(pos) OVER (PARTITION BY word, mt, grp)) % 2 = 0)
+             AS keep
+      FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos)
+                   AS grp FROM m{k}) t
+    ), s{k + 1} AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN keep THEN sym || br ELSE sym END AS sym
+      FROM (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos),
+                               FALSE) AS consumed FROM k{k}) t
+      WHERE NOT consumed
+    )""")
+    return "".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+
+@query(
+    "bpe_merges_docs",
+    _bpe_stages_sql(_BPE_N_MERGES)
+    + "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS step, lhs AS left_sym, rhs AS right_sym, "
+        f"lhs || rhs AS merged, c AS pair_count FROM b{k}"
+        for k in range(_BPE_N_MERGES)
+    ),
+)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (dataops/bpe.py::train_bpe —
+    Sennrich 2016, the subword-vocabulary construction step of an LLM
+    pipeline): the first 8 learned merge rules over the documents
+    corpus, freq-weighted, with deterministic argmax tie-breaks. The
+    corpus is scanned ONCE (word-frequency aggregation); each merge
+    iteration then costs one map-only pair explode + one combinable
+    aggregation + a 1-row collect on the DISTINCT-word table — the shape
+    that trains a 32k-merge vocabulary on a 100 TB corpus without ever
+    re-walking it. The oracle replays the identical iteration as 8
+    generated chained-CTE stages (argmax + run/parity greedy merge), so
+    every rule AND its pair count is value-checked — an iterative
+    algorithm under a full value oracle, same genre as
+    ``curated_docs_survivors``'s WITH RECURSIVE closure."""
+    from f1_data_engineering_machine_learning_spark.dataops.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+@query(
+    "doc_bpe_segmentation",
+    _bpe_stages_sql(_BPE_N_MERGES)
+    + f""", wordsegs AS (
+      SELECT word, list(sym ORDER BY pos) AS segs FROM s{_BPE_N_MERGES}
+      GROUP BY word
+    ), tok AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS t
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t)), i -> {{'pos': i, 'w': t[i]}})) AS s
+      FROM tok
+    )
+    SELECT d.doc_id,
+           string_agg(array_to_string(ws.segs, ' '), ' ' ORDER BY d.s.pos)
+             AS bpe_text,
+           CAST(SUM(len(ws.segs)) AS INTEGER) AS n_bpe_tokens
+    FROM dw d JOIN wordsegs ws ON ws.word = d.s.w
+    GROUP BY d.doc_id
+    """,
+)
+def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale
+    (dataops/bpe.py::apply_bpe): every document segmented with the 8
+    merges learned by ``bpe_merges_docs``. The fold chain runs once per
+    DISTINCT word; documents get their segmentation via a broadcast
+    join + positional reassembly — per-token array lookups, not
+    per-token fold chains, which is what makes re-tokenizing a 100 TB
+    corpus a map-side job. Full segmented text value-hashed per
+    document."""
+    from f1_data_engineering_machine_learning_spark.dataops.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    seg = apply_bpe(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
     )

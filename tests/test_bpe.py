@@ -1,0 +1,125 @@
+"""BPE trainer/applier vs an in-test pure-Python reference
+implementation (the Sennrich algorithm, written independently of the
+Spark code) — the same oracle strategy the throttle operator uses:
+sequential semantics proven against a trivially-auditable twin."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.dataops import bpe
+
+
+def _ref_bpe(words: list[str], n: int):
+    """Reference BPE: freq-weighted pair counts, argmax (count desc then
+    lexicographic), greedy leftmost non-overlapping merge."""
+    wf = Counter(words)
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    merges = []
+    for step in range(n):
+        pc: Counter = Counter()
+        for w, c in wf.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        left, right = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((step, left, right, left + right, m))
+
+        def _merge(s):
+            out = []
+            for sym in s:
+                if out and out[-1] == left and sym == right:
+                    out[-1] = left + right
+                else:
+                    out.append(sym)
+            return tuple(out)
+
+        vocab = {w: _merge(s) for w, s in vocab.items()}
+    return merges, vocab
+
+
+WORDS = (
+    "low lower lowest low low newer newest wider wide new new "
+    "banana bandana aaaa abab"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(0, " ".join(WORDS)), (1, " ".join(WORDS[:7]))], ["doc_id", "text"]
+    )
+
+
+def test_train_bpe_matches_reference(spark, corpus):
+    merges, vocab = bpe.train_bpe(corpus, n_merges=10)
+    ref_merges, ref_vocab = _ref_bpe(WORDS + WORDS[:7], 10)
+    got = [
+        (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in merges
+    ]
+    assert got == ref_merges
+    seg = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+    vocab.unpersist()
+    assert seg == ref_vocab
+
+
+def test_merge_fold_is_greedy_leftmost_nonoverlapping(spark):
+    """'aaaa' under (a, a) must segment [aa, aa, </w>] — leftmost pairs,
+    never the overlapping middle one; 'aaa' leaves the odd tail."""
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("aba",)], ["word"])
+    out = {
+        r["word"]: list(r["bpe_syms"])
+        for r in bpe.segment_words(
+            df, [{"left": "a", "right": "a", "merged": "aa"}]
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa", "</w>"]
+    assert out["aaa"] == ["aa", "a", "</w>"]
+    assert out["aba"] == ["a", "b", "a", "</w>"]
+
+
+def test_merged_token_does_not_rematch_its_own_output(spark):
+    """After [a,a]->aa the new 'aa' symbol must not chain-merge with a
+    following 'a' in the same pass (symbol equality is exact, not
+    prefix)."""
+    df = spark.createDataFrame([("aaa",)], ["word"])
+    out = bpe.segment_words(df, [{"left": "a", "right": "a"}]).first()["bpe_syms"]
+    assert list(out) == ["aa", "a", "</w>"]
+
+
+def test_train_bpe_early_stop_on_min_pair_count(spark, corpus):
+    merges, vocab = bpe.train_bpe(corpus, n_merges=50, min_pair_count=10**9)
+    vocab.unpersist()
+    assert merges == []
+
+
+def test_apply_bpe_reassembles_in_token_order(spark, corpus):
+    merges, vocab = bpe.train_bpe(corpus, n_merges=5)
+    vocab.unpersist()
+    ref_merges, ref_vocab = _ref_bpe(WORDS + WORDS[:7], 5)
+    out = bpe.apply_bpe(corpus, merges).collect()
+    by_doc = {r["doc_id"]: list(r["bpe_tokens"]) for r in out}
+    expect0 = [s for w in WORDS for s in ref_vocab[w]]
+    expect1 = [s for w in WORDS[:7] for s in ref_vocab[w]]
+    assert by_doc[0] == expect0
+    assert by_doc[1] == expect1
+    assert all(r["n_bpe_tokens"] == len(by_doc[r["doc_id"]]) for r in out)
+
+
+def test_word_freqs_lowercases_and_drops_empty(spark):
+    df = spark.createDataFrame([(0, "The  the THE x")], ["doc_id", "text"])
+    wf = {r["word"]: r["freq"] for r in bpe.word_freqs(df).collect()}
+    assert wf == {"the": 3, "x": 1}
+
+
+def test_sql_str_escapes_quotes(spark):
+    df = spark.createDataFrame([("a'b",)], ["word"])
+    out = bpe.segment_words(df, [{"left": "a", "right": "'"}]).first()["bpe_syms"]
+    assert list(out) == ["a'", "b", "</w>"]
