@@ -7018,3 +7018,61 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("bpe_tokens", " ").alias("bpe_text"),
         F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "doc_substring_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS start,
+             array_to_string(t[i : i + 7], ' ') AS shingle
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM tok WHERE len(t) >= 8) q
+    ), occ AS (
+      SELECT doc_id, start,
+             ROW_NUMBER() OVER (PARTITION BY shingle
+                                ORDER BY doc_id, start) AS rn
+      FROM sh
+    ), marked AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(generate_series(start, start + 7)) AS pos
+        FROM occ WHERE rn > 1) m
+    ), toks AS (
+      SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t)),
+                 i -> {'pos': i, 'tok': t[i]})) AS s
+        FROM tok) q
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN marked mk
+        ON mk.doc_id = t.doc_id AND mk.pos = t.pos
+      WHERE mk.pos IS NULL
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(ANY_VALUE(len(d.t)) AS BIGINT) AS n_tokens,
+           CAST(ANY_VALUE(len(d.t)) - COUNT(k.pos) AS BIGINT) AS n_removed
+    FROM tok d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level corpus dedup (Lee et al. 2022, the 6th dedup
+    granularity: corpus / document / paragraph / n-gram / embedding /
+    SUBSTRING): every 8-token window occurring more than once keeps its
+    globally first occurrence; later occurrences have their token spans
+    removed and documents are rebuilt from surviving tokens
+    (dataops/dedup.py::substring_dedup). The dedup shuffle carries sha2
+    fingerprints + integer positions, never text; removal is a
+    positional anti-join. Full cleaned text of all 500 documents is
+    value-hashed, so keeper selection, span unioning across overlapping
+    windows, and reassembly order are all oracle-checked."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        substring_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup(docs, min_len=8)

@@ -661,3 +661,96 @@ def dedup_by_preference(
     return picked.select(
         *[F.col(f"__best.__row.{c}").alias(c) for c in df.columns]
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """Exact SUBSTRING-level corpus dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" operator,
+    token-windowed form): every ``min_len``-token window that occurs
+    more than once corpus-wide keeps ONLY its globally first occurrence
+    (ordered by (id, position)); every other occurrence has its token
+    range removed from its document. Finer than ``paragraph_dedup``
+    (catches boilerplate spans that cross paragraph boundaries or sit
+    inside otherwise-unique text) and the remediating twin of
+    decontam.py's detection-only n-gram overlap.
+
+    Scale shape — no suffix array needed, three bounded exchanges:
+    1. window-shingle stream is map-only (one ``transform`` over each
+       token array, then posexplode);
+    2. first-occurrence tagging shuffles the 32-byte sha2 fingerprint +
+       (id, start) pairs — never text — and a corpus-dominating
+       boilerplate span degrades into one big-but-splittable count
+       partition, same property paragraph_dedup relies on;
+    3. removal is positional: non-keeper occurrences explode to
+       (id, token-position) marks (``min_len`` rows each), survivors
+       come from a left-anti join of the token stream on (id, pos), and
+       documents reassemble in original token order.
+
+    Removal marks POSITIONS, not patterns: overlapping duplicated
+    windows union their ranges (classic maximal-span behavior), and a
+    keeper occurrence is never touched even when other windows overlap
+    it elsewhere. Returns (id, clean_text, n_tokens, n_removed);
+    documents shorter than ``min_len`` tokens pass through whole.
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    base = df.select(F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__t"))
+    n = F.size("__t")
+    starts = F.when(
+        n >= min_len, F.sequence(F.lit(1), n - F.lit(min_len) + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "__id",
+        F.explode(starts).alias("__start"),
+        "__t",
+    ).select(
+        "__id",
+        "__start",
+        F.sha2(
+            F.concat_ws(" ", F.slice(F.col("__t"), F.col("__start"), min_len)), 256
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "__start")
+    nonkeeper = (
+        sh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select("__id", "__start")
+    )
+    marked = nonkeeper.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__start"), F.col("__start") + F.lit(min_len - 1))
+        ).alias("__pos"),
+    ).distinct()
+    toks = base.select(
+        "__id",
+        F.posexplode("__t").alias("__pos0", "__tok"),
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__tok")
+    kept = toks.join(marked, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    return (
+        base.select("__id", n.cast("long").alias("n_tokens"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

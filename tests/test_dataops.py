@@ -694,3 +694,79 @@ def test_pq_rerank_distances_are_exact(spark, sf_dir):
     assert common  # paths overlap on at least some true neighbors
     for key in common:
         assert exact[key] == pq[key]  # bitwise: same fold, same vectors
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (Lee et al.)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_removes_later_occurrence_only(spark):
+    """A duplicated 8-token span survives in the first doc (by id) and is
+    excised from the second; unique text around it is untouched."""
+    span = "a b c d e f g h"
+    # surrounding context is fully distinct between docs, so ONLY the
+    # 8-token span itself is a duplicated window (a shared token next to
+    # the span would extend the duplicated region — covered below)
+    df = spark.createDataFrame(
+        [
+            (1, f"p1 q1 {span} r1 s1"),
+            (2, f"p2 q2 {span} r2 s2"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, min_len=8).collect()}
+    assert out[1].clean_text == f"p1 q1 {span} r1 s1"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "p2 q2 r2 s2"
+    assert out[2].n_removed == 8
+    assert out[2].n_tokens == 12
+
+
+def test_substring_dedup_overlapping_windows_union_spans(spark):
+    """A 10-token duplicated passage produces three overlapping 8-token
+    duplicate windows; the removed region must be their UNION (all 10
+    tokens), not 3x8 double-counted or only one window."""
+    span = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, span), (2, f"x {span} y")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, min_len=8).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "x y"
+    assert out[2].n_removed == 10
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, min_len=8).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+    assert out[2].clean_text == "only three tokens"
+
+
+def test_substring_dedup_within_document_repeat(spark):
+    """Intra-document repetition dedups too: the second copy of the span
+    inside the SAME doc is removed (global first occurrence is the
+    earlier position)."""
+    span = "a b c d e f g h"
+    df = spark.createDataFrame([(1, f"{span} mid {span}")], ["doc_id", "text"])
+    r = dedup.substring_dedup(df, min_len=8).collect()[0]
+    assert r.clean_text == f"{span} mid"
+    assert r.n_removed == 8
+
+
+def test_substring_dedup_fully_duplicated_doc_empties(spark):
+    span = "a b c d e f g h"
+    df = spark.createDataFrame([(1, span), (2, span)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, min_len=8).collect()}
+    assert out[1].clean_text == span
+    assert out[2].clean_text == ""
+    assert out[2].n_removed == 8
+
+
+def test_substring_dedup_rejects_min_len_below_2(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_len"):
+        dedup.substring_dedup(df, min_len=1)
