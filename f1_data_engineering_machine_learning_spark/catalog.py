@@ -117,6 +117,7 @@ _GATE_PRIORITY = [
     "user_state_cdc",
     "exact_dedup_docs",
     "embedding_near_dup_pairs",
+    "semantic_dedup_embeddings",
     "customer_spend_distribution",
     "customer_spend_deciles",
     "embedding_rp_lsh_topk",
@@ -3761,6 +3762,48 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings corpus plus deterministic planted near-duplicates:
+    every 10th vector gets a twin (id + 10,000,000) perturbed by
+    ``0.002 * (((vec_id + i) % 5) - 2)`` per element — integer-derived,
+    so DuckDB re-derives the identical twin (planted cosine ~0.9997).
+    The natural corpus has no embedding dups (max pairwise cosine ~0.6),
+    so the dedup-family queries share this fixture. Columns: (vec_id, v)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + F.lit(0.002)
+            * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+#: the same planted-twin fixture as DuckDB CTEs (text shared by every
+#: oracle that uses it — keeps Spark fixture and oracle fixture in one
+#: place each)
+_DUCK_TWINS_CTES = """
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), twins AS (
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(
+               list_zip(v, range(0, len(v))),
+               p -> p[1] + 0.002 * CAST(((vec_id + p[2]) % 5) - 2 AS DOUBLE)
+             ) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ), allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM twins
+    )"""
+
+
 @query(
     "embedding_near_dup_pairs",
     """
@@ -3814,21 +3857,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_cosine_dup_pairs_blocked,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    twins = base.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10000000).alias("vec_id"),
-        F.transform(
-            "v",
-            lambda x, i: x
-            + F.lit(0.002)
-            * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
-        ).alias("v"),
-    )
-    allv = base.unionByName(twins)
+    allv = _embeddings_with_planted_twins(spark, sf_dir)
     # n_planes=16 (vs the 8-plane default) because this corpus is
     # CLUSTERED: at 8 sign bits half the vectors share one bucket and the
     # candidate join quadratically explodes the hot bucket; 16 bits
@@ -3839,6 +3868,55 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dup_pairs_blocked(
         allv, id_col="vec_id", vec_col="v", threshold=0.95,
         n_planes=16, n_tables=6, dim=64,
+    )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH {_DUCK_TWINS_CTES},
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM allv ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT vec_id, v, cid AS centroid FROM (
+        SELECT a.vec_id, a.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_DUCK_COS.format(a="a.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM allv a CROSS JOIN cent)
+      WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+      WHERE {_DUCK_COS.format(a="a.v", b="b.v")} >= 0.95
+    )
+    SELECT s.vec_id,
+           CAST(s.centroid AS INTEGER) AS centroid,
+           d.vec_id IS NULL AS kept
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pruning over the planted-twin
+    embedding corpus (dataops/similarity.py::semantic_dedup_deterministic)
+    — cluster with the deterministic sampled quantizer, drop smaller-id
+    near-dups (cosine >= 0.95) WITHIN a cluster only. Every planted twin
+    lands in its base vector's cluster (cosine ~0.9997 to the base, so
+    their argmax centroids agree) and is dropped; all natural vectors
+    survive. FULLY value-oracled: assignment, in-cluster pair cosines and
+    the keep flag are sequential float folds DuckDB re-derives exactly —
+    same oracle structure as embedding_ivf_topk. The kept flag (not just
+    the survivor set) is in the hash, so both drop and keep decisions are
+    checked."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        semantic_dedup_deterministic,
+    )
+
+    allv = _embeddings_with_planted_twins(spark, sf_dir)
+    return semantic_dedup_deterministic(
+        allv, id_col="vec_id", vec_col="v",
+        threshold=0.95, n_centroids=16, dim=64,
     )
 
 

@@ -417,6 +417,42 @@ def _cos_sql(vec_expr: str, arr_sql: str) -> str:
     return f"({dot} / ({nv} * {nc}))"
 
 
+def _sampled_centroid_literal(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> str:
+    """SQL literal array of the ``n_centroids`` smallest-id corpus vectors
+    — the deterministic, engine-reproducible coarse quantizer (a sampled
+    quantizer, as FAISS permits; IVF/SemDeDup do not require KMeans). The
+    collect is tiny (n_centroids rows) and the result embeds as ONE parsed
+    literal expression (same py4j-storm avoidance as ``_rp_bucket``)."""
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    ]
+    body = ", ".join(
+        f"named_struct('cid', {cid}, 'cv', array({', '.join(_f64_lit(x) for x in vec)}))"
+        for cid, vec in cents
+    )
+    return f"array({body})"
+
+
+def _argmax_centroid_expr(vec_expr: str, cent_arr: str) -> str:
+    """Per-row nearest-centroid assignment as a map-only SQL fold over the
+    literal centroid array: strictly-greater keeps the earliest (smallest
+    cid, array is id-ordered) on cosine ties — mirrored by the oracle's
+    ``ORDER BY cos DESC, cid`` ROW_NUMBER."""
+    cos_c = _cos_sql(vec_expr, "c.cv")
+    return (
+        f"aggregate({cent_arr}, "
+        f"named_struct('s', CAST(NULL AS DOUBLE), 'cid', -1), "
+        f"(acc, c) -> CASE WHEN acc.s IS NULL OR {cos_c} > acc.s "
+        f"THEN named_struct('s', {cos_c}, 'cid', c.cid) ELSE acc END).cid"
+    )
+
+
 def ivf_topk_deterministic(
     queries: DataFrame,
     corpus: DataFrame,
@@ -449,29 +485,15 @@ def ivf_topk_deterministic(
     Ties: assignment keeps the smallest centroid id at equal cosine;
     ranking breaks equal similarity by neighbor id — both mirrored in the
     catalog oracle SQL."""
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    ]
-    cent_arr = ", ".join(
-        f"named_struct('cid', {cid}, 'cv', array({', '.join(_f64_lit(x) for x in vec)}))"
-        for cid, vec in cents
-    )
-    cent_arr = f"array({cent_arr})"
+    cent_arr = _sampled_centroid_literal(corpus, id_col, vec_col, n_centroids)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
     )
-    # per-row argmax over the literal centroid array: strictly-greater keeps
-    # the earliest (smallest cid, array is id-ordered) on ties
-    cos_c = _cos_sql("__cvec", "c.cv")
-    assign_expr = (
-        f"aggregate({cent_arr}, "
-        f"named_struct('s', CAST(NULL AS DOUBLE), 'cid', -1), "
-        f"(acc, c) -> CASE WHEN acc.s IS NULL OR {cos_c} > acc.s "
-        f"THEN named_struct('s', {cos_c}, 'cid', c.cid) ELSE acc END).cid"
+    # per-row argmax over the literal centroid array (map-only, no shuffle)
+    assigned = c.withColumn(
+        "centroid", F.expr(_argmax_centroid_expr("__cvec", cent_arr))
     )
-    assigned = c.withColumn("centroid", F.expr(assign_expr))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
@@ -729,6 +751,97 @@ def embedding_cosine_dup_pairs_blocked(
         pairs.withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
         .select("i", "j", "cosine_sim")
+    )
+
+
+def semantic_dedup_deterministic(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    max_cluster: int = 100_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings with
+    a coarse quantizer, then inside each cluster drop every vector that
+    has a smaller-id cluster-mate within ``threshold`` cosine — semantic
+    near-duplicate pruning, the 6th member of the dedup family (exact /
+    Jaccard / MinHash / SimHash / embedding-pairs / semantic). Returns one
+    row per corpus vector: ``(id_col, centroid, kept)``.
+
+    The quantizer is the deterministic sampled one
+    (:func:`_sampled_centroid_literal` — the ``n_centroids`` smallest-id
+    vectors), so a second engine re-derives identical clusters and drop
+    decisions; the KMeans variant would be engine-internal and only
+    rows-checkable. The keep rule is "survivor = no smaller-id near-dup in
+    my cluster" — deterministic and order-free (NOT the greedy sequential
+    scan of the paper, which depends on visit order; on a chain a-b-c
+    where only adjacent pairs exceed the threshold this drops both b and
+    c, the conservative direction for training-data curation).
+
+    Scale shape (the paper's own rationale — clustering makes the O(n^2)
+    pair scan local):
+    - assignment is a map-only per-row argmax over the literal centroid
+      array — no shuffle, embarrassingly parallel;
+    - the pair scan self-joins WITHIN a cluster only: one shuffle of
+      (id, vector) rows on the cluster key; per-cluster work is
+      O(m^2) dot products with m ~ n/n_centroids — ``n_centroids``
+      scales with the corpus (SemDeDup uses k ~ n/1000) to bound m;
+    - ``max_cluster`` is the degenerate-cluster guard (same role as the
+      LSH ``max_bucket``): clusters above it skip the pair scan entirely
+      and keep all members — recall loss, never a blow-up;
+    - per-vector norms are computed once per side, and with ``dim`` the
+      dot product unrolls into whole-stage codegen (:func:`dot_fixed`).
+    """
+    cent_arr = _sampled_centroid_literal(corpus, id_col, vec_col, n_centroids)
+
+    # Each pair-scan side derives its OWN assignment subtree with per-side
+    # column names. The argmax expression contains higher-order-function
+    # lambdas; self-joining one shared subtree makes Catalyst's
+    # DeduplicateRelations re-alias a plan with lambda variables, which
+    # Spark 4.1 miscompiles on the collectToPython path
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Distinct lineages sidestep the
+    # rewrite; the recompute is map-only and free of extra shuffles.
+    def _assigned(tag: str) -> DataFrame:
+        out = corpus.select(
+            F.col(id_col).alias(f"__id{tag}"),
+            _as_double(F.col(vec_col)).alias(f"__v{tag}"),
+        ).withColumn(
+            f"__c{tag}", F.expr(_argmax_centroid_expr(f"__v{tag}", cent_arr))
+        )
+        if dim is not None:
+            out = out.withColumn(
+                f"__n{tag}", l2_norm_fixed(F.col(f"__v{tag}"), dim)
+            )
+        return out
+
+    a, b, full = _assigned("a"), _assigned("b"), _assigned("")
+    sizes = full.groupBy("__c").agg(F.count(F.lit(1)).alias("__csz"))
+    ok = sizes.filter(F.col("__csz") <= max_cluster).select("__c")
+    a = a.join(F.broadcast(ok.select(F.col("__c").alias("__ca"))), "__ca")
+    b = b.join(F.broadcast(ok.select(F.col("__c").alias("__cb"))), "__cb")
+    if dim is not None:
+        sim = (
+            dot_fixed(F.col("__va"), F.col("__vb"), dim)
+            / (F.col("__na") * F.col("__nb"))
+        ).cast("double")
+    else:
+        sim = cosine(F.col("__va"), F.col("__vb"))
+    # threshold inside the join condition AFTER id<id (same short-circuit
+    # rationale as embedding_cosine_dup_pairs): the dot never evaluates
+    # for the >= half of each cluster's pair block
+    dropped = (
+        a.join(b, F.col("__ca") == F.col("__cb"))
+        .filter((F.col("__ida") < F.col("__idb")) & (sim >= threshold))
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return full.join(dropped, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__c").cast("int").alias("centroid"),
+        F.col("__dropped").isNull().alias("kept"),
     )
 
 

@@ -448,6 +448,67 @@ def test_blocked_near_dup_matches_exact(planted_vectors):
     assert blocked == exact
 
 
+def test_semantic_dedup_drops_planted_twins(planted_vectors):
+    got = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup_deterministic(
+            planted_vectors, threshold=0.95, n_centroids=8, dim=16
+        ).collect()
+    }
+    assert len(got) == 45  # one row per corpus vector
+    # every planted twin (100+i) shares a cluster with its base i and is
+    # the larger id -> dropped; the base survives
+    for i in range(5):
+        assert got[100 + i].centroid == got[i].centroid
+        assert got[100 + i].kept is False
+        assert got[i].kept is True
+    # natural vectors (no near-dup within threshold) all survive
+    assert all(got[i].kept for i in range(40))
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    # 30 identical vectors: one degenerate cluster. Above the cap the
+    # pair scan is skipped and ALL members are kept (recall loss, never a
+    # blow-up); with a permissive cap only the smallest id survives.
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)], ["vec_id", "embedding"]
+    )
+    capped = similarity.semantic_dedup_deterministic(
+        df, threshold=0.95, n_centroids=2, max_cluster=10, dim=4
+    )
+    assert all(r.kept for r in capped.collect())
+    full = {
+        r.vec_id: r.kept
+        for r in similarity.semantic_dedup_deterministic(
+            df, threshold=0.95, n_centroids=2, dim=4
+        ).collect()
+    }
+    assert full[0] is True and sum(full.values()) == 1
+
+
+def test_semantic_dedup_chain_drops_both(spark):
+    # chain a-b-c where only adjacent pairs exceed the threshold: the
+    # "no smaller-id near-dup" rule drops BOTH b and c (conservative,
+    # order-free — documented divergence from the paper's greedy scan)
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    step = math.acos(0.96)  # adjacent cosine 0.96 > 0.95; a-c cosine < 0.95
+    df = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(step)), (2, unit(2 * step))],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id: r.kept
+        for r in similarity.semantic_dedup_deterministic(
+            df, threshold=0.95, n_centroids=1, dim=4
+        ).collect()
+    }
+    assert got == {0: True, 1: False, 2: False}
+
+
 def test_quantize_embeddings_properties(spark):
     df = spark.createDataFrame(
         [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
