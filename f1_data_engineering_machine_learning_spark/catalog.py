@@ -1737,6 +1737,150 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IS NULL) AS null_fks,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS orphan_children,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderkey NOT IN
+               (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL))
+             AS childless_parents
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_partkey IS NULL),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part
+             WHERE p_partkey NOT IN
+               (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NULL),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across three relationships
+    (dataops/quality.py::referential_integrity): orphan children (broken
+    references) and childless parents (coverage) per FK edge, as key-only
+    anti-joins — the post-ingest consistency gate a 100 TB medallion
+    pipeline runs before promoting a bronze batch. The testdata is
+    TPC-H-consistent, so orphans are 0 and childless_parents is the
+    real signal (customers with no orders, parts never ordered) — both
+    sides of the audit are in the value hash."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        referential_integrity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    edges = [
+        referential_integrity(
+            li, ["l_orderkey"], o, ["o_orderkey"], "lineitem.l_orderkey->orders"
+        ),
+        referential_integrity(
+            li, ["l_partkey"], p, ["p_partkey"], "lineitem.l_partkey->part"
+        ),
+        referential_integrity(
+            o, ["o_custkey"], c, ["c_custkey"], "orders.o_custkey->customer"
+        ),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+@query(
+    "key_skew_report",
+    """
+    WITH k1 AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ), k2 AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ), k3 AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    t1 AS (SELECT k, c FROM k1 ORDER BY c DESC, k DESC LIMIT 1),
+    t2 AS (SELECT k, c FROM k2 ORDER BY c DESC, k DESC LIMIT 1),
+    t3 AS (SELECT k, c FROM k3 ORDER BY c DESC, k DESC LIMIT 1)
+    SELECT 'l_partkey' AS key,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_per_key,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_per_key,
+           CAST(MAX(c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS skew_ratio,
+           (SELECT k FROM t1) AS top_key,
+           (SELECT CAST(c AS BIGINT) FROM t1) AS top_key_n
+    FROM k1
+    UNION ALL
+    SELECT 'l_orderkey', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+           CAST(MAX(c) AS BIGINT), CAST(quantile_cont(c, 0.99) AS DOUBLE),
+           CAST(MAX(c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+           (SELECT k FROM t2), (SELECT CAST(c AS BIGINT) FROM t2)
+    FROM k2
+    UNION ALL
+    SELECT 'o_custkey', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+           CAST(MAX(c) AS BIGINT), CAST(quantile_cont(c, 0.99) AS DOUBLE),
+           CAST(MAX(c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+           (SELECT k FROM t3), (SELECT CAST(c AS BIGINT) FROM t3)
+    FROM k3
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profiles (dataops/quality.py::
+    key_skew_profile) for the three join keys the relational catalog
+    shuffles on most — the measurement that justifies (or vetoes)
+    salting/AQE-skew handling before a 100 TB join. One count shuffle +
+    one tiny aggregate per key; top key is deterministic (max-of-struct,
+    key-string tie-break, mirrored by ORDER BY c DESC, k DESC in the
+    oracle)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        key_skew_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    parts = [
+        key_skew_profile(li, ["l_partkey"]),
+        key_skew_profile(li, ["l_orderkey"]),
+        key_skew_profile(o, ["o_custkey"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "lineitem_distinct_stats",
     """
     SELECT l_returnflag,
@@ -3441,6 +3585,57 @@ def brand_price_size_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         slope.cast("double").alias("slope"),
         ((sy_d - slope * sx_d) / n_d).cast("double").alias("intercept"),
+    )
+
+
+@query(
+    "returnflag_top_parts",
+    """
+    WITH rev AS (
+      SELECT l_returnflag, l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                      * (1 - CAST(l_discount AS DECIMAL(30,2))))
+                  AS DOUBLE) AS net_revenue
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY net_revenue DESC, l_partkey) AS rn
+      FROM rev
+    )
+    SELECT l_returnflag, l_partkey, net_revenue, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def returnflag_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 parts by net revenue per return flag — the FEW-GROUPS /
+    MANY-ROWS top-k regime (3 flags x |parts| candidate rows) where a
+    window row_number funnels each group through ONE task. Runs the
+    skew-safe two-phase plan instead
+    (operators/windows.py::topk_per_group_salted): salted sub-group
+    heaps -> k x n_salt survivors -> exact merge; no task ever holds a
+    whole group. Ordering is encoded ascending (negated revenue, partkey
+    tie-break), equivalence-tested against the window path; the exact
+    decimal revenue sum keeps ranks engine-reproducible."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group_salted,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(30,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(30,2)"))
+        )
+        .cast("double")
+        .alias("net_revenue")
+    )
+    return topk_per_group_salted(
+        rev,
+        ["l_returnflag"],
+        F.struct((-F.col("net_revenue")).alias("o1"), F.col("l_partkey").alias("o2")),
+        k=5,
+        rn_col="rn",
     )
 
 

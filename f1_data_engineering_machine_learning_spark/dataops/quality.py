@@ -186,3 +186,127 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    fk_cols: list[str],
+    parent: DataFrame,
+    pk_cols: list[str],
+    relationship: str | None = None,
+) -> DataFrame:
+    """Foreign-key integrity audit for one child->parent relationship:
+    ONE summary row ``(relationship, child_rows, null_fks,
+    orphan_children, childless_parents)``.
+
+    - ``orphan_children``: child rows whose (non-null) FK has no parent —
+      broken references, the classic silent-corruption signal after a
+      partial backfill or out-of-order ingest.
+    - ``childless_parents``: parent keys no child row points at — not an
+      error, but the coverage number a join-fanout sanity check needs.
+
+    Plan shape, scale-first: both checks are ANTI-joins on the key with
+    the payload projected away before any exchange — the child side
+    shuffles (or broadcasts against) key columns only, never rows. The
+    childless check first collapses child FKs to DISTINCT keys (map-side
+    combinable), so its join input is |parent keys| + |distinct FKs|,
+    independent of child row count. The three aggregate branches
+    cross-join their 1-row results into one lazy summary row — nothing
+    executes until the caller acts, and Catalyst broadcasts every 1-row
+    side. At 100 TB each branch is one scan + one key-only exchange; AQE
+    turns the anti-joins into broadcasts whenever a side's keys fit."""
+    if len(fk_cols) != len(pk_cols):
+        raise ValueError("fk_cols and pk_cols must align")
+    rel = relationship or f"({','.join(fk_cols)})->({','.join(pk_cols)})"
+    fk_nonnull = [F.col(c).isNotNull() for c in fk_cols]
+    nonnull_pred = fk_nonnull[0]
+    for p in fk_nonnull[1:]:
+        nonnull_pred = nonnull_pred & p
+
+    ckeys = child.select(*[F.col(c) for c in fk_cols])
+    pkeys = parent.select(*[F.col(c) for c in pk_cols]).distinct()
+
+    base = ckeys.agg(
+        F.count(F.lit(1)).cast("long").alias("child_rows"),
+        F.coalesce(F.sum(F.when(~nonnull_pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("null_fks"),
+    )
+    cond = [F.col(f"__c.{f}") == F.col(f"__p.{p}") for f, p in zip(fk_cols, pk_cols)]
+    on = cond[0]
+    for c in cond[1:]:
+        on = on & c
+    orphans = (
+        ckeys.filter(nonnull_pred)
+        .alias("__c")
+        .join(pkeys.alias("__p"), on, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_children"))
+    )
+    childless = (
+        pkeys.alias("__p")
+        .join(ckeys.filter(nonnull_pred).distinct().alias("__c"), on, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("childless_parents"))
+    )
+    return (
+        base.crossJoin(orphans)
+        .crossJoin(childless)
+        .select(
+            F.lit(rel).alias("relationship"),
+            "child_rows",
+            "null_fks",
+            "orphan_children",
+            "childless_parents",
+        )
+    )
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-distribution skew profile for one grouping key: ONE row
+    ``(key, n_rows, n_keys, avg_per_key, max_per_key, p99_per_key,
+    skew_ratio, top_key, top_key_n)``.
+
+    This is the measurement behind every skew decision in the engine
+    (operators/skew.py salting, AQE skew-join, `range_partitioned_rank`
+    partition sizing): before salting a join at 100 TB you ask "what does
+    the hottest key hold, and how far above the mean is it?" —
+    ``skew_ratio`` (max/avg) is exactly the factor by which the straggler
+    task outweighs the average one.
+
+    One shuffle total: the per-key counts (map-side combinable), then the
+    profile is a single aggregate over |keys| count rows — max/percentile
+    /sum fold per partition and merge tiny states. ``top_key`` uses the
+    max-of-struct idiom, tie-broken by key string so the report is
+    deterministic."""
+    key_name = ",".join(key_cols)
+    kstr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(kstr.alias("__k"), F.col("__cnt"))
+    )
+    return counts.agg(
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.sum("__cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_per_key"
+        ),
+        F.max("__cnt").cast("long").alias("max_per_key"),
+        F.percentile(F.col("__cnt"), F.lit(0.99))
+        .cast("double")
+        .alias("p99_per_key"),
+        (
+            F.max("__cnt").cast("double")
+            / (F.sum("__cnt").cast("double") / F.count(F.lit(1)).cast("double"))
+        ).alias("skew_ratio"),
+        F.max(F.struct(F.col("__cnt"), F.col("__k"))).alias("__top"),
+    ).select(
+        F.lit(key_name).alias("key"),
+        "n_rows",
+        "n_keys",
+        "avg_per_key",
+        "max_per_key",
+        "p99_per_key",
+        "skew_ratio",
+        F.col("__top.__k").alias("top_key"),
+        F.col("__top.__cnt").cast("long").alias("top_key_n"),
+    )

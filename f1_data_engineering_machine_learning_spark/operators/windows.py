@@ -226,3 +226,61 @@ def running_agg(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    sort_key: Column,
+    k: int,
+    n_salt: int = 32,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Skew-safe per-group top-k for the few-groups / many-rows regime.
+
+    ``topk_per_group`` (window row_number) shuffles EVERY row of a group
+    into ONE task and sorts it there — correct, but with 3 groups over
+    10^10 rows the job is three giant straggler tasks. This is the
+    two-phase heap merge instead:
+
+    1. rows are salted by a deterministic row hash into
+       ``(group, salt)`` sub-groups; each sub-group keeps only its local
+       top-k (``slice(array_sort(collect_list(item)), 1, k)``) — the
+       aggregation is map-side combinable, so no task ever materializes
+       more than its partition's rows, and the reduce-side buffer holds
+       a sub-group (~group_rows / n_salt), not the group;
+    2. the ≤ ``k x n_salt`` per-group survivors re-aggregate (same
+       sort+slice) into the exact top-k, with rank from ``posexplode``.
+
+    Exactly the partial-TopK-then-merge plan TakeOrderedAndProject uses
+    for GLOBAL top-k, expressed per group. Output = input columns +
+    ``rn_col`` (1-based), identical to ``topk_per_group`` given the same
+    total order (equivalence-tested).
+
+    ``sort_key``: a Column (struct for multi-key) whose ASCENDING order
+    is the desired rank order — negate numerics for descending. It must
+    totally order rows within a group (include a unique tie-break) and
+    be non-null; struct comparison is lexicographic by field.
+
+    Size ``n_salt`` ~ group_rows / target_task_rows at the expected hot
+    group; ``k x n_salt`` stays tiny so stage 2 is never the problem."""
+    cols = df.columns
+    item = F.struct(
+        sort_key.alias("__o"),
+        F.struct(*[F.col(c) for c in cols]).alias("__p"),
+    )
+    salt = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salt))
+    partial = (
+        df.groupBy(*[F.col(c) for c in partition_by], salt.alias("__salt"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__t"))
+    )
+    merged = (
+        partial.select(*partition_by, F.explode("__t").alias("__i"))
+        .groupBy(*partition_by)
+        .agg(F.slice(F.array_sort(F.collect_list("__i")), 1, k).alias("__t"))
+    )
+    return merged.select(
+        F.posexplode("__t").alias("__pos", "__i")
+    ).select(
+        "__i.__p.*", (F.col("__pos") + 1).cast("int").alias(rn_col)
+    )

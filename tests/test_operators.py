@@ -307,3 +307,50 @@ def test_range_partitioned_rank_null_order_values(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_topk_per_group_salted_equals_window(spark):
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group,
+        topk_per_group_salted,
+    )
+
+    rows = [
+        (g, i, float((i * 37 + ord(g) * 11) % 100))
+        for g in ("a", "b", "c")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    window = {
+        (r.g, r.id, r.rn)
+        for r in topk_per_group(
+            df, ["g"], [F.desc("v"), F.col("id")], k=7, rn_col="rn"
+        ).collect()
+    }
+    salted = {
+        (r.g, r.id, r.rn)
+        for r in topk_per_group_salted(
+            df,
+            ["g"],
+            F.struct((-F.col("v")).alias("o1"), F.col("id").alias("o2")),
+            k=7,
+            n_salt=8,
+        ).collect()
+    }
+    assert salted == window and len(salted) == 21
+
+
+def test_topk_per_group_salted_small_groups_and_k_exceeds(spark):
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group_salted,
+    )
+
+    df = spark.createDataFrame([("g", 1, 5.0), ("g", 2, 3.0)], ["g", "id", "v"])
+    got = sorted(
+        (r.id, r.rn)
+        for r in topk_per_group_salted(
+            df, ["g"], F.struct(F.col("v").alias("o1"), F.col("id").alias("o2")), k=10
+        ).collect()
+    )
+    # k larger than the group: all rows, ranked ascending by v
+    assert got == [(1, 2), (2, 1)]

@@ -93,3 +93,67 @@ def test_table_profile_is_lazy_single_plan(spark):
     assert rows["k"].n_rows == 3 and rows["k"].n_distinct == 2
     assert rows["s"].n_null == 1 and rows["s"].min_value == "a"
     assert rows["v"].n_null == 1 and rows["v"].max_value == "3.0"
+
+
+def test_referential_integrity_planted_violations(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        referential_integrity,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 9), (13, None), (14, 2)],
+        "id long, fk long",
+    )
+    r = referential_integrity(child, ["fk"], parent, ["pk"], "child->parent").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.relationship == "child->parent"
+    assert row.child_rows == 5
+    assert row.null_fks == 1          # fk None
+    assert row.orphan_children == 1   # fk=9 has no parent
+    assert row.childless_parents == 1  # pk=3 unreferenced
+
+
+def test_referential_integrity_composite_key_and_lazy(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        referential_integrity,
+    )
+
+    parent = spark.createDataFrame([(1, "a"), (2, "b")], ["k1", "k2"])
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (None, "a")], ["f1", "f2"]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    audit = referential_integrity(child, ["f1", "f2"], parent, ["k1", "k2"])
+    assert len(tracker.getJobIdsForGroup(None) or []) == before  # lazy
+    row = audit.collect()[0]
+    # (1,'b') is an orphan; (None,'a') is a null FK (any component null)
+    assert row.child_rows == 4 and row.null_fks == 1
+    assert row.orphan_children == 1 and row.childless_parents == 0
+
+
+def test_key_skew_profile_stats(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 6 + [("warm",)] * 2 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_profile(df, ["k"]).collect()[0]
+    assert r.key == "k"
+    assert r.n_rows == 10 and r.n_keys == 3
+    assert r.max_per_key == 6 and r.top_key == "hot" and r.top_key_n == 6
+    assert abs(r.avg_per_key - 10 / 3) < 1e-12
+    assert abs(r.skew_ratio - 6 / (10 / 3)) < 1e-12
+
+
+def test_key_skew_profile_top_key_tiebreak(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    # equal counts: deterministic winner = max key string
+    assert key_skew_profile(df, ["k"]).collect()[0].top_key == "b"
