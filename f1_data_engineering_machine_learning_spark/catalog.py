@@ -7349,3 +7349,123 @@ def doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return substring_dedup(docs, min_len=8)
+
+
+@query(
+    "split_priority_drift",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                       < 'cccc'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM orders
+    ), ca AS (
+      SELECT o_orderpriority AS category, COUNT(*) AS na
+      FROM s WHERE split = 'train' GROUP BY 1
+    ), cb AS (
+      SELECT o_orderpriority AS category, COUNT(*) AS nb
+      FROM s WHERE split = 'val' GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(ca.category, cb.category) AS category,
+             CAST(COALESCE(na, 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(nb, 0) AS BIGINT) AS n_b
+      FROM ca FULL OUTER JOIN cb
+        ON ca.category IS NOT DISTINCT FROM cb.category
+    ), t AS (
+      SELECT SUM(n_a) AS ta, SUM(n_b) AS tb,
+             SUM(ABS(CAST(n_a AS HUGEINT) * (SELECT SUM(n_b) FROM j)
+                     - CAST(n_b AS HUGEINT) * (SELECT SUM(n_a) FROM j)))
+               AS gap_sum
+      FROM j
+    )
+    SELECT category, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+           CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+           ABS(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS share_gap,
+           CAST(gap_sum AS DOUBLE)
+             / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS tvd
+    FROM j, t
+    """,
+)
+def split_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between the train and val splits of the
+    content-hash splitter (dataops/quality.py::category_drift over
+    dataops/sampling.py::split_by_content_hash): per-category counts and
+    shares of o_orderpriority on each side, the per-category share gap,
+    and the total-variation distance stamped on every row. This is the
+    check a training pipeline runs after ANY split or resample — did the
+    80/20 cut preserve the label mix? TVD is computed from integer
+    cross-products (order-independent decimal sum, one final double
+    division), so the summary value-hashes bitwise against the oracle;
+    a per-row double-gap sum would drift on float summation order."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        category_drift,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        split_by_content_hash,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = split_by_content_hash(
+        o, "o_orderkey", {"train": 0.8, "val": 0.2}, hex_chars=4
+    )
+    return category_drift(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "val"),
+        "o_orderpriority",
+    )
+
+
+@query(
+    "contrastive_negatives_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(text) AS ck,
+             ((doc_id % 999999937) * 2654435761 + 97531) % 4294967296 AS h
+      FROM documents
+    ), cands AS (
+      SELECT doc_id AS cid, ck AS cdk, h % 16 AS bucket FROM base
+    ), probes AS (
+      SELECT b.doc_id AS aid, b.ck AS adk,
+             (b.h % 16 + i.i) % 16 AS bucket
+      FROM base b CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i
+    ), pairs AS (
+      SELECT p.aid, c.cid,
+             (((p.aid * 31 + c.cid) % 999999937) * 2654435761 + 97531)
+               % 4294967296 AS ph
+      FROM probes p JOIN cands c USING (bucket)
+      WHERE c.cid <> p.aid AND c.cdk IS DISTINCT FROM p.adk
+    ), ranked AS (
+      SELECT aid, cid, ROW_NUMBER() OVER (
+        PARTITION BY aid ORDER BY ph, cid) AS rn
+      FROM pairs
+    )
+    SELECT CAST(aid AS BIGINT) AS anchor_id,
+           CAST(cid AS BIGINT) AS neg_id,
+           CAST(rn AS INTEGER) AS neg_rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling over the corpus
+    (dataops/sampling.py::contrastive_negatives): 3 negatives per anchor
+    document from hash-probed candidate buckets — no all-pairs join, no
+    RNG state. Exact-duplicate candidates (same md5(text) as the anchor)
+    are vetoed: a near-copy of the anchor is a FALSE negative that
+    poisons a contrastive batch, so the dedup signal feeds sampling.
+    Every assignment replays from row content alone (portable integer
+    mix), which the oracle proves by re-deriving all ranks; the join is
+    anchors x ~(n_probes/n_buckets) of the corpus — linear, bucket-sized
+    tasks at 100 TB."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__ck", F.md5(F.col("text").cast("binary"))
+    )
+    return contrastive_negatives(
+        docs, "doc_id", k=3, n_buckets=16, n_probes=2, dedup_key="__ck"
+    )

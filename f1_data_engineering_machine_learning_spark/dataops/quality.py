@@ -310,3 +310,85 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.col("__top.__k").alias("top_key"),
         F.col("__top.__cnt").cast("long").alias("top_key_n"),
     )
+
+
+def category_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_col: str,
+    label_a: str = "a",
+    label_b: str = "b",
+) -> DataFrame:
+    """Categorical distribution drift between two datasets (train vs val
+    split, yesterday's batch vs today's, corpus v1 vs v2): one row per
+    category value —
+    ``(category, n_a, n_b, share_a, share_b, share_gap)`` plus the
+    dataset-level total-variation distance ``tvd`` stamped on every row
+    (``0.5 * sum(|share_a - share_b|)`` — the fraction of probability
+    mass that moved; 0 = identical, 1 = disjoint).
+
+    TVD is chosen over PSI/KL deliberately: it is exact rational
+    arithmetic (counts and divisions only, no ``ln``), so the report is
+    bit-reproducible across engines — the same reason the rest of the
+    catalog avoids transcendentals in oracled outputs. The summary is
+    computed from INTEGER cross-products
+    (``sum|n_a * total_b - n_b * total_a| / (2 * total_a * total_b)``,
+    decimal-exact sum, one final double division) rather than summing
+    per-row double gaps — float summation is order-dependent across
+    engines, integer summation is not. A category absent from one side
+    contributes its full share on the other (counts coalesce to 0),
+    which is exactly the mass TVD should count.
+
+    Plan shape: each side collapses to per-category counts (map-side
+    combinable, one small shuffle each), the two count tables full-outer
+    join on category (tiny — |categories| rows), and totals/TVD ride as
+    1-row broadcast cross joins. At 100 TB the cost is two scans; the
+    comparison itself never touches row-level data. NULL category is a
+    real category (null-safe join key)."""
+    ca = df_a.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    cb = df_b.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    joined = ca.alias("__a").join(
+        cb.alias("__b"),
+        F.col("__a.category").eqNullSafe(F.col("__b.category")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("__a.category"), F.col("__b.category")).alias("category"),
+        F.coalesce(F.col("__na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    totals = joined.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    shared = joined.crossJoin(totals).select(
+        "category",
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("__ta").cast("double")).alias("share_a"),
+        (F.col("n_b").cast("double") / F.col("__tb").cast("double")).alias("share_b"),
+        F.col("__ta"),
+        F.col("__tb"),
+    )
+    gapped = shared.withColumn(
+        "share_gap", F.abs(F.col("share_a") - F.col("share_b"))
+    )
+    dec = "decimal(38,0)"
+    tvd = gapped.agg(
+        (
+            F.sum(
+                F.abs(
+                    F.col("n_a").cast(dec) * F.col("__tb").cast(dec)
+                    - F.col("n_b").cast(dec) * F.col("__ta").cast(dec)
+                )
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("__ta").cast("double")
+                * F.max("__tb").cast("double")
+            )
+        ).alias("tvd")
+    )
+    return gapped.drop("__ta", "__tb").crossJoin(tvd)

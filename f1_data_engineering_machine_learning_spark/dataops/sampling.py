@@ -270,3 +270,99 @@ def split_by_content_hash(
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         expr = F.when(prefix < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def _portable_mix(x: Column) -> Column:
+    """Engine-portable pseudo-random mix of a non-negative integer:
+    ``((x % 999999937) * 2654435761 + 97531) % 2^32``. The pre-reduction
+    by a prime keeps the product under 2^63 (999999936 * 2654435761 ~
+    2.65e18), so the identical expression evaluates without overflow in
+    any 64-bit-integer engine — the portability the samplers' oracles
+    depend on (xxhash64 would be Spark-only)."""
+    return ((x % F.lit(999999937)) * F.lit(2654435761) + F.lit(97531)) % F.lit(
+        4294967296
+    )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    key: str,
+    k: int,
+    n_buckets: int = 64,
+    n_probes: int = 2,
+    dedup_key: str | None = None,
+    anchor_col: str = "anchor_id",
+    neg_col: str = "neg_id",
+    rank_col: str = "neg_rank",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every document (anchor), pick ``k`` pseudo-random "negative"
+    documents from the same corpus — reproducibly, from row content
+    alone, with no all-pairs join.
+
+    The trick is hash bucketing on BOTH sides. Every document lands in
+    candidate bucket ``mix(key) % n_buckets``; every anchor probes
+    ``n_probes`` buckets starting at its own hash (consecutive bucket
+    ids — since bucket membership is itself a hash assignment, adjacent
+    buckets are as random as independent draws, and disjoint by
+    construction so no candidate repeats). The equi-join
+    anchors x candidates on bucket yields ~``n_probes * N / n_buckets``
+    candidates per anchor; each anchor keeps the ``k`` with the smallest
+    pair hash ``mix(31 * anchor + cand)`` (tie-broken by candidate id).
+
+    Self-pairs are excluded, and when ``dedup_key`` names a column
+    (e.g. a content hash), candidates sharing the anchor's value are
+    excluded too — a near-duplicate of the anchor is a FALSE negative
+    that poisons a contrastive batch, so the dedup signal plugs in here.
+
+    Scale: size ``n_buckets ~ n_probes * N / c`` for a target of ``c``
+    candidates per anchor — the join output is ``N * c`` rows,
+    LINEAR in corpus size, and the per-anchor top-k window partitions
+    by anchor (millions of small groups, no skew). Keys must be
+    non-negative integers (the portable mix is sign-sensitive across
+    engines)."""
+    if n_probes > n_buckets:
+        raise ValueError("n_probes must be <= n_buckets")
+    kc = F.col(key).cast("long")
+    sel = [kc.alias("__cid"), (_portable_mix(kc) % F.lit(n_buckets)).alias("__bucket")]
+    if dedup_key is not None:
+        sel.append(F.col(dedup_key).alias("__cdk"))
+    cands = df.select(*sel)
+
+    probe_sel = [kc.alias("__aid"), _portable_mix(kc).alias("__h")]
+    if dedup_key is not None:
+        probe_sel.append(F.col(dedup_key).alias("__adk"))
+    probes = (
+        df.select(*probe_sel)
+        .select(
+            "__aid",
+            *(["__adk"] if dedup_key is not None else []),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_probes - 1))
+            ).alias("__i"),
+            "__h",
+        )
+        .select(
+            "__aid",
+            *(["__adk"] if dedup_key is not None else []),
+            ((F.col("__h") % F.lit(n_buckets) + F.col("__i")) % F.lit(n_buckets)).alias(
+                "__bucket"
+            ),
+        )
+    )
+    pairs = probes.join(cands, "__bucket").filter(F.col("__cid") != F.col("__aid"))
+    if dedup_key is not None:
+        pairs = pairs.filter(~F.col("__cdk").eqNullSafe(F.col("__adk")))
+    ph = _portable_mix(F.col("__aid") * F.lit(31) + F.col("__cid"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("__aid").orderBy(ph.asc(), F.col("__cid").asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__aid").alias(anchor_col),
+            F.col("__cid").alias(neg_col),
+            F.col("__rn").cast("int").alias(rank_col),
+        )
+    )

@@ -241,3 +241,42 @@ def conform_schema(
                 f"{field.dataType.simpleString()}"
             )
     return df.select(*cols)
+
+
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — the columnar format of choice for Hive-era warehouses
+    a migration pipeline still has to read. Spark's native vectorized ORC
+    reader gives the same pushdown/pruning contract as parquet (predicate
+    pushdown, column pruning, partition discovery), so every catalog
+    operator works unchanged on ORC-resident tables."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink, sharded (one file per partition) and zstd-compressed by
+    default; partitioned layout when ``partition_by`` is given."""
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parquet scan across shards whose schemas EVOLVED over time
+    (columns added by newer producers): ``mergeSchema`` unions the
+    per-file footers into one superset schema, older files surface the
+    new columns as NULLs. This is the read-side half of schema evolution
+    (the write side is ``conform_schema``).
+
+    Scale note: footer merging reads every file's metadata on the driver
+    — fine for thousands of shards, but a 100 TB table with millions of
+    files should maintain ONE authoritative schema (a metastore or
+    ``conform_schema`` at write time) rather than re-deriving it per
+    read; this helper is for the migration/backfill window where both
+    generations of files coexist."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

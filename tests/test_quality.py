@@ -157,3 +157,36 @@ def test_key_skew_profile_top_key_tiebreak(spark):
     df = spark.createDataFrame([("a",), ("b",)], ["k"])
     # equal counts: deterministic winner = max key string
     assert key_skew_profile(df, ["k"]).collect()[0].top_key == "b"
+
+
+def test_category_drift_planted(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        category_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 3 + [("z",)] * 1, ["c"]
+    )
+    b = spark.createDataFrame([("x",)] * 2 + [("y",)] * 2, ["c"])
+    rows = {r.category: r for r in category_drift(a, b, "c").collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert rows["x"].n_a == 6 and rows["x"].n_b == 2
+    assert rows["z"].n_b == 0 and rows["z"].share_b == 0.0
+    assert abs(rows["x"].share_a - 0.6) < 1e-15
+    assert abs(rows["x"].share_b - 0.5) < 1e-15
+    # tvd = 0.5*(|.6-.5| + |.3-.5| + |.1-0|) = 0.2, same on every row
+    tvds = {r.tvd for r in rows.values()}
+    assert len(tvds) == 1
+    assert abs(tvds.pop() - 0.2) < 1e-12
+
+
+def test_category_drift_null_category_and_identity(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        category_drift,
+    )
+
+    a = spark.createDataFrame([("x",), (None,)], "c string")
+    rows = {r.category: r for r in category_drift(a, a, "c").collect()}
+    # NULL is a real category, joined null-safely; identical sides -> tvd 0
+    assert set(rows) == {"x", None}
+    assert all(r.tvd == 0.0 and r.share_gap == 0.0 for r in rows.values())

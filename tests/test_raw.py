@@ -70,3 +70,41 @@ def test_raw_to_bronze_roundtrip(spark, tmp_path):
 def test_empty_glob_is_hard_error(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         build_bronze(spark, str(tmp_path / "nothing" / "*.csv"))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.io import read_orc, write_orc
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path, partition_by=["grp"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    # partition pruning: grp is a directory column, filter prunes to 1/7
+    pruned = back.filter(F.col("grp") == 3)
+    assert pruned.count() == len([i for i in range(1000) if i % 7 == 3])
+    got = {(r.id, r.s) for r in pruned.collect()}
+    assert got == {(i, f"v{i}") for i in range(1000) if i % 7 == 3}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.io import read_parquet_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id")).write.parquet(base + "/gen=1")
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("new").alias("added")
+    ).write.parquet(base + "/gen=2")
+    merged = read_parquet_evolving(spark, base)
+    assert set(merged.columns) == {"id", "added", "gen"}
+    rows = {r.id: r.added for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "new"  # old files NULL-fill

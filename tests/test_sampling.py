@@ -168,3 +168,55 @@ def test_upsample_with_repeats_multiplicities(spark):
     down = upsample_with_repeats(df, "dom", {"hot": 0.5, "cold": 1.0}, key="k")
     hot = {r["k"] for r in down.filter("dom = 'hot'").collect()}
     assert hot == {k for k in range(200) if k % 2 and k % 100 < 50}
+
+
+def test_contrastive_negatives_contract(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        contrastive_negatives,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # two ids share content -> mutual false-negative veto
+        F.when(F.col("id").isin(7, 8), F.lit("SAME")).otherwise(
+            F.concat(F.lit("t"), F.col("id"))
+        ).alias("text"),
+    ).withColumn("ck", F.md5(F.col("text").cast("binary")))
+    out = contrastive_negatives(
+        df, "doc_id", k=4, n_buckets=8, n_probes=2, dedup_key="ck"
+    )
+    rows = out.collect()
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    # every anchor got negatives; none got itself; ranks are 1..n contiguous
+    assert set(by_anchor) == set(range(200))
+    for a, rs in by_anchor.items():
+        negs = {r.neg_id for r in rs}
+        assert a not in negs
+        assert len(negs) == len(rs) <= 4
+        assert sorted(r.neg_rank for r in rs) == list(range(1, len(rs) + 1))
+    # duplicate-content veto: 7 and 8 never sample each other
+    assert 8 not in {r.neg_id for r in by_anchor[7]}
+    assert 7 not in {r.neg_id for r in by_anchor[8]}
+
+
+def test_contrastive_negatives_partition_invariant(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        contrastive_negatives,
+    )
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = {
+        (r.anchor_id, r.neg_id, r.neg_rank)
+        for r in contrastive_negatives(
+            df.repartition(3), "doc_id", k=2, n_buckets=8
+        ).collect()
+    }
+    b = {
+        (r.anchor_id, r.neg_id, r.neg_rank)
+        for r in contrastive_negatives(
+            df.repartition(23), "doc_id", k=2, n_buckets=8
+        ).collect()
+    }
+    assert a == b and len({x[0] for x in a}) == 300
