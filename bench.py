@@ -37,8 +37,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = catalog.queries()
-    # warmup: flagship once (JVM + codegen warm)
-    _force(qs["top_customer_per_year"](spark, sf_dir))
+    # Warmup: JVM + whole-stage-codegen compilation is a one-time,
+    # data-size-independent cost (generated classes are keyed by plan
+    # structure), but it lands on whichever query first exercises a
+    # pipeline family — 10+ s of compiler time misattributed to one
+    # query. Running the heaviest families once at the SMALLEST sf
+    # compiles the same classes against negligible data, so the timed
+    # loop below measures steady-state query cost at sf_dir — the
+    # number that scales — not first-touch compilation.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for warm_q in (
+        "top_customer_per_year",       # scan + agg + window
+        "curated_docs_survivors",      # tokenize + minhash + LSH + CC loop
+        "semantic_dedup_embeddings",   # embedding quantizer + cosine
+        "copurchase_pagerank",         # iterative join family
+    ):
+        try:
+            _force(qs[warm_q](spark, warm_dir))
+        except Exception:  # noqa: BLE001 - warmup must never sink the run
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

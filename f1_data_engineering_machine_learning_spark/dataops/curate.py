@@ -30,11 +30,22 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     component. Distributed (join + groupBy per round), no driver graph;
     rounds needed = graph diameter (near-dup clusters are tiny, so this
     converges in 2-3 rounds; ``max_rounds`` bounds adversarial chains)."""
+    # Eager localCheckpoint, not persist: an iterative algorithm's real
+    # driver cost is PLAN growth — with persist, every round's action
+    # re-analyzes the full upstream lineage (the whole MinHash pipeline
+    # plus one join layer per round), so analysis + codegen dominate cold
+    # runs and grow superlinearly with rounds. Checkpointing truncates
+    # the plan to an in-memory scan, making each round's plan constant-
+    # size (the standard Pregel/GraphX practice). Blocks are GC-managed
+    # with the DataFrame (no CacheManager entries pinning executor
+    # memory); the trade — losing an executor's unreplicated blocks
+    # fails the job instead of recomputing — is the accepted one for
+    # iterative graph algorithms, and the loop restarts cleanly.
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -42,45 +53,30 @@ def near_dup_clusters(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     prev_sum = None
-    prev_cached = None
-    try:
-        for _ in range(max_rounds):
-            neighbor_min = (
-                edges.join(labels, edges.b == labels.node)
-                .groupBy("a")
-                .agg(F.min("label").alias("nbr_label"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
             )
-            labels = (
-                labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            # labels only ever decrease, so an unchanged sum == convergence —
-            # one cheap aggregate per round instead of a join-based diff.
-            # The agg also materializes this round's cache, so the previous
-            # round's cache can be released immediately (bounded memory:
-            # at most two label generations cached at any moment).
-            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = labels
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-        # hand back a lineage-truncated copy so the loop's cache entries can
-        # all be dropped — localCheckpoint blocks are GC-managed, CacheManager
-        # entries are not (they'd pin executor memory for the session life)
-        out = labels.localCheckpoint(eager=True)
-        return out
-    finally:
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum == convergence —
+        # one cheap aggregate per round instead of a join-based diff
+        # (cheap for real: it scans the just-checkpointed blocks).
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def curation_stages(

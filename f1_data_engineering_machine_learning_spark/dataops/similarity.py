@@ -797,23 +797,29 @@ def semantic_dedup_deterministic(
     cent_arr = _sampled_centroid_literal(corpus, id_col, vec_col, n_centroids)
 
     # Each pair-scan side derives its OWN assignment subtree with per-side
-    # column names. The argmax expression contains higher-order-function
-    # lambdas; self-joining one shared subtree makes Catalyst's
-    # DeduplicateRelations re-alias a plan with lambda variables, which
-    # Spark 4.1 miscompiles on the collectToPython path
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Distinct lineages sidestep the
-    # rewrite; the recompute is map-only and free of extra shuffles.
+    # column names (fresh expression ids). The argmax expression contains
+    # higher-order-function lambdas; self-joining one shared subtree makes
+    # Catalyst's DeduplicateRelations re-alias a plan with lambda
+    # variables, which Spark 4.1 miscompiles
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) — and the same bug bites a
+    # checkpointed relation joined to itself, since both branches then
+    # share attribute ids. Distinct lineages sidestep the rewrite; the
+    # recompute is map-only and free of extra shuffles. The k x dim
+    # centroid-literal expression is PARSED once (F.expr here) and the
+    # parsed Column reused across the three subtrees — parsing a
+    # multi-kilobyte SQL string per side was the dominant driver-side
+    # plan cost.
+    argmax_col = F.expr(_argmax_centroid_expr("__v", cent_arr))
+
     def _assigned(tag: str) -> DataFrame:
         out = corpus.select(
-            F.col(id_col).alias(f"__id{tag}"),
-            _as_double(F.col(vec_col)).alias(f"__v{tag}"),
-        ).withColumn(
-            f"__c{tag}", F.expr(_argmax_centroid_expr(f"__v{tag}", cent_arr))
-        )
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        ).withColumn("__c", argmax_col)
         if dim is not None:
-            out = out.withColumn(
-                f"__n{tag}", l2_norm_fixed(F.col(f"__v{tag}"), dim)
-            )
+            out = out.withColumn("__n", l2_norm_fixed(F.col("__v"), dim))
+        if tag:
+            out = out.select(*[F.col(c).alias(f"{c}{tag}") for c in out.columns])
         return out
 
     a, b, full = _assigned("a"), _assigned("b"), _assigned("")
