@@ -134,6 +134,14 @@ _GATE_PRIORITY = [
     "rolling_7d_distinct_users",
     "doc_pooled_embeddings",
     "doc_markup_cleaned",
+    "doc_substring_dedup",
+    "fk_integrity_audit",
+    "key_skew_report",
+    "returnflag_top_parts",
+    "split_priority_drift",
+    "contrastive_negatives_docs",
+    "winsorized_quantity_stats",
+    "user_daily_value_anomalies",
 ]
 
 
@@ -7469,3 +7477,190 @@ def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_negatives(
         docs, "doc_id", k=3, n_buckets=16, n_probes=2, dedup_key="__ck"
     )
+
+
+@query(
+    "returnflag_quantity_zscore",
+    """
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             CAST(COUNT(l_quantity) AS DOUBLE) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+           (CAST(l.l_quantity AS DOUBLE) - (s.s1 / s.n))
+             / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS quantity_z
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    """,
+)
+def returnflag_quantity_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of l_quantity within each return
+    flag (operators/robust.py::zscore_normalize) — the ML feature-prep
+    staple, done distributed: one map-side-combinable shuffle computes
+    decimal-EXACT sufficient statistics (sum, sum-of-squares), the tiny
+    stats frame broadcasts back, the per-row z is pure double arithmetic.
+    Every row's z value-hashes bitwise against the oracle because the
+    sums are order-independent decimals and every double op after them is
+    single-rounded (incl. the correctly-rounded sqrt)."""
+    from f1_data_engineering_machine_learning_spark.operators.robust import (
+        zscore_normalize,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zscore_normalize(li, "l_quantity", ["l_returnflag"], out_col="quantity_z")
+    return z.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "quantity_z"
+    )
+
+
+@query(
+    "returnflag_weighted_median_price",
+    """
+    WITH rows_f AS (
+      SELECT l_returnflag AS k, l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(30,6)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0
+    ), c AS (
+      SELECT k, v,
+             SUM(w) OVER (PARTITION BY k ORDER BY v) AS cumw,
+             SUM(w) OVER (PARTITION BY k) AS totw
+      FROM rows_f
+    )
+    SELECT k AS l_returnflag, MIN(v) AS weighted_median
+    FROM c WHERE cumw * 2 >= totw GROUP BY k
+    """,
+)
+def returnflag_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact median of l_extendedprice per return flag
+    (operators/aggregates.py::weighted_median): a 40-unit line should
+    pull the 'typical price' 40x harder than a 1-unit line — the
+    weighted analogue of A6's exact median. The pick is the smallest
+    value whose cumulative weight reaches half the total; all weight
+    arithmetic is decimal (order-independent) and the half-total test is
+    multiplication-only, so the decision — including tie blocks, where
+    RANGE vs ROWS cumulative framing provably cannot change the picked
+    VALUE — replays exactly in the oracle. One window cumsum + one min
+    aggregate, both on the group key."""
+    from f1_data_engineering_machine_learning_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    ).select("l_returnflag", "weighted_median")
+
+
+@query(
+    "user_daily_value_ewma",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT user_id, d, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           ((CASE WHEN v IS NOT NULL THEN v * 1.0 END)
+            + COALESCE(CASE WHEN l1 IS NOT NULL THEN l1 * 0.5 END, 0.0)
+            + COALESCE(CASE WHEN l2 IS NOT NULL THEN l2 * 0.25 END, 0.0)
+            + COALESCE(CASE WHEN l3 IS NOT NULL THEN l3 * 0.125 END, 0.0))
+           / ((CASE WHEN v IS NOT NULL THEN 1.0 END)
+              + COALESCE(CASE WHEN l1 IS NOT NULL THEN 0.5 END, 0.0)
+              + COALESCE(CASE WHEN l2 IS NOT NULL THEN 0.25 END, 0.0)
+              + COALESCE(CASE WHEN l3 IS NOT NULL THEN 0.125 END, 0.0))
+             AS value_ewma
+    FROM lagged
+    """,
+)
+def user_daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA of per-user daily value totals
+    (operators/windows.py::ewma_trailing, depth 4): the smoothed
+    engagement signal a monitoring pipeline tracks per entity. The decay
+    base is a power of two (weights 1, 1/2, 1/4, 1/8 — exact binary
+    fractions) and daily totals are micro-unit quantized integers, so
+    the weighted average value-hashes bitwise; an arbitrary alpha would
+    put libm pow drift in every row. One exchange + sort per entity —
+    the lag chain evaluates inside whole-stage codegen, no self-join."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        ewma_trailing,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .cast("double")
+        .alias("v")
+    )
+    out = ewma_trailing(daily, ["user_id"], "d", "v", depth=4, out_col="value_ewma")
+    return out.select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"), "value_ewma"
+    )
+
+
+@query(
+    "order_price_equidepth_hist",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), b AS (
+      SELECT [quantile_cont(x, 0.1), quantile_cont(x, 0.2),
+              quantile_cont(x, 0.3), quantile_cont(x, 0.4),
+              quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+              quantile_cont(x, 0.7), quantile_cont(x, 0.8),
+              quantile_cont(x, 0.9)] AS bounds,
+             CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+      FROM v
+    ), t AS (
+      SELECT x, len(list_filter(bounds, bb -> CAST(x AS DOUBLE) > bb)) AS bin
+      FROM v, b
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CASE WHEN bin = 0 THEN (SELECT mn FROM b)
+                ELSE (SELECT bounds[bin] FROM b) END AS lo,
+           CASE WHEN bin = 9 THEN (SELECT mx FROM b)
+                ELSE (SELECT bounds[bin + 1] FROM b) END AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY bin
+    """,
+)
+def order_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile-boundary) histogram of order value
+    (dataops/quality.py::equidepth_histogram): resolution concentrates
+    where the mass is — the summary a drift monitor or optimizer wants
+    for a skewed money column, complementing the mergeable equi-width
+    histogram (order_price_histogram). Prices are pre-quantized to
+    integer cents so the nine decile boundaries interpolate on exact
+    binary fractions (the catalog's cross-engine percentile rule); tie
+    blocks land in the lower bin by the x > boundary count. Two scans:
+    one percentile aggregate (1 row, broadcast), one map-side-combinable
+    count."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    # round() before the integer cast: CAST(double AS BIGINT) truncates
+    # in Spark but rounds in DuckDB — an off-by-one-cent data mismatch
+    # that moves percentile boundaries. round-half-away on the identical
+    # double product is engine-identical for positive prices.
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x")
+    )
+    h = equidepth_histogram(o, "x", n_bins=10)
+    return h.select("bin", "lo", "hi", F.col("n").cast("bigint").alias("n"))

@@ -392,3 +392,66 @@ def category_drift(
         ).alias("tvd")
     )
     return gapped.drop("__ta", "__tb").crossJoin(tvd)
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin boundaries at the exact ``i / n_bins``
+    percentiles, then one count pass — each bin holds ~equal mass, so
+    resolution concentrates where the data is (the summary a query
+    optimizer or drift monitor wants for a skewed column; the equi-WIDTH
+    twin is :func:`numeric_histogram`, which is mergeable across slices
+    — this one is not, its boundaries are data-derived).
+
+    Output: ``(bin, lo, hi, n)`` with ``lo``/``hi`` the percentile
+    boundaries (first/last bin extend to the column min/max). Ties
+    spanning a boundary land in the LOWER bin (assignment is
+    ``sum(x > boundary)``), so heavy ties make uneven bins — exact
+    counts, honestly uneven, rather than pretending tied values split.
+
+    Plan: one percentile aggregate (single row, broadcast) + one
+    map-side-combinable count — two scans, shuffle rows = n_bins.
+    Exactness: integral/pre-quantized inputs keep the percentile
+    interpolation on exact binary fractions (the catalog's oracle rule).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    rows = df.filter(F.col(col).isNotNull())
+    bounds = rows.agg(
+        F.array(
+            *[F.percentile(F.col(col), F.lit(f)).alias(f"b{i}") for i, f in enumerate(fracs)]
+        ).alias("__bounds"),
+        F.min(F.col(col)).cast("double").alias("__min"),
+        F.max(F.col(col)).cast("double").alias("__max"),
+    )
+    tagged = rows.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bin",
+        F.aggregate(
+            F.col("__bounds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col).cast("double") > b, 1).otherwise(0),
+        ),
+    )
+    return (
+        tagged.groupBy("__bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__bounds").alias("__bounds"),
+            F.first("__min").alias("__min"),
+            F.first("__max").alias("__max"),
+        )
+        .select(
+            F.col("__bin").cast("int").alias("bin"),
+            F.when(F.col("__bin") == 0, F.col("__min"))
+            .otherwise(F.element_at(F.col("__bounds"), F.col("__bin")))
+            .cast("double")
+            .alias("lo"),
+            F.when(F.col("__bin") == F.lit(len(fracs)), F.col("__max"))
+            .otherwise(F.element_at(F.col("__bounds"), F.col("__bin") + 1))
+            .cast("double")
+            .alias("hi"),
+            "n",
+        )
+    )

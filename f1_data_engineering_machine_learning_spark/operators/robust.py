@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorize", "mad_anomalies"]
+__all__ = ["winsorize", "mad_anomalies", "zscore_normalize"]
 
 
 def winsorize(
@@ -70,3 +70,51 @@ def mad_anomalies(
         "is_anomaly",
         F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad"),
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group z-score standardization ``(x - mean) / std`` — the
+    feature-engineering staple (its robust twin is median/MAD in
+    :func:`mad_anomalies`; use that when outliers poison the moments).
+    Appends ``__mean``, ``__std`` (population, i.e. divide by n) and the
+    normalized column (``{value_col}_z`` by default; NULL when the group
+    is constant, std == 0).
+
+    Determinism contract (the catalog's cross-engine rule): the two
+    sufficient statistics are EXACT decimal sums — sum(x) at the input's
+    declared ``scale`` and sum(x^2) at ``2 * scale`` (x held as
+    decimal(18, scale): its square stays inside every engine's 38-digit
+    decimal cap — a (30,s) square would overflow DuckDB) — so partial
+    aggregation is order-independent and bit-reproducible; every
+    subsequent op (mean = S1/n, var = S2/n - mean^2, sqrt, the per-row
+    z) is a single-rounded IEEE double op any engine replays bitwise.
+    One shuffle on the group key (map-side combinable), tiny stats frame
+    broadcast back — same scale shape as :func:`winsorize`."""
+    out_col = out_col or f"{value_col}_z"
+    group_cols = list(group_cols)
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    stats = df.groupBy(*group_cols).agg(
+        F.sum(x).cast("double").alias("__s1"),
+        F.sum(x * x).cast("double").alias("__s2"),
+        F.count(value_col).cast("double").alias("__n"),
+    )
+    stats = stats.select(
+        *group_cols,
+        (F.col("__s1") / F.col("__n")).alias("__mean"),
+        F.sqrt(
+            F.col("__s2") / F.col("__n")
+            - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+        ).alias("__std"),
+    )
+    j = df.join(F.broadcast(stats), group_cols)
+    z = F.when(
+        F.col("__std") > 0,
+        (F.col(value_col).cast("double") - F.col("__mean")) / F.col("__std"),
+    )
+    return j.withColumn(out_col, z)

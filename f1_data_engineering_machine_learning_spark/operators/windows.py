@@ -284,3 +284,48 @@ def topk_per_group_salted(
     ).select(
         "__i.__p.*", (F.col("__pos") + 1).cast("int").alias(rn_col)
     )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha_halves: int = 1,
+    depth: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average over the last
+    ``depth`` observations per entity: weight ``(1/2)^(alpha_halves * j)``
+    for the value ``j`` steps back, renormalized over the observations
+    actually present (a series head with 3 points averages those 3, it
+    does not decay toward a phantom zero history).
+
+    The decay base is a POWER OF TWO by construction (``alpha_halves``
+    halvings per step) — every weight is an exact binary fraction, so the
+    weighted sum is engine-bit-reproducible; an arbitrary ``alpha=0.3``
+    would put ``0.3^j`` libm drift in every row (the same reason the
+    catalog avoids ln/exp in oracled outputs).
+
+    Plan: a ``lag`` chain of ``depth`` offsets inside ONE window — a
+    single exchange + sort on the entity key, all arithmetic in
+    whole-stage codegen, no self-join and no per-row array state. A
+    left-to-right sum chain fixes the accumulation order. ``depth``
+    bounds both the expression size and the history an observation can
+    influence — the windowed (finite-memory) EWMA, which is also the
+    form that does not need an order-sensitive fold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in entity_cols]).orderBy(
+        F.col(order_col)
+    )
+    num = None
+    den = None
+    for j in range(depth):
+        weight = 2.0 ** (-alpha_halves * j)
+        lv = F.lag(F.col(value_col).cast("double"), j).over(w)
+        term = F.when(lv.isNotNull(), lv * F.lit(weight))
+        mass = F.when(lv.isNotNull(), F.lit(weight))
+        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        den = mass if den is None else den + F.coalesce(mass, F.lit(0.0))
+    return df.withColumn(out_col, num / den)

@@ -354,3 +354,65 @@ def test_topk_per_group_salted_small_groups_and_k_exceeds(spark):
     )
     # k larger than the group: all rows, ranked ascending by v
     assert got == [(1, 2), (2, 1)]
+
+
+def test_weighted_median_exact(spark):
+    from f1_data_engineering_machine_learning_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 10.0, 5),
+         ("h", 3.0, 2), ("h", 7.0, 2),
+         ("i", 4.0, 0), ("i", 9.0, 3), ("i", None, 99)],
+        "k string, v double, w int",
+    )
+    got = {r.k: r.weighted_median for r in weighted_median(df, "v", "w", ["k"]).collect()}
+    # g: total 7, half 3.5 -> cum 1,2,7: first >= 3.5 is v=10
+    # h: total 4, cum 2 hits exactly half -> lower median v=3
+    # i: zero/NULL rows excluded -> only v=9 counts
+    assert got == {"g": 10.0, "h": 3.0, "i": 9.0}
+
+
+def test_weighted_median_unit_weights_is_lower_median(spark):
+    from f1_data_engineering_machine_learning_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1) for v in (1, 2, 3, 4)], "k string, v double, w int"
+    )
+    got = weighted_median(df, "v", "w", ["k"]).collect()[0].weighted_median
+    assert got == 2.0  # lower median of even count
+
+
+def test_ewma_trailing_exact_weights(spark):
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        ewma_trailing,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, 4.0), ("u", 2, 8.0), ("u", 3, 16.0)], "e string, t int, v double"
+    )
+    rows = {r.t: r.ewma for r in ewma_trailing(df, ["e"], "t", "v", depth=4).collect()}
+    # t=1: only itself
+    assert rows[1] == 4.0
+    # t=2: (8 + 0.5*4) / 1.5
+    assert rows[2] == (8.0 + 0.5 * 4.0) / 1.5
+    # t=3: (16 + 0.5*8 + 0.25*4) / 1.75
+    assert rows[3] == (16.0 + 0.5 * 8.0 + 0.25 * 4.0) / 1.75
+
+
+def test_ewma_depth_bounds_history(spark):
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        ewma_trailing,
+    )
+
+    df = spark.createDataFrame(
+        [("u", i, 1.0 if i == 0 else 0.0) for i in range(5)],
+        "e string, t int, v double",
+    )
+    rows = {r.t: r.ewma for r in ewma_trailing(df, ["e"], "t", "v", depth=2).collect()}
+    # the t=0 spike leaves the window after depth=2 steps
+    assert rows[1] == (0.0 + 0.5 * 1.0) / 1.5
+    assert rows[2] == 0.0 and rows[4] == 0.0

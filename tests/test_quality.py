@@ -190,3 +190,33 @@ def test_category_drift_null_category_and_identity(spark):
     # NULL is a real category, joined null-safely; identical sides -> tvd 0
     assert set(rows) == {"x", None}
     assert all(r.tvd == 0.0 and r.share_gap == 0.0 for r in rows.values())
+
+
+def test_equidepth_histogram_quartiles(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    rows = sorted(
+        equidepth_histogram(df, "v", n_bins=4).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == [0, 1, 2, 3]
+    assert sum(r.n for r in rows) == 8
+    assert rows[0].lo == 1.0 and rows[-1].hi == 8.0
+    # boundaries are the exact quartiles of 1..8: 2.75, 4.5, 6.25
+    assert rows[0].hi == 2.75 and rows[1].hi == 4.5 and rows[2].hi == 6.25
+    assert [r.n for r in rows] == [2, 2, 2, 2]
+
+
+def test_equidepth_histogram_ties_go_low(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,)] * 9 + [(2.0,)], "v double")
+    rows = sorted(
+        equidepth_histogram(df, "v", n_bins=2).collect(), key=lambda r: r.bin
+    )
+    # median is 1.0; all nine 1.0s land in the LOWER bin (x > b rule)
+    assert {r.bin: r.n for r in rows} == {0: 9, 1: 1}

@@ -44,3 +44,20 @@ def test_mad_zero_group_flags_any_deviation(spark):
     out = mad_anomalies(df, "v", ["grp"])
     assert out.filter("is_anomaly").count() == 1  # strict > keeps equals clean
     assert out.filter("NOT is_anomaly").count() == 6
+
+
+def test_zscore_normalize_exact(spark):
+    from f1_data_engineering_machine_learning_spark.operators.robust import zscore_normalize
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 5.0), ("h", 5.0)],
+        ["k", "v"],
+    )
+    rows = {(r.k, r.v): r for r in zscore_normalize(df, "v", ["k"]).collect()}
+    # group g: mean 2, population std = sqrt(2/3)
+    import math
+    std = math.sqrt((1 + 4 + 9) / 3 - 4)
+    assert abs(rows[("g", 1.0)].v_z - (1 - 2) / std) < 1e-15
+    assert abs(rows[("g", 3.0)].v_z - (3 - 2) / std) < 1e-15
+    # constant group: std 0 -> NULL z
+    assert rows[("h", 5.0)].v_z is None
