@@ -7664,3 +7664,144 @@ def order_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = equidepth_histogram(o, "x", n_bins=10)
     return h.select("bin", "lo", "hi", F.col("n").cast("bigint").alias("n"))
+
+
+@query(
+    "event_props_variant",
+    """
+    WITH x AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM x GROUP BY event_type
+    """,
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    parses each props payload ONCE into the binary variant encoding, and
+    every downstream ``try_variant_get`` is a typed path lookup on that
+    parsed value — at 100 TB with many extracted fields this replaces
+    N-fields x N-rows string re-parses (the `get_json_object` pattern in
+    event_props_json, kept as the comparison query) with one parse and
+    cheap binary probes. The oracle replays the same typed extraction
+    through DuckDB's JSON path functions — same values, different
+    encoding."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("__v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("__v"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+@query(
+    "copurchase_triangles",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1
+    ), o AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS a,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS b
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), w AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o e1 JOIN o e2 ON e1.b = e2.a
+    ), t AS (
+      SELECT x, y, z FROM w JOIN o ON o.a = w.x AND o.b = w.z
+    ), nodes AS (
+      SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph
+    (operators/graph.py::triangle_count over the copurchased_parts
+    edges, support >= 2): parts forming purchase cliques — the
+    community-density signal recommendation and fraud pipelines extract
+    from co-occurrence graphs. Degree-ordered orientation counts each
+    triangle once and bounds wedge fan-out by out-degree O(sqrt(m)), so
+    a hub part with thousands of co-purchases cannot explode the wedge
+    join — the property that keeps this plan alive at 100 TB. The
+    oracle replays orientation, wedge build, and closure exactly."""
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(e)
+
+
+@query(
+    "ldiversity_customer_segments",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT
+                  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) < 3
+             AS violates_l3
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def ldiversity_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance screen, the l-diversity complement of k-anonymity
+    (kanonymity_customer_segments): a quasi-identifier group can be
+    large enough to pass k yet still leak if everyone in it SHARES the
+    sensitive value — here each (nation, segment) class must contain at
+    least l=3 distinct account-balance bands (the banded sensitive
+    attribute; floor-banding is the same exact integer arithmetic in
+    both engines). One groupBy with an exact count-distinct per class;
+    at 100 TB the sketch variant (approx_count_distinct) screens first
+    and exact confirms only the borderline classes — the pattern
+    approx_stats_scale_mode demonstrates."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(band).alias("l_distinct"),
+        (F.count_distinct(band) < 3).alias("violates_l3"),
+    )

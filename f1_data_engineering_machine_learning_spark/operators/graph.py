@@ -86,3 +86,63 @@ def pagerank(
             (F.lit(1.0 - damping) + F.lit(damping) * (F.col("qsum") / F.lit(quantize))).alias("pr"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected simple graph —
+    community-density structure (clustering-coefficient numerator,
+    spam/bot-ring signal) from a pure DataFrame plan.
+
+    The scale trick is DEGREE-ORDERED ORIENTATION (the Schank-Wagner
+    forward algorithm / Cohen's MapReduce formulation): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the larger,
+    then count wedge closures x->y, y->z closed by x->z. Each triangle is
+    counted EXACTLY once (its vertices totally ordered by (degree, id)),
+    and — the actual point — wedge generation fans out on each vertex's
+    OUT-degree, which orientation bounds by O(sqrt(m)) even for a
+    celebrity vertex with millions of neighbors: the hub's edges point
+    INTO it, so the quadratic wedge blow-up at hot vertices never
+    happens. A naive all-directions wedge join is O(sum deg^2) and dies
+    on exactly the graphs where triangles matter.
+
+    Plan: dedupe to canonical (u < v) edges, one degree aggregate, two
+    broadcast-or-shuffle hash joins (wedge build + closure probe), one
+    explode + count for attribution. Self-loops dropped; vertices in no
+    triangle are absent from the output (left-join a vertex frame for
+    zero-filled counts)."""
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = wedges.join(closing, ["x", "z"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -87,3 +87,29 @@ def test_gate_priority_queries_in_first_50():
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) < 50, f"{n} outside the 50-slot gate"
         assert n in oracles, f"{n} has no oracle"
+
+
+def test_variant_nested_typed_extraction(spark):
+    """Spark 4 VARIANT surface: one parse, many typed nested probes —
+    incl. missing-path NULL semantics and schema introspection."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('{"user": {"id": 7, "tags": ["a", "b"]}, "score": 1.5}',),
+            ('{"user": {"id": 9}, "score": null}',),
+            ("not json at all",),
+        ],
+        ["j"],
+    )
+    v = df.select(F.try_parse_json("j").alias("v")).select(
+        F.try_variant_get("v", "$.user.id", "bigint").alias("uid"),
+        F.try_variant_get("v", "$.user.tags[1]", "string").alias("tag1"),
+        F.try_variant_get("v", "$.score", "double").alias("score"),
+        F.try_variant_get("v", "$.missing", "int").alias("absent"),
+    )
+    rows = v.collect()
+    assert (rows[0].uid, rows[0].tag1, rows[0].score) == (7, "b", 1.5)
+    assert rows[1].uid == 9 and rows[1].tag1 is None and rows[1].score is None
+    # malformed input -> NULL variant -> NULL extractions, no exception
+    assert rows[2].uid is None and rows[2].absent is None

@@ -56,3 +56,34 @@ def test_partition_invariance_bitwise(spark):
     r1 = {r["node"]: r["pr"] for r in pagerank(e1, iterations=3).collect()}
     r32 = {r["node"]: r["pr"] for r in pagerank(e32, iterations=3).collect()}
     assert r1 == r32  # bit-identical, not approx
+
+
+def test_triangle_count_known_graph(spark):
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant 5
+    # and a duplicate/reversed/self-loop noise set
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5),          # pendant: no triangle
+        (2, 1), (3, 3),  # reverse dup + self loop: ignored
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) // 3 == 4
+
+
+def test_triangle_count_hub_graph_and_partition_invariance(spark):
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # star hub 0 with 30 spokes + one rim edge (1,2): exactly 1 triangle
+    edges = [(0, i) for i in range(1, 31)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {(r.node, r.n_triangles) for r in triangle_count(df.repartition(7)).collect()}
+    b = {(r.node, r.n_triangles) for r in triangle_count(df.repartition(2)).collect()}
+    assert a == b == {(0, 1), (1, 1), (2, 1)}
