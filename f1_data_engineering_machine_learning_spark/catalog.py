@@ -7805,3 +7805,56 @@ def ldiversity_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(band).alias("l_distinct"),
         (F.count_distinct(band) < 3).alias("violates_l3"),
     )
+
+
+@query(
+    "frequent_part_itemsets",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), singles AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS size,
+             COUNT(*) AS freq
+      FROM op GROUP BY l_partkey HAVING COUNT(*) >= 2
+    ), pairs AS (
+      SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+             CAST(b.l_partkey AS VARCHAR) AS itemset, 2 AS size,
+             COUNT(*) AS freq
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+    ), triples AS (
+      SELECT CAST(a.l_partkey AS VARCHAR) || ',' ||
+             CAST(b.l_partkey AS VARCHAR) || ',' ||
+             CAST(c.l_partkey AS VARCHAR) AS itemset, 3 AS size,
+             COUNT(*) AS freq
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey, c.l_partkey HAVING COUNT(*) >= 2
+    )
+    SELECT itemset, CAST(size AS INTEGER) AS size, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL
+          SELECT * FROM pairs UNION ALL
+          SELECT * FROM triples)
+    """,
+)
+def frequent_part_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining over order baskets
+    (dataops/mining.py::frequent_itemsets — MLlib parallel FP-growth,
+    absolute support 2, itemsets up to size 3): the generalization of
+    the co-occurrence pair query to arbitrary sizes. The oracle proves
+    FP-growth exact by brute-force ENUMERATION — frequent itemsets are a
+    mathematical function of the data, not a library artifact — with
+    ascending-id canonical form on both sides. PFP partitions the
+    search by suffix item (no driver tree); the support threshold is
+    pinned to an exact integer count against MLlib's fractional API."""
+    from f1_data_engineering_machine_learning_spark.dataops.mining import (
+        frequent_itemsets,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    return frequent_itemsets(
+        op, "l_orderkey", "l_partkey", min_count=2, max_size=3
+    )

@@ -1,0 +1,69 @@
+"""Frequent-itemset mining over transaction baskets.
+
+MLlib's parallel FP-growth (Li et al., PFP) as the scale path, with the
+result contract that makes it ORACLE-CHECKABLE: the set of frequent
+itemsets at an absolute support threshold is a mathematical function of
+the data — library-independent — so a second engine can re-derive it
+exactly by enumeration (the catalog oracle does, up to ``max_size``).
+The co-occurrence pair query (``copurchased_parts``) is the A-priori
+step-2 special case; FP-growth generalizes to arbitrary itemset sizes
+in one distributed pass over the conditional-tree projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_itemsets(
+    transactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_size: int = 3,
+) -> DataFrame:
+    """Frequent itemsets with ABSOLUTE support ``min_count``, canonical
+    output ``(itemset, size, freq)`` where ``itemset`` is the
+    ascending-sorted comma-joined item list.
+
+    MLlib's ``minSupport`` is a fraction with an internal
+    ``ceil(minSupport * n)`` count; a naive ``min_count / n`` risks the
+    float product landing an ulp above the integer and ceil-ing one too
+    high, silently dropping a support level. ``(min_count - 0.5) / n``
+    pins the ceiling to exactly ``min_count`` regardless of rounding.
+
+    ``max_size`` bounds the reported itemset size (the oracle enumerates
+    by self-joins, exponential in size — and downstream consumers of
+    "what co-occurs" rarely want more than triples). Scale: PFP
+    partitions the search by suffix item — no driver-side tree, baskets
+    shuffle once for the group-dependent projections; item order inside
+    a basket is irrelevant (collect_set feeds the fit), so the result is
+    partition-layout invariant."""
+    from pyspark.ml.fpm import FPGrowth
+
+    n = transactions.select(basket_col).distinct().count()
+    if n == 0:
+        raise ValueError("no baskets")
+    baskets = transactions.groupBy(basket_col).agg(
+        F.collect_set(F.col(item_col)).alias("items")
+    )
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=(min_count - 0.5) / n,
+        minConfidence=1.0,
+    )
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= max_size)
+        .select(
+            # sort NUMERICALLY first, stringify after — a string sort
+            # would order "10" before "2" and break oracle canonical form
+            F.array_join(
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+                ",",
+            ).alias("itemset"),
+            F.size("items").cast("int").alias("size"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

@@ -155,6 +155,26 @@ def feature_importances(model, feature_cols: Sequence[str]) -> list[tuple[str, f
     return sorted(pairs, key=lambda kv: -kv[1])
 
 
+def strip_training_summary(model) -> None:
+    """Drop a fitted model's training summary BEFORE the model rides into
+    prediction closures. Spark 4.1 hazard: the summary holds a
+    SparkSession reference, and the session's ``observationManager`` is a
+    lazily-initialized NON-transient field — null (and silently skipped
+    by Java serialization) until the first ``Dataset.observe`` anywhere
+    in the session, after which every closure that captures the session
+    fails with ``Task not serializable``. Training a model and computing
+    write-audit metrics (plans/export.py::write_with_audit) in the same
+    session is exactly that combination. Best-effort: MLlib models
+    without a summary are left untouched; PipelineModels strip each
+    stage."""
+    stages = getattr(model, "stages", None)
+    for m in stages if stages is not None else [model]:
+        try:
+            m._call_java("setSummary", None)
+        except Exception:
+            pass
+
+
 def train_champion_model(
     abt: DataFrame, oot_year: int = 2024, seed: int = 42
 ) -> dict:
@@ -172,6 +192,7 @@ def train_champion_model(
 
     train_i = impute_sentinels(train)
     model = champion_model(numeric_feats).fit(train_i)
+    strip_training_summary(model)
 
     result = {"model": model, "features": numeric_feats, "metrics": {}}
     for name, split in (("train", train), ("test", test), ("oot", oot)):

@@ -47,6 +47,14 @@ def train_text_classifier(
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
     model = text_classifier_pipeline(text_col, label_col, num_features).fit(df)
+    # last pipeline stage is the classifier: strip its training summary
+    # (see ml/model.py::strip_training_summary for the Spark 4.1
+    # ObservationManager serialization hazard)
+    from f1_data_engineering_machine_learning_spark.ml.model import (
+        strip_training_summary,
+    )
+
+    strip_training_summary(model.stages[-1])
     scored = model.transform(df)
     acc = MulticlassClassificationEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="accuracy"

@@ -1,0 +1,49 @@
+"""Frequent-itemset mining: FP-growth vs hand-enumerable baskets."""
+
+from __future__ import annotations
+
+from f1_data_engineering_machine_learning_spark.dataops.mining import (
+    frequent_itemsets,
+)
+
+
+def test_frequent_itemsets_known_baskets(spark):
+    # baskets: {1,2,3} x3, {1,2} x1, {4} x1
+    rows = []
+    for b in range(3):
+        rows += [(b, 1), (b, 2), (b, 3)]
+    rows += [(3, 1), (3, 2), (4, 4)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.itemset, r.size, r.freq)
+        for r in frequent_itemsets(df, "basket", "item", min_count=3).collect()
+    }
+    assert got == {
+        ("1", 1, 4), ("2", 1, 4), ("3", 1, 3),
+        ("1,2", 2, 4), ("1,3", 2, 3), ("2,3", 2, 3),
+        ("1,2,3", 3, 3),
+    }
+
+
+def test_frequent_itemsets_max_size_and_duplicates(spark):
+    # duplicate item lines in one basket must not inflate support
+    rows = [(0, 7), (0, 7), (0, 8), (1, 7), (1, 8)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.itemset, r.freq)
+        for r in frequent_itemsets(
+            df, "basket", "item", min_count=2, max_size=1
+        ).collect()
+    }
+    assert got == {("7", 2), ("8", 2)}  # pairs excluded by max_size
+
+
+def test_frequent_itemsets_numeric_canonical_order(spark):
+    # items 2 and 10 co-occur: canonical form must be numeric "2,10"
+    rows = [(0, 2), (0, 10), (1, 2), (1, 10)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    sets = {
+        r.itemset
+        for r in frequent_itemsets(df, "basket", "item", min_count=2).collect()
+    }
+    assert "2,10" in sets and "10,2" not in sets

@@ -97,3 +97,34 @@ def test_text_classifier_separable(spark):
     # scoring is distributed and schema-stable
     scored = model.transform(df)
     assert "prediction" in scored.columns
+
+
+def test_training_survives_prior_observation(spark, tmp_path):
+    """Regression: one Dataset.observe anywhere in the session initializes
+    the session's ObservationManager (a non-transient lazy field), after
+    which any closure capturing the session via a model's training
+    summary dies with Task not serializable. strip_training_summary at
+    the fit sites keeps train->score->evaluate working in a session that
+    has produced write-audit metrics."""
+    from f1_data_engineering_machine_learning_spark.plans.export import (
+        write_with_audit,
+    )
+    from f1_data_engineering_machine_learning_spark.ml.text_clf import (
+        train_text_classifier,
+    )
+    from pyspark.sql import functions as F
+
+    # poison the session the way a real pipeline does: audited write
+    metrics = write_with_audit(
+        spark.range(50).select(F.col("id").alias("k")),
+        str(tmp_path / "audited"),
+        key_col="k",
+    )
+    assert metrics["n_rows"] == 50
+    docs = spark.createDataFrame(
+        [(i, ("spam " * 5 if i % 2 else "ham words here"), i % 2)
+         for i in range(40)],
+        "id long, text string, label int",
+    )
+    model, acc = train_text_classifier(docs, "text", "label")
+    assert acc > 0.9  # evaluator ran through the closure, no serialization error
