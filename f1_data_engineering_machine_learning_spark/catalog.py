@@ -7858,3 +7858,54 @@ def frequent_part_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(
         op, "l_orderkey", "l_partkey", min_count=2, max_size=3
     )
+
+
+@query(
+    "lineitem_order_join_fanout",
+    """
+    WITH lc AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS nl
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+    ), rc AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS nr
+      FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(lc.k, rc.k) AS k, nl, nr
+      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+    ), top AS (
+      SELECT k FROM j WHERE nl IS NOT NULL AND nr IS NOT NULL
+      ORDER BY CAST(nl AS HUGEINT) * CAST(nr AS HUGEINT) DESC, k DESC LIMIT 1
+    )
+    SELECT CAST(SUM(nl) AS BIGINT) AS left_rows,
+           CAST(SUM(nr) AS BIGINT) AS right_rows,
+           CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS matching_keys,
+           CAST(COALESCE(SUM(CAST(nl AS HUGEINT) * CAST(nr AS HUGEINT)), 0)
+                AS BIGINT) AS join_rows,
+           CAST(COALESCE(MAX(CAST(nl AS HUGEINT) * CAST(nr AS HUGEINT)), 0)
+                AS BIGINT) AS max_key_fanout,
+           (SELECT k FROM top) AS top_key,
+           CAST(SUM(CASE WHEN nr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS left_only_keys,
+           CAST(SUM(CASE WHEN nl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS right_only_keys
+    FROM j
+    """,
+)
+def lineitem_order_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-size prediction for lineitem x orders WITHOUT running
+    the join (dataops/quality.py::join_fanout_estimate): the pre-flight
+    a 100 TB pipeline runs before committing a shuffle — two key-only
+    count shuffles and a tiny count-table join predict the exact output
+    rows, the hottest key's fanout (the salting decision input), and the
+    semi/anti split. Products and sums ride in decimals so a 10^13-row
+    prediction cannot overflow. The testdata is FK-consistent, so
+    join_rows == |lineitem| and right_only_keys counts childless orders
+    — both in the value hash."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        join_fanout_estimate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return join_fanout_estimate(li, o, ["l_orderkey"], ["o_orderkey"])

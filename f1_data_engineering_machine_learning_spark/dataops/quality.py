@@ -455,3 +455,90 @@ def equidepth_histogram(
             "n",
         )
     )
+
+
+def join_fanout_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    top: int = 1,
+) -> DataFrame:
+    """EXACT inner-join output size and hot-key report — without running
+    the join. ONE summary row: ``(left_rows, right_rows, matching_keys,
+    join_rows, max_key_fanout, top_key, left_only_keys,
+    right_only_keys)``.
+
+    ``join_rows = sum over matching keys of n_left(k) * n_right(k)`` —
+    the number the 100 TB join would materialize. Running this first
+    costs two KEY-ONLY count shuffles (map-side combinable, payload
+    never moves) plus a join of two |keys|-sized count tables; running
+    the real join to discover a 10^13-row fanout costs the cluster.
+    ``top_key`` is the key with the largest count product (ties broken
+    by key string, deterministic) — the row you hand to
+    ``key_skew_profile``'s salting decision. ``left_only_keys`` /
+    ``right_only_keys`` quantify miss rates (the semi/anti split a
+    left-join planner wants). NULL keys never match (SQL join
+    semantics): they are excluded from both key frames."""
+    right_keys = right_keys or left_keys
+    if len(left_keys) != len(right_keys):
+        raise ValueError("left_keys and right_keys must align")
+
+    def _counts(df: DataFrame, keys: list[str]) -> DataFrame:
+        pred = F.col(keys[0]).isNotNull()
+        for k in keys[1:]:
+            pred = pred & F.col(k).isNotNull()
+        return (
+            df.filter(pred)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(
+                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias(
+                    "__k"
+                ),
+                "__n",
+            )
+        )
+
+    lc = _counts(left, left_keys)
+    rc = _counts(right, right_keys)
+    j = lc.alias("__l").join(
+        rc.alias("__r"), F.col("__l.__k") == F.col("__r.__k"), "full_outer"
+    ).select(
+        F.coalesce(F.col("__l.__k"), F.col("__r.__k")).alias("__k"),
+        F.col("__l.__n").alias("__nl"),
+        F.col("__r.__n").alias("__nr"),
+    )
+    dec = "decimal(38,0)"
+    prod = F.col("__nl").cast(dec) * F.col("__nr").cast(dec)
+    return j.agg(
+        F.coalesce(F.sum("__nl"), F.lit(0)).cast("long").alias("left_rows"),
+        F.coalesce(F.sum("__nr"), F.lit(0)).cast("long").alias("right_rows"),
+        F.sum(
+            (F.col("__nl").isNotNull() & F.col("__nr").isNotNull()).cast("long")
+        ).cast("long").alias("matching_keys"),
+        F.coalesce(F.sum(prod), F.lit(0).cast(dec)).cast("long").alias("join_rows"),
+        F.coalesce(F.max(prod), F.lit(0).cast(dec)).cast("long").alias(
+            "max_key_fanout"
+        ),
+        F.max(
+            F.when(
+                prod.isNotNull(), F.struct(prod.alias("__p"), F.col("__k"))
+            )
+        ).alias("__top"),
+        F.sum(F.col("__nr").isNull().cast("long")).cast("long").alias(
+            "left_only_keys"
+        ),
+        F.sum(F.col("__nl").isNull().cast("long")).cast("long").alias(
+            "right_only_keys"
+        ),
+    ).select(
+        "left_rows",
+        "right_rows",
+        "matching_keys",
+        "join_rows",
+        "max_key_fanout",
+        F.col("__top.__k").alias("top_key"),
+        "left_only_keys",
+        "right_only_keys",
+    )

@@ -220,3 +220,37 @@ def test_equidepth_histogram_ties_go_low(spark):
     )
     # median is 1.0; all nine 1.0s land in the LOWER bin (x > b rule)
     assert {r.bin: r.n for r in rows} == {0: 9, 1: 1}
+
+
+def test_join_fanout_estimate_exact(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        join_fanout_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (3,), (4,), (None,)], "k long"
+    )
+    r = join_fanout_estimate(left, right, ["k"]).collect()[0]
+    assert r.left_rows == 4 and r.right_rows == 5  # NULLs excluded
+    assert r.matching_keys == 2                    # keys 1 and 3
+    # join rows: key1 -> 2*3=6, key3 -> 1*1=1
+    assert r.join_rows == 7
+    assert r.max_key_fanout == 6 and r.top_key == "1"
+    assert r.left_only_keys == 1 and r.right_only_keys == 1  # 2 / 4
+    # the estimate must equal the real inner join's count
+    assert left.join(right, "k").count() == r.join_rows
+
+
+def test_join_fanout_estimate_disjoint_and_composite(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        join_fanout_estimate,
+    )
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["x", "y"])
+    right = spark.createDataFrame([(3, "c")], ["u", "v"])
+    r = join_fanout_estimate(left, right, ["x", "y"], ["u", "v"]).collect()[0]
+    assert r.join_rows == 0 and r.matching_keys == 0
+    assert r.top_key is None and r.max_key_fanout == 0
