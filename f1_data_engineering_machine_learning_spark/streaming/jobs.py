@@ -264,3 +264,71 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def quarantine_stream(
+    stream_df: DataFrame,
+    schema: str,
+    json_col: str,
+    good_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+):
+    """Dead-letter-queue ingestion: parse a raw JSON-string stream against
+    an EXPLICIT schema, route parseable rows (typed) to ``good_path`` and
+    unparseable raw lines — with batch id and a reason stub — to
+    ``dlq_path``, in the SAME micro-batch transaction scope. A 100 TB
+    ingest must never crash on shard 40,001's malformed line (fail-stop),
+    and must never silently drop it either (PERMISSIVE-and-forget): the
+    DLQ is the auditable middle. Split rule: a row is BAD iff
+    ``from_json`` returns NULL on a non-null input — schema drift,
+    truncation, and junk all land there; re-processing the DLQ after a
+    schema fix is replaying a normal stream.
+
+    foreachBatch writes both sides from ONE cached micro-batch frame
+    (one pass over the data, two appends); the checkpoint makes the
+    split effectively-once across restarts.
+
+    Detection detail: PERMISSIVE ``from_json`` never returns a NULL
+    struct — malformed input yields a struct of NULL fields, silently
+    indistinguishable from legitimate all-null JSON. The reliable
+    channel is the corrupt-record column: the schema is extended with
+    ``_corrupt_record string`` and a row is BAD iff that field is
+    populated (covers junk AND per-field type mismatches)."""
+    parsed = stream_df.select(
+        F.col(json_col).alias("__raw"),
+        F.from_json(
+            F.col(json_col),
+            f"{schema}, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("__p"),
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good = batch_df.filter(
+                F.col("__p._corrupt_record").isNull()
+            ).select("__p.*").drop("_corrupt_record")
+            bad = batch_df.filter(
+                F.col("__p._corrupt_record").isNotNull()
+            ).select(
+                F.col("__raw").alias("raw"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit("unparseable_json").alias("reason"),
+            )
+            good.write.mode("append").parquet(good_path)
+            if not bad.isEmpty():
+                bad.write.mode("append").parquet(dlq_path)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        parsed.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

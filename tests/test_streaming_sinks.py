@@ -116,3 +116,36 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     finally:
         use_rocksdb_state(spark, enabled=False)
     assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
+def test_quarantine_stream_splits_good_and_bad(spark, tmp_path):
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        quarantine_stream,
+    )
+
+    src = str(tmp_path / "src")
+    good_p, dlq_p, ckpt = (
+        str(tmp_path / "good"), str(tmp_path / "dlq"), str(tmp_path / "ck")
+    )
+    lines = [
+        '{"id": 1, "v": "a"}',
+        '{"id": 2, "v": "b"}',
+        "not json",
+        '{"id": "wrongtype"}',   # schema mismatch -> whole-row null
+        '{"id": 3, "v": "c"}',
+    ]
+    spark.createDataFrame([(l,) for l in lines], "line string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("line string").parquet(src)
+    quarantine_stream(stream, "id long, v string", "line", good_p, dlq_p, ckpt)
+
+    good = {(r.id, r.v) for r in spark.read.parquet(good_p).collect()}
+    bad = {r.raw for r in spark.read.parquet(dlq_p).collect()}
+    assert good == {(1, "a"), (2, "b"), (3, "c")}
+    # junk AND the type-mismatched record both land in the DLQ
+    assert bad == {"not json", '{"id": "wrongtype"}'}
+    # replay with same checkpoint: no duplicates (effectively-once)
+    stream2 = spark.readStream.schema("line string").parquet(src)
+    quarantine_stream(stream2, "id long, v string", "line", good_p, dlq_p, ckpt)
+    assert spark.read.parquet(dlq_p).count() == len(bad)
