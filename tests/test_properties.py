@@ -159,3 +159,96 @@ def test_range_partitioned_rank_matches_python(spark, vals, parts, ntile):
             else rem + (r0 - rem * (base + 1)) // base + 1
         )
         assert nt == want_nt, (vals, i)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@_settings
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = simple
+    want: dict[int, int] = {}
+    nodes = {n for e in simple for n in e}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {(x, y), (x, z), (y, z)} <= adj:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    if not simple:
+        return
+    df = spark.createDataFrame(list(edges), ["src", "dst"]).filter(
+        F.col("src") != F.col("dst")
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30)
+)
+@_settings
+def test_weighted_median_unit_weights_is_python_lower_median(spark, vals):
+    from f1_data_engineering_machine_learning_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1) for v in vals], "k string, v double, w int"
+    )
+    got = weighted_median(df, "v", "w", ["k"]).collect()[0].weighted_median
+    want = float(statistics.median_low(vals))
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=2, max_size=30),
+    weights=st.lists(st.integers(1, 9), min_size=2, max_size=30),
+)
+@_settings
+def test_weighted_median_equals_expanded_multiset(spark, vals, weights):
+    """Integer weight w == the value repeated w times (lower median)."""
+    from f1_data_engineering_machine_learning_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    n = min(len(vals), len(weights))
+    vals, weights = vals[:n], weights[:n]
+    df = spark.createDataFrame(
+        [("g", float(v), w) for v, w in zip(vals, weights)],
+        "k string, v double, w int",
+    )
+    got = weighted_median(df, "v", "w", ["k"]).collect()[0].weighted_median
+    expanded = sorted(v for v, w in zip(vals, weights) for _ in range(w))
+    want = float(statistics.median_low(expanded))
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=40))
+@_settings
+def test_zscore_matches_python_population_moments(spark, vals):
+    import math
+
+    from f1_data_engineering_machine_learning_spark.operators.robust import (
+        zscore_normalize,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["k", "v"])
+    rows = zscore_normalize(df, "v", ["k"], scale=0).collect()
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    for r in rows:
+        if var <= 0:
+            assert r.v_z is None
+        else:
+            assert abs(r.v_z - (r.v - mean) / math.sqrt(var)) < 1e-9
