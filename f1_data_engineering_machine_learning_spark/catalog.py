@@ -7909,3 +7909,71 @@ def lineitem_order_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     return join_fanout_estimate(li, o, ["l_orderkey"], ["o_orderkey"])
+
+
+@query(
+    "split_price_drift_ks",
+    """
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                       < 'cccc'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), counts AS (
+      SELECT v,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nb
+      FROM s GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v) AS cuma,
+             SUM(nb) OVER (ORDER BY v) AS cumb
+      FROM counts
+    ), t AS (
+      SELECT SUM(na) AS ta, SUM(nb) AS tb FROM counts
+    ), g AS (
+      SELECT v,
+             ABS(CAST(cuma AS HUGEINT) * (SELECT tb FROM t)
+                 - CAST(cumb AS HUGEINT) * (SELECT ta FROM t)) AS gap
+      FROM cum
+    )
+    SELECT CAST((SELECT ta FROM t) AS BIGINT) AS n_a,
+           CAST((SELECT tb FROM t) AS BIGINT) AS n_b,
+           CAST(MAX(gap) AS DOUBLE)
+             / (CAST((SELECT ta FROM t) AS DOUBLE)
+                * CAST((SELECT tb FROM t) AS DOUBLE)) AS ks_stat,
+           (SELECT CAST(v AS BIGINT) FROM g
+             ORDER BY gap DESC, v DESC LIMIT 1) AS ks_at_value
+    FROM g
+    """,
+)
+def split_price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift between the train and
+    val splits' order-value distributions
+    (dataops/quality.py::numeric_drift_ks over split_by_content_hash) —
+    the numeric companion of split_priority_drift's TVD: did the 80/20
+    content-hash cut preserve the MONEY distribution, and where do the
+    CDFs diverge most? The maximized gap is an integer cross-product
+    (decimal max, order-independent, largest-value tie-break) with ONE
+    final double division, and the cumulative sums run as range
+    partitions + broadcast prefix offsets — no single-task global
+    window (plan-audited)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_drift_ks,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        split_by_content_hash,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    s = split_by_content_hash(
+        o, "o_orderkey", {"train": 0.8, "val": 0.2}, hex_chars=4
+    ).withColumn(
+        "__cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    return numeric_drift_ks(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "val"),
+        "__cents",
+    )

@@ -254,3 +254,46 @@ def test_join_fanout_estimate_disjoint_and_composite(spark):
     r = join_fanout_estimate(left, right, ["x", "y"], ["u", "v"]).collect()[0]
     assert r.join_rows == 0 and r.matching_keys == 0
     assert r.top_key is None and r.max_key_fanout == 0
+
+
+def test_numeric_drift_ks_exact_small(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_drift_ks,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "x double")
+    b = spark.createDataFrame([(float(v),) for v in (3, 4, 5, 6)], "x double")
+    r = numeric_drift_ks(a, b, "x").collect()[0]
+    # gap .5 is achieved at v=2 (2/4 vs 0/4) AND v=4 (4/4 vs 2/4);
+    # the deterministic tie-break reports the LARGEST such value
+    assert r.n_a == 4 and r.n_b == 4
+    assert abs(r.ks_stat - 0.5) < 1e-15
+    assert r.ks_at_value == 4.0
+
+
+def test_numeric_drift_ks_identical_and_python_reference(spark):
+    import random
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_drift_ks,
+    )
+
+    rng = random.Random(3)
+    xs = [float(rng.randint(0, 30)) for _ in range(80)]
+    ys = [float(rng.randint(5, 40)) for _ in range(60)]
+    a = spark.createDataFrame([(v,) for v in xs], "x double")
+    b = spark.createDataFrame([(v,) for v in ys], "x double")
+    # identical distributions -> 0
+    same = numeric_drift_ks(a, a, "x").collect()[0]
+    assert same.ks_stat == 0.0
+    # vs direct python ECDF max over union support
+    r = numeric_drift_ks(a.repartition(5), b.repartition(3), "x").collect()[0]
+    union = sorted(set(xs) | set(ys))
+    want = max(
+        abs(
+            sum(1 for v in xs if v <= u) / len(xs)
+            - sum(1 for v in ys if v <= u) / len(ys)
+        )
+        for u in union
+    )
+    assert abs(r.ks_stat - want) < 1e-12
