@@ -7977,3 +7977,43 @@ def split_price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.col("split") == "val"),
         "__cents",
     )
+
+
+@query(
+    "lang_heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), tot AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS group_total
+      FROM toks GROUP BY lang
+    )
+    SELECT t.lang, t.token, CAST(COUNT(*) AS BIGINT) AS item_count,
+           tot.group_total
+    FROM toks t JOIN tot ON t.lang = tot.lang
+    GROUP BY t.lang, t.token, tot.group_total
+    HAVING COUNT(*) > CAST(0.005 AS DOUBLE) * tot.group_total
+    """,
+)
+def lang_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE exact heavy-hitter tokens
+    (dataops/heavyhitters.py::grouped_heavy_hitters, phi = 0.5% of each
+    language's sub-corpus): the per-group variant a multilingual corpus
+    needs — a global pass only surfaces the dominant language's
+    vocabulary, while each language's stopword profile is what the
+    quality/lang-id heuristics actually consume. Misra-Gries state is
+    keyed per group inside each partition (|groups| x ceil(1/phi)
+    counters — the few-groups regime this targets), candidates refine
+    against exact per-language totals, and the oracle replays the full
+    per-group GROUP BY + HAVING, checking exactness, not approximation."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        grouped_heavy_hitters,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    return grouped_heavy_hitters(toks, "lang", "token", phi=0.005)

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_candidates", "heavy_hitters"]
+__all__ = ["misra_gries_candidates", "heavy_hitters", "grouped_heavy_hitters"]
 
 
 def _mg_merge(counters: dict, batch_counts: dict, capacity: int) -> dict:
@@ -111,4 +111,73 @@ def heavy_hitters(
         exact.join(F.broadcast(total))
         .filter(F.col("item_count") > F.lit(phi) * F.col("total_count"))
         .select(col, "item_count", "total_count")
+    )
+
+
+def grouped_heavy_hitters(
+    items: DataFrame,
+    group_col: str,
+    col: str,
+    phi: float,
+) -> DataFrame:
+    """Per-GROUP exact phi-heavy-hitters: items with frequency
+    ``> phi * group_total`` within each group — "the tokens above 0.5%
+    of EACH language's sub-corpus", where a global pass would only
+    surface the dominant language's vocabulary.
+
+    Same two-pass shape as :func:`heavy_hitters`, with the Misra-Gries
+    state keyed per group inside each partition: memory per task is
+    ``|groups seen| x ceil(1/phi)`` counters, so this targets the
+    FEW-GROUPS regime (languages, domains, sources — the cases that
+    matter; per-group capacity is the pigeonhole that keeps the
+    candidate union a SUPERSET of every group's true heavy hitters,
+    false positives only). Refine joins the broadcast (group, item)
+    candidate set map-side and exact-counts survivors against exact
+    group totals — result bit-identical to the full per-group groupBy,
+    which is what the SQL oracle replays. Strictly ``>`` on both sides,
+    same evasion argument as the global operator."""
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    capacity = math.ceil(1.0 / phi)
+    src = items.select(group_col, col).filter(
+        F.col(col).isNotNull() & F.col(group_col).isNotNull()
+    )
+
+    g_name, i_name = group_col, col
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(g_name, sort=False):
+                states[g] = _mg_merge(
+                    states.get(g, {}),
+                    sub[i_name].value_counts().to_dict(),
+                    capacity,
+                )
+        rows = [
+            (g, item, int(c))
+            for g, counters in states.items()
+            for item, c in counters.items()
+        ]
+        yield pd.DataFrame(rows, columns=[g_name, i_name, "mg_count"])
+
+    schema_i = dict(src.dtypes)[i_name]
+    schema_g = dict(src.dtypes)[g_name]
+    candidates = (
+        src.mapInPandas(
+            _summarize, f"{g_name} {schema_g}, {i_name} {schema_i}, mg_count long"
+        )
+        .select(g_name, i_name)
+        .distinct()
+    )
+    totals = src.groupBy(g_name).agg(F.count(F.lit(1)).alias("group_total"))
+    exact = (
+        src.join(F.broadcast(candidates), [g_name, i_name])
+        .groupBy(g_name, i_name)
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+    return (
+        exact.join(F.broadcast(totals), g_name)
+        .filter(F.col("item_count") > F.lit(phi) * F.col("group_total"))
+        .select(g_name, i_name, "item_count", "group_total")
     )

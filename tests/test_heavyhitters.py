@@ -68,3 +68,46 @@ def test_nulls_excluded_and_phi_validated(spark):
     ]
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", 0.0)
+
+
+def test_grouped_heavy_hitters_matches_full_groupby(spark):
+    import random
+
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        grouped_heavy_hitters,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    # group A: 'hot' dominates; group B: different hot item; zipf tails
+    for g, hot in (("A", "x"), ("B", "y")):
+        rows += [(g, hot)] * 400
+        rows += [(g, f"t{rng.randint(0, 200)}") for _ in range(600)]
+    df = spark.createDataFrame(rows, ["g", "item"]).repartition(8)
+    phi = 0.05
+    got = {
+        (r.g, r.item, r.item_count, r.group_total)
+        for r in grouped_heavy_hitters(df, "g", "item", phi).collect()
+    }
+    want = {
+        (r.g, r.item, r.cnt, r.tot)
+        for r in df.groupBy("g", "item")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .join(df.groupBy("g").count().withColumnRenamed("count", "tot"), "g")
+        .filter("cnt > 0.05 * tot")
+        .collect()
+    }
+    assert got == want and len(got) >= 2
+
+
+def test_grouped_heavy_hitters_isolates_groups(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        grouped_heavy_hitters,
+    )
+
+    # 'z' is heavy ONLY inside tiny group C; globally negligible
+    rows = [("big", f"i{n}") for n in range(900)] + [("C", "z")] * 9 + [("C", "w")]
+    df = spark.createDataFrame(rows, ["g", "item"]).repartition(4)
+    got = {(r.g, r.item) for r in grouped_heavy_hitters(df, "g", "item", 0.5).collect()}
+    assert got == {("C", "z")}
