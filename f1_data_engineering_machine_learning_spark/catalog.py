@@ -8017,3 +8017,55 @@ def lang_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select("lang", F.explode(tokens("text")).alias("token"))
     return grouped_heavy_hitters(toks, "lang", "token", phi=0.005)
+
+
+@query(
+    "top_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS len
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(len) AS BIGINT) AS n_steps
+    FROM paths GROUP BY path HAVING COUNT(*) >= 3
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis (operators/sessions.py::session_paths):
+    every session's ORDERED event-type sequence, counted across the
+    corpus — the exploratory twin of the hypothesis-driven funnel
+    queries (which test one A->B->C; this surfaces which sequences
+    actually happen). Sessionization is the lag+cumsum idiom with exact
+    INTERVAL gap comparison; step order inside a session is pinned by
+    (ts, event_id) struct sort, so the path strings — and therefore the
+    counts — replay exactly in the oracle's ORDER BY string_agg. Two
+    shuffles: the entity window and the map-side-combinable path count."""
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        session_paths,
+    )
+
+    ev = _events(spark, sf_dir)
+    return session_paths(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        gap_minutes=30.0,
+        tiebreak=["event_id"],
+        min_count=3,
+    )

@@ -416,3 +416,52 @@ def test_ewma_depth_bounds_history(spark):
     # the t=0 spike leaves the window after depth=2 steps
     assert rows[1] == (0.0 + 0.5 * 1.0) / 1.5
     assert rows[2] == 0.0 and rows[4] == 0.0
+
+
+def test_assign_sessions_and_paths(spark):
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        assign_sessions,
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user u: session 1 = view>click>purchase; session 2 (gap 2h) = view>click
+        ("u", 1, t0, "view"), ("u", 2, t0 + m, "click"), ("u", 3, t0 + 2 * m, "purchase"),
+        ("u", 4, t0 + dt.timedelta(hours=2), "view"),
+        ("u", 5, t0 + dt.timedelta(hours=2) + m, "click"),
+        # user v: one session, same path as u's second
+        ("v", 6, t0, "view"), ("v", 7, t0 + m, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "et"])
+    s = assign_sessions(df, ["user_id"], "ts", 30.0, tiebreak=["event_id"])
+    sids = {(r.user_id, r.event_id): r.session_id for r in s.collect()}
+    assert sids[("u", 1)] == sids[("u", 3)] == 1 and sids[("u", 4)] == 2
+
+    paths = {
+        (r.path, r.n_sessions, r.n_steps)
+        for r in session_paths(
+            df, ["user_id"], "ts", "et", 30.0, tiebreak=["event_id"]
+        ).collect()
+    }
+    assert paths == {("view>click>purchase", 1, 3), ("view>click", 2, 2)}
+
+
+def test_session_paths_order_is_deterministic_under_ties(spark):
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two events at the SAME timestamp: order fixed by event_id tiebreak
+    rows = [("u", 2, t0, "b"), ("u", 1, t0, "a")]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "et"])
+    out = session_paths(
+        df.repartition(4), ["user_id"], "ts", "et", 30.0, tiebreak=["event_id"]
+    ).collect()
+    assert [(r.path, r.n_sessions) for r in out] == [("a>b", 1)]
