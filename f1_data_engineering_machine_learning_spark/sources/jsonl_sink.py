@@ -1,0 +1,102 @@
+"""Spark Python DataSource WRITER: transactional JSONL shard sink.
+
+The write-side counterpart of the ``f1results`` reader — together they
+exercise the full PySpark 4 Python DataSource surface (S-tier custom
+connectors without a JVM build). Pattern: each write TASK streams its
+partition to a private file under ``_staging/`` and returns a commit
+message (file name, row count); the driver PROMOTES staged files into
+place and writes a ``_MANIFEST.json`` only in ``commit()`` — so readers
+either see the complete output of a successful job or nothing. A failed
+or speculated task never pollutes the output (its file stays in staging;
+``abort()`` sweeps it), which is exactly the two-phase contract file
+sinks need under retries.
+
+Usage::
+
+    df.write.format("jsonlshards").mode("overwrite") \\
+      .option("path", "/data/out").save()
+
+The manifest records per-shard row counts — the audit a downstream
+loader checks before trusting the directory (cf.
+plans/export.py::write_with_audit, which rides metrics on a native
+write; this sink OWNS the commit protocol instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class ShardCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlshards requires .option('path', ...)")
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, rows: Iterator) -> ShardCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.staging, name), "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return ShardCommit(name, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f != "_staging":
+                    p = os.path.join(self.path, f)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        shards = []
+        for m in messages:
+            os.replace(
+                os.path.join(self.staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            shards.append({"file": m.filename, "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(
+                {"shards": shards, "total_rows": sum(s["n_rows"] for s in shards)},
+                fh,
+            )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonlShardsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlShardsDataSource)

@@ -1,0 +1,67 @@
+"""Python DataSource writer: transactional JSONL shard sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.sources.jsonl_sink import (
+    register_jsonl_sink,
+)
+
+
+def test_jsonl_sink_commit_manifest_and_roundtrip(spark, tmp_path):
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("d"), F.col("id")).alias("s")
+    ).repartition(4)
+    df.write.format("jsonlshards").mode("overwrite").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["shards"]) == 4
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    # roundtrip through the schema'd JSONL reader
+    back = spark.read.schema("id long, s string").json(out + "/part-*.jsonl")
+    assert back.count() == 100
+    assert {r.s for r in back.collect()} == {f"d{i}" for i in range(100)}
+
+
+def test_jsonl_sink_overwrite_replaces(spark, tmp_path):
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out2")
+    spark.range(10).repartition(1).write.format("jsonlshards").mode(
+        "overwrite"
+    ).option("path", out).save()
+    spark.range(3).repartition(1).write.format("jsonlshards").mode(
+        "overwrite"
+    ).option("path", out).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 3
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == 1  # first write's shard is gone
+
+
+def test_jsonl_sink_failed_job_leaves_no_committed_output(spark, tmp_path):
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out3")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 7:
+            raise RuntimeError("planted failure")
+        return v
+
+    df = spark.range(10).select(boom(F.col("id")).alias("id")).repartition(2)
+    with pytest.raises(Exception):
+        df.write.format("jsonlshards").mode("overwrite").option(
+            "path", out
+        ).save()
+    # no manifest => readers see "nothing committed"
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == [] \
+        if os.path.exists(out) else True
