@@ -8069,3 +8069,222 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["event_id"],
         min_count=3,
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '1998-08-01') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS INTEGER) || '-' || CAST(f_score AS INTEGER)
+             || '-' || CAST(m_score AS INTEGER) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(recency_days AS BIGINT)) AS BIGINT) AS sum_recency,
+           CAST(SUM(frequency) AS BIGINT) AS sum_frequency,
+           CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics banding:
+    recency (days since last order, fixed reference date), frequency,
+    monetary, each quintile-scored and concatenated into a segment key.
+    All three quintile ASSIGNMENTS run through
+    operators/windows.py::range_partitioned_rank (parallel range-local
+    sorts + broadcast offsets, no single-task global window —
+    plan-audited), with (value, custkey) tie-breaks making membership
+    deterministic. The ranked frame is per-CUSTOMER aggregates — at
+    100 TB of orders it is orders-of-magnitude smaller than the fact
+    table, which is what makes exact global banding affordable."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("monetary"),
+    )
+    t = range_partitioned_rank(
+        rfm, ["recency_days"], ntile=5, ntile_col="r_score", tiebreak=["o_custkey"]
+    )
+    t = range_partitioned_rank(
+        t, ["frequency"], ntile=5, ntile_col="f_score", tiebreak=["o_custkey"]
+    )
+    t = range_partitioned_rank(
+        t, ["monetary"], ntile=5, ntile_col="m_score", tiebreak=["o_custkey"]
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_score").cast("int"),
+        F.col("f_score").cast("int"),
+        F.col("m_score").cast("int"),
+    )
+    return t.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("recency_days").cast("bigint")).alias("sum_recency"),
+        F.sum("frequency").alias("sum_frequency"),
+        F.sum("monetary").cast("double").alias("sum_monetary"),
+    )
+
+
+@query(
+    "part_association_rules",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nb AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM op
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.x AS antecedent, p.y AS consequent,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(ia.n_item AS BIGINT) AS n_antecedent,
+           CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+           CAST(CAST(p.n_pair AS HUGEINT)
+                * (SELECT n_baskets FROM nb) AS DOUBLE)
+             / CAST(CAST(ia.n_item AS HUGEINT)
+                    * CAST(ic.n_item AS HUGEINT) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.x
+    JOIN item ic ON ic.l_partkey = p.y
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — the step after frequent
+    itemsets (frequent_part_itemsets): every directed rule x -> y with
+    pair support >= 3, its CONFIDENCE (n_pair / n_x) and LIFT
+    (n_pair * N / (n_x * n_y), > 1 = genuinely associated, not just both
+    popular). Ratios are single divisions of exact integer products
+    (decimal-held so a trillion-basket corpus cannot overflow) — no
+    chained float arithmetic to drift. Same basket-bounded pair
+    generation as the co-occurrence query; item counts broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    nb = op.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = op.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    dec = "decimal(38,0)"
+    ia = item.select(F.col("l_partkey").alias("x"), F.col("n_item").alias("__nx"))
+    ic = item.select(F.col("l_partkey").alias("y"), F.col("n_item").alias("__ny"))
+    return (
+        pairs.join(F.broadcast(ia), "x")
+        .join(F.broadcast(ic), "y")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("__nx").cast("bigint").alias("n_antecedent"),
+            (F.col("n_pair").cast("double") / F.col("__nx").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_pair").cast(dec) * F.col("n_baskets").cast(dec)).cast(
+                    "double"
+                )
+                / (F.col("__nx").cast(dec) * F.col("__ny").cast(dec)).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "customer_spend_gini",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ), agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS si
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) / 100.0 AS total_spend,
+           2.0 * (CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration index of lifetime spend across customers
+    — "how unequal is revenue?", the inequality summary a marketplace
+    health dashboard tracks. Formula ``2*sum(i*x_i)/(n*sum x) - (n+1)/n``
+    over ascending-sorted integer cents with a deterministic custkey
+    tie-break: the rank-weighted sum is decimal-exact and
+    order-independent, the final expression is four double ops any
+    engine replays bitwise. The global ROW_NUMBER comes from
+    operators/windows.py::range_partitioned_rank — no single-task sort
+    of the customer frame."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = range_partitioned_rank(
+        spend, ["cents"], row_number_col="i", tiebreak=["o_custkey"]
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s"),
+        F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias("si"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("s").cast("double") / F.lit(100.0)).alias("total_spend"),
+        (
+            F.lit(2.0)
+            * (
+                F.col("si").cast("double")
+                / (F.col("n").cast("double") * F.col("s").cast("double"))
+            )
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
+        ).alias("gini"),
+    )
