@@ -484,6 +484,10 @@ def join_fanout_estimate(
     if len(left_keys) != len(right_keys):
         raise ValueError("left_keys and right_keys must align")
 
+    # The count tables join on CANONICALIZED KEY COLUMNS (k0..kn), not a
+    # concatenated string: "a|b","c" and "a","b|c" would collide as
+    # "a|b|c" and silently merge two different composite keys' counts.
+    # The display string (top_key) is built only after the join.
     def _counts(df: DataFrame, keys: list[str]) -> DataFrame:
         pred = F.col(keys[0]).isNotNull()
         for k in keys[1:]:
@@ -493,19 +497,28 @@ def join_fanout_estimate(
             .groupBy(*[F.col(k) for k in keys])
             .agg(F.count(F.lit(1)).alias("__n"))
             .select(
-                F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias(
-                    "__k"
-                ),
+                *[
+                    F.col(k).alias(f"__k{i}")
+                    for i, k in enumerate(keys)
+                ],
                 "__n",
             )
         )
 
+    kcols = [f"__k{i}" for i in range(len(left_keys))]
     lc = _counts(left, left_keys)
     rc = _counts(right, right_keys)
-    j = lc.alias("__l").join(
-        rc.alias("__r"), F.col("__l.__k") == F.col("__r.__k"), "full_outer"
-    ).select(
-        F.coalesce(F.col("__l.__k"), F.col("__r.__k")).alias("__k"),
+    on = F.col(f"__l.{kcols[0]}") == F.col(f"__r.{kcols[0]}")
+    for k in kcols[1:]:
+        on = on & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    j = lc.alias("__l").join(rc.alias("__r"), on, "full_outer").select(
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(f"__l.{k}"), F.col(f"__r.{k}")).cast("string")
+                for k in kcols
+            ],
+        ).alias("__k"),
         F.col("__l.__n").alias("__nl"),
         F.col("__r.__n").alias("__nr"),
     )

@@ -297,3 +297,16 @@ def test_numeric_drift_ks_identical_and_python_reference(spark):
         for u in union
     )
     assert abs(r.ks_stat - want) < 1e-12
+
+
+def test_join_fanout_estimate_separator_keys_do_not_collide(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        join_fanout_estimate,
+    )
+
+    # ("a|b","c") and ("a","b|c") concatenate identically — they must NOT
+    # be treated as a matching key pair
+    left = spark.createDataFrame([("a|b", "c")], ["x", "y"])
+    right = spark.createDataFrame([("a", "b|c")], ["u", "v"])
+    r = join_fanout_estimate(left, right, ["x", "y"], ["u", "v"]).collect()[0]
+    assert r.matching_keys == 0 and r.join_rows == 0
