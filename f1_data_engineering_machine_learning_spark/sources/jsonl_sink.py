@@ -20,6 +20,13 @@ The manifest records per-shard row counts — the audit a downstream
 loader checks before trusting the directory (cf.
 plans/export.py::write_with_audit, which rides metrics on a native
 write; this sink OWNS the commit protocol instead).
+
+Deployment contract: ``path`` must be a SHARED filesystem visible to
+every executor AND the driver (NFS, fuse-mounted object storage, or
+local mode) — tasks stage with plain ``open()`` and the driver promotes
+with ``os.replace``. On raw S3/HDFS the same two-phase shape holds but
+staging/promotion go through that store's client and its rename
+semantics; this file is the protocol reference, not a cloud driver.
 """
 
 from __future__ import annotations
