@@ -82,6 +82,11 @@ HEADLINE = [
     "copurchase_triangles",
     "event_props_variant",
     "ldiversity_customer_segments",
+    "lang_heavy_hitter_tokens",
+    "top_session_paths",
+    "customer_rfm_segments",
+    "part_association_rules",
+    "customer_spend_gini",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
