@@ -332,3 +332,46 @@ def quarantine_stream(
     )
     q.awaitTermination()
     return q
+
+
+def session_paths_stream(
+    events: DataFrame,
+    step_col: str = "event_type",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    sep: str = ">",
+) -> DataFrame:
+    """Streaming twin of operators/sessions.py::session_paths: per-user
+    session windows (built-in ``session_window`` stateful operator)
+    emitting each session's ORDERED step path. Ordering is pinned the
+    same way as the batch operator — collect structs of
+    ``(ts, event_id, step)`` and ``array_sort`` before joining — so a
+    drained stream and the batch path extraction agree row for row
+    (parity-tested; note the built-in closes a session at gap >= the
+    threshold where the batch lag-idiom closes at gap > — identical for
+    any data without exact-boundary gaps). The watermark bounds session
+    state exactly as in ``session_stats_stream``."""
+    item = F.struct(
+        F.col("ts").alias("__ts"),
+        F.col("event_id").alias("__tb"),
+        F.col(step_col).cast("string").alias("__step"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(item)), lambda x: x["__step"]),
+                sep,
+            ).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "path",
+            "n_steps",
+        )
+    )

@@ -149,3 +149,44 @@ def test_quarantine_stream_splits_good_and_bad(spark, tmp_path):
     stream2 = spark.readStream.schema("line string").parquet(src)
     quarantine_stream(stream2, "id long, v string", "line", good_p, dlq_p, ckpt)
     assert spark.read.parquet(dlq_p).count() == len(bad)
+
+
+def test_session_paths_stream_matches_batch(spark, tmp_path):
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        session_paths,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        run_available_now,
+        session_paths_stream,
+    )
+
+    src = str(tmp_path / "events")
+    # two users, multi-session activity; no exact-boundary gaps
+    rows = []
+    for u in (1, 2):
+        for s in range(3):
+            base = f"2024-01-01 {8 + 4 * s:02d}:00:00"
+            for i, et in enumerate(["view", "click", "purchase"][: s + 1]):
+                rows.append(
+                    (u * 100 + s * 10 + i, base[:14] + f"{i:02d}:00", u, et, 1.0, "{}")
+                )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(src)
+
+    streamed = run_available_now(
+        session_paths_stream(stream_df), "session_paths_stream", "complete"
+    )
+    got = {
+        (r.user_id, r.path): r.n_steps for r in streamed.collect()
+    }
+    want_paths = session_paths(
+        batch_df, ["user_id"], "ts", "event_type", 30.0, tiebreak=["event_id"]
+    ).collect()
+    # batch aggregates per path; expand back per (user, path) via sessions
+    assert sum(got.values()) == sum(r.n_sessions * r.n_steps for r in want_paths)
+    assert {p for (_, p) in got} == {r.path for r in want_paths}
