@@ -125,3 +125,57 @@ def test_random_join_query_matches_duckdb(spark, seed):
     con = duckdb.connect()
     want = con.sql(sql).df()
     assert_frames_equal(got, want, f"join-fuzz seed={seed} {group} {how} {min_bal}")
+
+
+WIN_PARTS = ["o_orderstatus", "o_orderpriority"]
+WIN_FUNCS = ["row_number", "rank", "lag_price", "running_total", "cume_dist"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_window_query_matches_duckdb(spark, seed):
+    """Random window specs — partition key, function set — row-for-row vs
+    DuckDB. Order key always ends in the unique o_orderkey so every
+    numbering is a total order; value columns go through the decimal
+    conventions so running sums are exact."""
+    from pyspark.sql import Window
+
+    rng = random.Random(2000 + seed)
+    part = rng.choice(WIN_PARTS)
+    funcs = rng.sample(WIN_FUNCS, 3)
+
+    w = Window.partitionBy(part).orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(30,2)")
+    spark_map = {
+        "row_number": F.row_number().over(w).cast("long").alias("row_number"),
+        "rank": F.rank().over(w).cast("long").alias("rank"),
+        "lag_price": F.lag(price_dec).over(w).cast("double").alias("lag_price"),
+        "running_total": F.sum(price_dec).over(wf).cast("double").alias(
+            "running_total"
+        ),
+        "cume_dist": F.cume_dist().over(w).alias("cume_dist"),
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = o.select(
+        "o_orderkey", *[spark_map[f] for f in funcs]
+    ).toPandas()
+
+    duck_map = {
+        "row_number": "CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_number",
+        "rank": "CAST(RANK() OVER w AS BIGINT) AS rank",
+        "lag_price": "CAST(lag(CAST(o_totalprice AS DECIMAL(30,2))) OVER w"
+        " AS DOUBLE) AS lag_price",
+        "running_total": "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))"
+        " OVER (PARTITION BY {p} ORDER BY o_orderdate, o_orderkey"
+        " ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total",
+        "cume_dist": "cume_dist() OVER w AS cume_dist",
+    }
+    sel = ", ".join(duck_map[f].format(p=part) for f in funcs)
+    sql = f"""
+    SELECT o_orderkey, {sel}
+    FROM read_parquet('{SF_DIR}/orders.parquet')
+    WINDOW w AS (PARTITION BY {part} ORDER BY o_orderdate, o_orderkey)
+    """
+    con = duckdb.connect()
+    want = con.sql(sql).df()
+    assert_frames_equal(got, want, f"window-fuzz seed={seed} {part} {funcs}")
