@@ -657,3 +657,18 @@ def numeric_drift_ks(
         "ks_stat",
         F.col("__m.v").alias("ks_at_value"),
     )
+
+
+def file_row_profile(df: DataFrame) -> DataFrame:
+    """Physical-layout profile of a file-backed frame: rows per underlying
+    file — the small-file detector feeding compaction decisions
+    (plans/ingest.py::compact; thousands of kilobyte files turn a 100 TB
+    scan into a metadata stampede long before bytes matter). One
+    map-side-combinable aggregate over ``input_file_name()``; the file
+    name is reduced to its basename so reports compare across
+    URI schemes (file:// vs s3:// vs an engine reading the bare path).
+    Returns ``(file_name, n_rows)``."""
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    return df.groupBy(base.alias("file_name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )

@@ -310,3 +310,28 @@ def test_join_fanout_estimate_separator_keys_do_not_collide(spark):
     right = spark.createDataFrame([("a", "b|c")], ["u", "v"])
     r = join_fanout_estimate(left, right, ["x", "y"], ["u", "v"]).collect()[0]
     assert r.matching_keys == 0 and r.join_rows == 0
+
+
+def test_file_row_profile_matches_duckdb_filename_scan(spark):
+    """Cross-engine check of scan-level file attribution: Spark
+    input_file_name vs DuckDB's filename=true on the same parquet."""
+    import duckdb
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        file_row_profile,
+    )
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    df = spark.read.parquet(path)
+    got = {
+        (r.file_name, r.n_rows) for r in file_row_profile(df).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (f, n)
+        for f, n in con.sql(
+            f"""SELECT regexp_extract(filename, '([^/]+)$', 1), CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{path}', filename=true) GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want and sum(n for _, n in got) == df.count()
