@@ -399,9 +399,13 @@ def rp_lsh_topk(
 
 
 def _f64_lit(x: float) -> str:
-    """A SQL double literal that round-trips ``x`` exactly (repr is the
-    shortest exact decimal; CAST of that string re-reads the same bits)."""
-    return f"CAST('{x!r}' AS DOUBLE)"
+    """A SQL double literal that round-trips ``x`` exactly: repr is the
+    shortest exact decimal and Spark's ``D``-suffix literal re-reads the
+    same bits (verified bitwise against the CAST('...' AS DOUBLE) form,
+    which this replaces — half the text and one fewer expression node
+    per element, which matters when a quantizer inlines thousands of
+    them into one plan)."""
+    return f"{x!r}D"
 
 
 def _cos_sql(vec_expr: str, arr_sql: str) -> str:
