@@ -45,6 +45,12 @@ def frequent_itemsets(
     n = transactions.select(basket_col).distinct().count()
     if n == 0:
         raise ValueError("no baskets")
+    if min_count > n:
+        # a support no basket count can reach: empty result, not an MLlib
+        # error from a minSupport fraction above 1.0
+        return transactions.sparkSession.createDataFrame(
+            [], "itemset string, size int, freq long"
+        )
     baskets = transactions.groupBy(basket_col).agg(
         F.collect_set(F.col(item_col)).alias("items")
     )

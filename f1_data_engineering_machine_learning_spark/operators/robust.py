@@ -107,9 +107,17 @@ def zscore_normalize(
     stats = stats.select(
         *group_cols,
         (F.col("__s1") / F.col("__n")).alias("__mean"),
+        # greatest(..., 0.0): catastrophic cancellation on a near-constant
+        # group can land the variance a few ulps BELOW zero, and sqrt(-eps)
+        # is NaN — which Spark's NaN-is-largest comparison semantics would
+        # let straight through a `std > 0` guard as a NaN z-score. Clamping
+        # is exact for every non-negative variance (greatest(x, 0) == x).
         F.sqrt(
-            F.col("__s2") / F.col("__n")
-            - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+            F.greatest(
+                F.col("__s2") / F.col("__n")
+                - (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n")),
+                F.lit(0.0),
+            )
         ).alias("__std"),
     )
     j = df.join(F.broadcast(stats), group_cols)

@@ -47,3 +47,10 @@ def test_frequent_itemsets_numeric_canonical_order(spark):
         for r in frequent_itemsets(df, "basket", "item", min_count=2).collect()
     }
     assert "2,10" in sets and "10,2" not in sets
+
+
+def test_frequent_itemsets_support_above_basket_count_is_empty(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["basket", "item"])
+    out = frequent_itemsets(df, "basket", "item", min_count=99)
+    assert out.count() == 0
+    assert out.columns == ["itemset", "size", "freq"]
