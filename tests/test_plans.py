@@ -211,3 +211,29 @@ def test_compaction_merges_small_files(spark, tmp_path):
     assert after == before
     # no temp residue
     assert not os.path.exists(path + ".__compact_tmp")
+
+
+def test_entire_catalog_plans_free_of_cartesian_and_rowwise_python(spark):
+    """Mechanical honesty sweep over ALL catalog queries' physical plans:
+    no CartesianProduct (the O(n*m) join that should never survive
+    planning — 1-row broadcast cross joins plan as BroadcastNestedLoop
+    over a single row and are fine), and no BatchEvalPython (row-at-a-
+    time Python UDF; ArrowEvalPython / MapInPandas are the sanctioned
+    vectorized tiers). Queries whose construction runs eager jobs
+    (quantizer collects, checkpointed loops) execute them at sf0.001 —
+    that cost is the price of auditing the real plans."""
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in catalog.queries().items():
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan violations: {offenders}"
