@@ -600,6 +600,44 @@ def build_ivf_index(
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_index_upsert(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT
+    rebuilding it: assign each new vector to its nearest EXISTING
+    centroid (the stored quantizer is the contract — probes must keep
+    seeing a consistent partitioning) and APPEND to the matching
+    centroid partitions. Dynamic partition overwrite is NOT used —
+    append mode only touches the probed layout additively, so a
+    concurrent reader never loses vectors.
+
+    This is how a 100 TB vector corpus actually grows: the quantizer is
+    retrained rarely (when drift degrades recall — measure with
+    ``ann_recall_at_k``); the daily ingest is a map-only assignment plus
+    a partitioned append. Assignment broadcasts the tiny centroid table
+    and picks argmax cosine with the same (similarity, centroid-id)
+    tie-break as the probe side, so an upserted vector lands exactly
+    where a full rebuild with the same centroids would put it
+    (parity-tested)."""
+    spark = batch.sparkSession
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    b = batch.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    scored = b.join(F.broadcast(cent)).withColumn(
+        "cdist", cosine(F.col("embedding"), F.col("centroid_vec"))
+    )
+    assigned = topk_per_group(
+        scored, ["vec_id"], [F.desc("cdist"), F.col("centroid")], 1, rn_col="__rn"
+    ).select("vec_id", "embedding", "centroid")
+    assigned.write.mode("append").partitionBy("centroid").parquet(
+        f"{index_path}/vectors"
+    )
+
+
 def ivf_probe_indexed(
     queries: DataFrame,
     index_path: str,

@@ -831,3 +831,50 @@ def test_substring_dedup_rejects_min_len_below_2(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="min_len"):
         dedup.substring_dedup(df, min_len=1)
+
+
+def test_ivf_index_upsert_matches_full_rebuild_partitioning(spark, tmp_path):
+    """Upserted vectors land in exactly the partitions a rebuild with the
+    SAME centroids would choose, and probes see old + new vectors."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        build_ivf_index,
+        ivf_index_upsert,
+        ivf_probe_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_centroids=4)
+    ivf_index_upsert(batch, idx)
+
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert vecs.count() == emb.count()  # nothing lost, nothing duplicated
+
+    # parity: batch rows' partitions == nearest stored centroid, computed
+    # independently here
+    cent = spark.read.parquet(f"{idx}/centroids")
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import cosine
+    want = (
+        batch.join(F.broadcast(cent))
+        .withColumn("cd", cosine(F.col("embedding"), F.col("centroid_vec")))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cd"), F.col("centroid"))
+    want = (
+        want.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", F.col("centroid").alias("want_centroid"))
+    )
+    got = vecs.filter(F.col("vec_id") >= 400).select("vec_id", "centroid")
+    mism = got.join(want, "vec_id").filter(
+        F.col("centroid") != F.col("want_centroid")
+    )
+    assert mism.count() == 0
+
+    # a probe over the upserted index returns neighbors from BOTH eras
+    q = emb.filter(F.col("vec_id") < 3)
+    res = ivf_probe_indexed(q, idx, k=8, n_probe=4)
+    ids = {r.neighbor_id for r in res.collect()}
+    assert any(i >= 400 for i in ids) and any(i < 400 for i in ids)
