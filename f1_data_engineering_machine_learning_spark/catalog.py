@@ -8288,3 +8288,91 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS s
+      FROM docs
+    ), dfreq AS (
+      SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN dfreq ON sh.s = dfreq.s
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (dataops/text.py::ngram_novelty): the
+    share of each doc's distinct 3-shingles occurring nowhere else in
+    the corpus — the inverse of the memorization-risk signal the dedup
+    family acts on (substring_dedup REMOVES repeated spans; this
+    MEASURES unrepeatedness, the ranking a curation pass uses to keep
+    the most informative documents). Shares the (id, shingle) distinct
+    exchange shape with the Jaccard index; every ratio is one exact
+    integer division."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        ngram_novelty,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "corpus_token_budget",
+    """
+    WITH d AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), per AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1, 2
+    ), t AS (
+      SELECT SUM(n_tokens) AS total_tokens FROM per
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST((SELECT total_tokens FROM t)
+                AS DOUBLE) AS token_share
+    FROM per
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per (language, source) — the planning
+    table every mixture decision starts from (temperature_mixture_docs
+    and lang_upsampled_docs CONSUME exactly these shares): doc counts,
+    exact token totals (space-split parity with the oracle), and each
+    cell's share of the global budget. One map-side-combinable
+    aggregate + a 1-row broadcast for the share division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__t").cast("double")).alias(
+            "token_share"
+        ),
+    )

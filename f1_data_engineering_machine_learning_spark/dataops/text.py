@@ -361,3 +361,45 @@ def strip_markup(col: Column | str) -> Column:
         out = F.regexp_replace(out, ent, ch)
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    k-shingles that occur NOWHERE else in the corpus —
+    ``(id, n_shingles, n_unique, novelty)``. High novelty = genuinely
+    new text; low = boilerplate/near-dup material the dedup family
+    should have caught (the metric is the complement of the
+    memorization-risk signal in the dedup literature: substring_dedup
+    REMOVES repeated spans, this MEASURES how much of a doc is
+    unrepeated).
+
+    Plan: one distinct (id, shingle) explode, one document-frequency
+    count on the shingle key (map-side combinable, shuffles shingle
+    hashes' worth of rows — same exchange the Jaccard index builds, so
+    a curation pipeline computing both reuses the shuffle), one join
+    back and a per-doc aggregate. The ratio is a single exact integer
+    division per doc."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("__s")
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    joined = sh.join(dfreq, "__s")
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"))
+            .alias("novelty"),
+        )
+    )
