@@ -8376,3 +8376,148 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@query(
+    "weekday_revenue_seasonality",
+    """
+    WITH d AS (
+      SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+             CAST(o_totalprice AS DECIMAL(30,2)) AS p
+      FROM orders
+    ), per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(p) AS rev
+      FROM d GROUP BY dow
+    ), t AS (
+      SELECT SUM(rev) AS tot, SUM(n_orders) AS n FROM per
+    )
+    SELECT dow, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           (CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE))
+             / (CAST((SELECT tot FROM t) AS DOUBLE)
+                / CAST((SELECT n FROM t) AS DOUBLE)) AS seasonal_index
+    FROM per
+    """,
+)
+def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per-weekday order counts, exact
+    decimal revenue, and the seasonal index (weekday's average order
+    value relative to the overall average — 1.0 = no effect). The index
+    is a ratio of two exact-decimal-derived averages computed in the
+    same double op order both engines replay; Spark's dayofweek
+    (1=Sunday) matches DuckDB's dayofweek+1 convention — encoded once
+    here, checked by the value hash."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.dayofweek(F.col("o_orderdate").cast("date")).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+    )
+    t = per.agg(F.sum("rev").alias("tot"), F.sum("n_orders").alias("n"))
+    return per.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("rev").cast("double") / F.col("n_orders").cast("double"))
+            / (F.col("tot").cast("double") / F.col("n").cast("double"))
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "order_lineitem_date_audit",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS shipped_before_order,
+           CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS min_ship_lag_days,
+           CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS max_ship_lag_days,
+           CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+             AS total_ship_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def order_lineitem_date_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE temporal-consistency audit — the constraint class the
+    single-table gate (check_constraints) cannot express: business-rule
+    orderings that span a join (a lineitem must not ship before its
+    order exists), plus the ship-lag envelope (min/max/total days from
+    order to ship, exact integer date arithmetic). One equi-join + one
+    aggregate — at 100 TB the join is the enrichment shuffle the
+    pipeline already pays, and the audit rides it as CASE counts. Zero
+    violations is the EXPECTED result on consistent data — the zero is
+    what the value hash proves."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("long")
+        ).alias("shipped_before_order"),
+        F.min(lag).cast("bigint").alias("min_ship_lag_days"),
+        F.max(lag).cast("bigint").alias("max_ship_lag_days"),
+        F.sum(lag).cast("bigint").alias("total_ship_lag_days"),
+    )
+
+
+@query(
+    "nation_share_of_region_revenue",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, SUM(rev) AS region_rev FROM rev GROUP BY region
+    )
+    SELECT rev.region, rev.nation,
+           CAST(rev.rev AS DOUBLE) AS nation_revenue,
+           CAST(rev.rev AS DOUBLE) / CAST(reg.region_rev AS DOUBLE)
+             AS share_of_region
+    FROM rev JOIN reg ON rev.region = reg.region
+    """,
+)
+def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup — each nation's share of ITS REGION's
+    revenue, the classic BI hierarchy ratio. No window: the child-level
+    decimal aggregate re-aggregates to the parent level (exact, map-side
+    combinable) and broadcasts back — at 100 TB the fact table is
+    touched once, the hierarchy arithmetic runs on the tiny rollup
+    frames. Star dims broadcast (plan family as regional_supplier_
+    volume); shares are single exact-decimal-to-double divisions."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    reg = rev.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    return rev.join(F.broadcast(reg), "region").select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("nation_revenue"),
+        (F.col("rev").cast("double") / F.col("region_rev").cast("double")).alias(
+            "share_of_region"
+        ),
+    )
