@@ -87,6 +87,12 @@ HEADLINE = [
     "customer_rfm_segments",
     "part_association_rules",
     "customer_spend_gini",
+    "doc_ngram_novelty",
+    "corpus_token_budget",
+    "weekday_revenue_seasonality",
+    "order_lineitem_date_audit",
+    "nation_share_of_region_revenue",
+    "weekly_distinct_users_bitmap",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
