@@ -142,6 +142,17 @@ _GATE_PRIORITY = [
     "contrastive_negatives_docs",
     "winsorized_quantity_stats",
     "user_daily_value_anomalies",
+    "split_price_drift_ks",
+    "lineitem_order_join_fanout",
+    "copurchase_triangles",
+    "frequent_part_itemsets",
+    "weekly_distinct_users_bitmap",
+    "customer_rfm_segments",
+    "customer_spend_gini",
+    "top_session_paths",
+    "lang_heavy_hitter_tokens",
+    "event_props_variant",
+    "doc_ngram_novelty",
 ]
 
 
