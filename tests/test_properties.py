@@ -252,3 +252,55 @@ def test_zscore_matches_python_population_moments(spark, vals):
             assert r.v_z is None
         else:
             assert abs(r.v_z - (r.v - mean) / math.sqrt(var)) < 1e-9
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 5000),       # minute offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@_settings
+def test_session_paths_matches_python(spark, events):
+    import datetime as dt
+    from collections import Counter
+
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, t0 + dt.timedelta(minutes=m), s)
+        for i, (u, m, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "et"])
+    got = {
+        r.path: (r.n_sessions, r.n_steps)
+        for r in session_paths(
+            df, ["user_id"], "ts", "et", 30.0, tiebreak=["event_id"]
+        ).collect()
+    }
+    # python reference: per-user sort by (ts, id), break at gap > 30 min
+    per_user: dict = {}
+    for u, i, ts, s in rows:
+        per_user.setdefault(u, []).append((ts, i, s))
+    paths: Counter = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        cur, prev = [], None
+        for ts, i, s in seq:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                paths[">".join(cur)] += 1
+                cur = []
+            cur.append(s)
+            prev = ts
+        paths[">".join(cur)] += 1
+    want = {p: (n, len(p.split(">"))) for p, n in paths.items()}
+    assert got == want
