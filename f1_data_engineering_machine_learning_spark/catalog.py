@@ -8596,3 +8596,73 @@ def weekly_distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily_distinct, "week")
         .select("week", "n_days", "weekly_distinct", "sum_daily_distinct")
     )
+
+
+@query(
+    "frequent_session_sequences",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM flagged
+    ), singles AS (
+      SELECT event_type AS pattern, 1 AS size, COUNT(*) AS freq
+      FROM (SELECT DISTINCT user_id, sid, event_type FROM sess)
+      GROUP BY event_type HAVING COUNT(*) >= 10
+    ), pairs AS (
+      SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS size,
+             COUNT(*) AS freq
+      FROM (SELECT DISTINCT user_id, sid, event_type,
+                   MIN(rn) AS first_rn
+            FROM sess GROUP BY user_id, sid, event_type) a
+      JOIN (SELECT DISTINCT user_id, sid, event_type,
+                   MAX(rn) AS last_rn
+            FROM sess GROUP BY user_id, sid, event_type) b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.first_rn < b.last_rn
+      GROUP BY 1 HAVING COUNT(*) >= 10
+    )
+    SELECT pattern, CAST(size AS INTEGER) AS size, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    """,
+)
+def frequent_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over user sessions
+    (dataops/mining.py::frequent_sequences — MLlib PrefixSpan, absolute
+    support 10, patterns up to length 2): which ORDERED step pairs do
+    sessions actually walk, counting non-contiguous subsequences
+    (a>c matches a,b,c — order is the contract, adjacency is not).
+    The oracle proves the miner exact by enumeration: a session
+    contains x>y iff x's FIRST occurrence precedes y's LAST (the
+    subsequence existence criterion), replayed per session in SQL with
+    the same lag+cumsum sessionization the path queries share."""
+    from f1_data_engineering_machine_learning_spark.dataops.mining import (
+        frequent_sequences,
+    )
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    ev = _events(spark, sf_dir)
+    s = assign_sessions(
+        ev, ["user_id"], "ts", 30.0, tiebreak=["event_id"], out_col="sid"
+    )
+    return frequent_sequences(
+        s,
+        ["user_id", "sid"],
+        "ts",
+        "event_type",
+        min_count=10,
+        max_len=2,
+        tiebreak=["event_id"],
+    )

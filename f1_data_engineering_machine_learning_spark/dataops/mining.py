@@ -73,3 +73,66 @@ def frequent_itemsets(
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+def frequent_sequences(
+    sessions: DataFrame,
+    session_cols: list[str],
+    ts_col: str,
+    step_col: str,
+    min_count: int = 2,
+    max_len: int = 2,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Frequent SEQUENTIAL patterns over per-session ordered event steps
+    (MLlib PrefixSpan): which ordered subsequences — not contiguous
+    substrings — do at least ``min_count`` sessions walk? The mining
+    complement of ``session_paths`` (exact full paths) and
+    ``frequent_itemsets`` (order-free co-occurrence): ``a>c`` here
+    counts a session ``a,b,c`` because order, not adjacency, is the
+    pattern contract.
+
+    Output canonical: ``(pattern, size, freq)`` with steps joined by
+    ``>``. Support is ABSOLUTE and pinned exactly against MLlib's
+    fractional API (same ``(min_count - 0.5) / n`` ceiling trick as
+    ``frequent_itemsets``); ``max_len`` bounds the enumeration — the
+    oracle replays length <= 2 by EXISTS-pair enumeration, proving the
+    miner exact. Each session's step order is pinned by
+    ``(ts, tiebreak...)`` struct sort before sequencing, so the mined
+    patterns are partition-layout invariant. PrefixSpan's projected
+    databases partition by prefix — the distributed shape that holds
+    when sessions number in the billions."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    tiebreak = tiebreak or []
+    item = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)],
+        F.col(step_col).cast("string").alias("__step"),
+    )
+    seqs = sessions.groupBy(*[F.col(c) for c in session_cols]).agg(
+        F.transform(
+            F.array_sort(F.collect_list(item)),
+            lambda x: F.array(x["__step"]),
+        ).alias("sequence")
+    )
+    n = seqs.count()
+    if n == 0:
+        raise ValueError("no sessions")
+    if min_count > n:
+        return sessions.sparkSession.createDataFrame(
+            [], "pattern string, size int, freq long"
+        )
+    ps = PrefixSpan(
+        minSupport=(min_count - 0.5) / n,
+        maxPatternLength=max_len,
+        maxLocalProjDBSize=32_000_000,
+    )
+    res = ps.findFrequentSequentialPatterns(seqs.select("sequence"))
+    return res.select(
+        F.array_join(
+            F.transform(F.col("sequence"), lambda s: F.element_at(s, 1)), ">"
+        ).alias("pattern"),
+        F.size("sequence").cast("int").alias("size"),
+        F.col("freq").cast("long").alias("freq"),
+    )

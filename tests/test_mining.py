@@ -54,3 +54,52 @@ def test_frequent_itemsets_support_above_basket_count_is_empty(spark):
     out = frequent_itemsets(df, "basket", "item", min_count=99)
     assert out.count() == 0
     assert out.columns == ["itemset", "size", "freq"]
+
+
+def test_frequent_sequences_subsequence_not_substring(spark):
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.dataops.mining import (
+        frequent_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # sessions: (a,b,c) x2 and (a,c) x1 -> "a>c" freq 3 (non-contiguous!)
+    rows = []
+    sid = 0
+    for seq in (["a", "b", "c"], ["a", "b", "c"], ["a", "c"]):
+        for i, s in enumerate(seq):
+            rows.append((sid, i, t0 + i * m, s))
+        sid += 1
+    df = spark.createDataFrame(rows, ["sess", "eid", "ts", "step"])
+    got = {
+        (r.pattern, r.freq)
+        for r in frequent_sequences(
+            df, ["sess"], "ts", "step", min_count=3, max_len=2, tiebreak=["eid"]
+        ).collect()
+    }
+    assert got == {("a", 3), ("c", 3), ("a>c", 3)}
+
+
+def test_frequent_sequences_order_matters(spark):
+    import datetime as dt
+
+    from f1_data_engineering_machine_learning_spark.dataops.mining import (
+        frequent_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [(0, 0, t0, "x"), (0, 1, t0 + m, "y"),
+            (1, 0, t0, "y"), (1, 1, t0 + m, "x")]
+    df = spark.createDataFrame(rows, ["sess", "eid", "ts", "step"])
+    got = {
+        (r.pattern, r.freq)
+        for r in frequent_sequences(
+            df, ["sess"], "ts", "step", min_count=1, max_len=2, tiebreak=["eid"]
+        ).collect()
+    }
+    # each direction appears in exactly one session
+    assert ("x>y", 1) in got and ("y>x", 1) in got
+    assert ("x", 2) in got and ("y", 2) in got
