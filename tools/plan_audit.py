@@ -93,6 +93,7 @@ HEADLINE = [
     "order_lineitem_date_audit",
     "nation_share_of_region_revenue",
     "weekly_distinct_users_bitmap",
+    "frequent_session_sequences",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
