@@ -8666,3 +8666,55 @@ def frequent_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len=2,
         tiebreak=["event_id"],
     )
+
+
+@query(
+    "signup_conversion_lag_quantiles",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    ), lags AS (
+      SELECT CAST(date_diff('second', s, p) AS BIGINT) AS lag_s
+      FROM stages WHERE s IS NOT NULL AND p IS NOT NULL AND p > s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+           CAST(quantile_cont(lag_s, 0.5) AS DOUBLE) AS median_lag_s,
+           CAST(quantile_cont(lag_s, 0.9) AS DOUBLE) AS p90_lag_s,
+           CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+    FROM lags
+    """,
+)
+def signup_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion TIMING distribution — the second half of funnel
+    analysis (signup_purchase_funnel counts who converts; this measures
+    how fast): exact median and p90 of the signup-to-first-purchase lag
+    over converted users. Lags are integer seconds (exact engine-
+    portable percentile interpolation, the catalog rule), from the same
+    no-self-join conditional-min stage shape as the funnel — one
+    aggregation over users, then one tiny quantile pass."""
+    ev = _events(spark, sf_dir)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    lags = stages.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("s"))
+    ).select(
+        # NTZ -> timestamp (session is pinned UTC) -> epoch seconds: the
+        # same integer DuckDB's date_diff('second') yields on naive ts
+        (
+            F.col("p").cast("timestamp").cast("long")
+            - F.col("s").cast("timestamp").cast("long")
+        ).alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").cast("bigint").alias("min_lag_s"),
+        F.percentile("lag_s", F.lit(0.5)).cast("double").alias("median_lag_s"),
+        F.percentile("lag_s", F.lit(0.9)).cast("double").alias("p90_lag_s"),
+        F.max("lag_s").cast("bigint").alias("max_lag_s"),
+    )
