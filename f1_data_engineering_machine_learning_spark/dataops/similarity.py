@@ -678,20 +678,30 @@ def ivf_index_upsert(
     retrained rarely (when drift degrades recall — measure with
     ``ann_recall_at_k``); the daily ingest is a map-only assignment plus
     a partitioned append. Assignment broadcasts the tiny centroid table
-    and picks argmax cosine with the same (similarity, centroid-id)
-    tie-break as the probe side, so an upserted vector lands exactly
-    where a full rebuild with the same centroids would put it
-    (parity-tested)."""
+    and picks argmin SQUARED EUCLIDEAN distance — the metric KMeans's
+    own ``model.transform`` uses at build time — with a
+    (distance, centroid-id) tie-break, so an upserted vector lands in
+    the same partition a full rebuild with the same centroids would
+    choose (parity-tested against an independent Euclidean argmin; a
+    cosine argmax disagrees with the build-era placement for
+    non-normalized vectors)."""
     spark = batch.sparkSession
     cent = spark.read.parquet(f"{index_path}/centroids")
     b = batch.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
-    scored = b.join(F.broadcast(cent)).withColumn(
-        "cdist", cosine(F.col("embedding"), F.col("centroid_vec"))
+    dist2 = F.aggregate(
+        F.zip_with(
+            _as_double(F.col("embedding")),
+            F.col("centroid_vec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    scored = b.join(F.broadcast(cent)).withColumn("cdist", dist2)
     assigned = topk_per_group(
-        scored, ["vec_id"], [F.desc("cdist"), F.col("centroid")], 1, rn_col="__rn"
+        scored, ["vec_id"], [F.asc("cdist"), F.col("centroid")], 1, rn_col="__rn"
     ).select("vec_id", "embedding", "centroid")
     assigned.write.mode("append").partitionBy("centroid").parquet(
         f"{index_path}/vectors"

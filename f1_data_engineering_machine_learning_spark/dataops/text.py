@@ -118,8 +118,18 @@ def content_fingerprint(col: Column | str) -> Column:
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-token shingles of the normalized token stream (the unit for
     MinHash/Jaccard near-dup detection). Pure array expressions:
-    transform over a 0..n-k index sequence, concat of slices."""
-    toks = tokens(col)
+    transform over a 0..n-k index sequence, concat of slices.
+
+    The text is TRIMMED before splitting: without it, leading/trailing
+    whitespace yields empty-string tokens, while every shingle-family
+    oracle normalizes via ``trim(regexp_replace(lower(text), '\\s+',
+    ' '))`` first — a latent cross-engine mismatch for padded documents
+    (round-4 advice; current testdata never pads)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # collapse-then-trim, exactly the oracle's normalization: trim()
+    # alone strips only ' ' (not \n/\t) in both engines, so whitespace
+    # runs are first collapsed to single spaces
+    toks = tokens(F.trim(F.regexp_replace(c, r"\s+", " ")))
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(

@@ -166,11 +166,22 @@ def strip_training_summary(model) -> None:
     write-audit metrics (plans/export.py::write_with_audit) in the same
     session is exactly that combination. Best-effort: MLlib models
     without a summary are left untouched; PipelineModels strip each
-    stage."""
+    stage.
+
+    The summary field is a Scala ``Option``: it must be cleared with
+    ``Option.empty()``, not py4j ``None`` — a raw null makes a later
+    ``model.hasSummary`` throw NullPointerException (``isDefined`` on
+    null) instead of returning False."""
+    from pyspark import SparkContext
+
     stages = getattr(model, "stages", None)
     for m in stages if stages is not None else [model]:
         try:
-            m._call_java("setSummary", None)
+            jobj = getattr(m, "_java_obj", None)
+            if jobj is None:
+                continue
+            jvm = SparkContext._active_spark_context._jvm
+            jobj.setSummary(jvm.scala.Option.empty())
         except Exception:
             pass
 

@@ -56,7 +56,13 @@ class JsonlShardWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonlshards requires .option('path', ...)")
         self.overwrite = overwrite
-        self.staging = os.path.join(self.path, "_staging")
+        # per-JOB staging subdirectory: commit/abort sweep only THIS
+        # job's staged files, so a concurrent writer into the same path
+        # never has its in-flight shards clobbered by another job's
+        # cleanup (the job id is minted once on the driver and ships to
+        # tasks inside the pickled writer)
+        self.job_id = uuid.uuid4().hex
+        self.staging = os.path.join(self.path, "_staging", self.job_id)
 
     def write(self, rows: Iterator) -> ShardCommit:
         from pyspark import TaskContext
@@ -73,6 +79,7 @@ class JsonlShardWriter(DataSourceWriter):
         return ShardCommit(name, n)
 
     def commit(self, messages) -> None:
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f != "_staging":
@@ -85,15 +92,31 @@ class JsonlShardWriter(DataSourceWriter):
                 os.path.join(self.path, m.filename),
             )
             shards.append({"file": m.filename, "n_rows": m.n_rows})
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+        # append mode MERGES this job's shard records into the existing
+        # manifest so shards/total_rows keep describing the whole
+        # directory, not just the last job's contribution
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("shards", [])
+            shards = prior + shards
+        with open(manifest_path, "w") as fh:
             json.dump(
                 {"shards": shards, "total_rows": sum(s["n_rows"] for s in shards)},
                 fh,
             )
         shutil.rmtree(self.staging, ignore_errors=True)
+        self._prune_staging_root()
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
+        self._prune_staging_root()
+
+    def _prune_staging_root(self) -> None:
+        """Remove the shared _staging root only once no job is using it."""
+        try:
+            os.rmdir(os.path.join(self.path, "_staging"))
+        except OSError:
+            pass  # other jobs' subdirectories still staged — leave it
 
 
 class JsonlShardsDataSource(DataSource):

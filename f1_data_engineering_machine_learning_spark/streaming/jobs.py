@@ -286,8 +286,14 @@ def quarantine_stream(
     schema fix is replaying a normal stream.
 
     foreachBatch writes both sides from ONE cached micro-batch frame
-    (one pass over the data, two appends); the checkpoint makes the
-    split effectively-once across restarts.
+    (one pass over the data). foreachBatch's replay contract is
+    at-least-once — a crash between the writes and the checkpoint
+    commit re-runs the batch — so both sides are made IDEMPOTENT per
+    batch: each output is partitioned by ``batch_id`` and written with
+    dynamic partition overwrite, so a replayed batch overwrites exactly
+    its own partition instead of appending duplicates. That upgrades the
+    end-to-end split to effectively-once; downstream readers see
+    ``batch_id`` as an extra partition column on both paths.
 
     Detection detail: PERMISSIVE ``from_json`` never returns a NULL
     struct — malformed input yields a struct of NULL fields, silently
@@ -307,19 +313,35 @@ def quarantine_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            good = batch_df.filter(
-                F.col("__p._corrupt_record").isNull()
-            ).select("__p.*").drop("_corrupt_record")
+            good = (
+                batch_df.filter(F.col("__p._corrupt_record").isNull())
+                .select("__p.*")
+                .drop("_corrupt_record")
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
             bad = batch_df.filter(
                 F.col("__p._corrupt_record").isNotNull()
             ).select(
                 F.col("__raw").alias("raw"),
-                F.lit(batch_id).cast("long").alias("batch_id"),
                 F.lit("unparseable_json").alias("reason"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
             )
-            good.write.mode("append").parquet(good_path)
+            # dynamic overwrite scoped to THIS batch's partition: replay
+            # rewrites batch_id=<n> in place — idempotent, never appends
+            # a duplicate copy of a replayed micro-batch
+            (
+                good.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(good_path)
+            )
             if not bad.isEmpty():
-                bad.write.mode("append").parquet(dlq_path)
+                (
+                    bad.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(dlq_path)
+                )
         finally:
             batch_df.unpersist()
 

@@ -62,6 +62,15 @@ def test_shingles(spark):
     assert got[1].s == ["a"]  # shorter than k -> whole text
 
 
+def test_shingles_trim_padded_text(spark):
+    # round-4 advice regression: padded whitespace must not mint
+    # empty-string tokens — shingles match the oracle family's
+    # trim(regexp_replace(...)) normalization
+    df = spark.createDataFrame([("  a b c d \n",), ("a b c d",)], ["text"])
+    padded, bare = [r.s for r in df.select(text.shingles("text", 3).alias("s")).collect()]
+    assert padded == bare == ["a b c", "b c d"]
+
+
 def test_exact_dedup(docs):
     out = dedup.exact_dedup(docs, "doc_id", "text").collect()
     groups = {r.keeper_id: r.n_copies for r in out}
@@ -895,16 +904,28 @@ def test_ivf_index_upsert_matches_full_rebuild_partitioning(spark, tmp_path):
     vecs = spark.read.parquet(f"{idx}/vectors")
     assert vecs.count() == emb.count()  # nothing lost, nothing duplicated
 
-    # parity: batch rows' partitions == nearest stored centroid, computed
-    # independently here
+    # parity: batch rows' partitions == nearest stored centroid by the
+    # metric KMeans placement itself uses (squared Euclidean), computed
+    # independently here — a rebuild with the same centroids would put
+    # each vector in exactly this partition
     cent = spark.read.parquet(f"{idx}/centroids")
-    from f1_data_engineering_machine_learning_spark.dataops.similarity import cosine
     want = (
         batch.join(F.broadcast(cent))
-        .withColumn("cd", cosine(F.col("embedding"), F.col("centroid_vec")))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    F.col("centroid_vec"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     from pyspark.sql import Window
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cd"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.col("centroid"))
     want = (
         want.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")

@@ -31,6 +31,28 @@ def test_jsonl_sink_commit_manifest_and_roundtrip(spark, tmp_path):
     assert {r.s for r in back.collect()} == {f"d{i}" for i in range(100)}
 
 
+def test_jsonl_sink_append_merges_manifest(spark, tmp_path):
+    """Append-mode commits MERGE shard records: after two jobs the
+    manifest describes the whole directory, not just the last job."""
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "out_append")
+    spark.range(10).repartition(2).write.format("jsonlshards").mode(
+        "overwrite"
+    ).option("path", out).save()
+    spark.range(10, 15).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 15
+    assert len(manifest["shards"]) == 3
+    # manifest rows match the actual directory contents
+    back = spark.read.schema("id long").json(out + "/part-*.jsonl")
+    assert back.count() == 15
+    # the shared staging root is gone once no job is using it
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
 def test_jsonl_sink_overwrite_replaces(spark, tmp_path):
     register_jsonl_sink(spark)
     out = str(tmp_path / "out2")

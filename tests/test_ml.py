@@ -99,6 +99,29 @@ def test_text_classifier_separable(spark):
     assert "prediction" in scored.columns
 
 
+def test_strip_training_summary_leaves_has_summary_false(spark):
+    """Regression (round-4 advice): stripping must clear the summary to
+    Scala Option.empty(), not a raw null — a null Option makes a later
+    model.hasSummary throw NullPointerException instead of returning
+    False."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from f1_data_engineering_machine_learning_spark.ml.model import (
+        strip_training_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 2), float(i), float(2 * i)) for i in range(20)],
+        "label double, a double, b double",
+    )
+    feats = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(df)
+    model = LogisticRegression(maxIter=2).fit(feats)
+    assert model.hasSummary is True
+    strip_training_summary(model)
+    assert model.hasSummary is False  # not an NPE
+
+
 def test_training_survives_prior_observation(spark, tmp_path):
     """Regression: one Dataset.observe anywhere in the session initializes
     the session's ObservationManager (a non-transient lazy field), after

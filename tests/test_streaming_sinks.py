@@ -149,6 +149,17 @@ def test_quarantine_stream_splits_good_and_bad(spark, tmp_path):
     stream2 = spark.readStream.schema("line string").parquet(src)
     quarantine_stream(stream2, "id long, v string", "line", good_p, dlq_p, ckpt)
     assert spark.read.parquet(dlq_p).count() == len(bad)
+    # replay with a FRESH checkpoint (the worst case foreachBatch allows:
+    # the whole batch re-runs as the same batch_id after a crash between
+    # the writes and the checkpoint commit): dynamic overwrite of the
+    # batch_id partition rewrites in place instead of appending dupes
+    stream3 = spark.readStream.schema("line string").parquet(src)
+    quarantine_stream(
+        stream3, "id long, v string", "line", good_p, dlq_p, str(tmp_path / "ck2")
+    )
+    assert {(r.id, r.v) for r in spark.read.parquet(good_p).collect()} == good
+    assert spark.read.parquet(good_p).count() == len(good)
+    assert spark.read.parquet(dlq_p).count() == len(bad)
 
 
 def test_session_paths_stream_matches_batch(spark, tmp_path):
