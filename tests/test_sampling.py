@@ -76,6 +76,59 @@ def test_mixture_sample_hits_target_shares(spark):
         mixture_sample(df, "lang", F.col("n_tokens"), {"zz": 1.0}, key="doc_id")
 
 
+def test_mixture_sample_lazy_matches_eager_and_runs_no_jobs(spark):
+    """The lazy plan-resident mixture keeps the eager path's rows exactly
+    (bitwise-identical thresholds) and constructs with ZERO Spark jobs —
+    the round-3 verdict's eager-construction finding."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        mixture_sample,
+        mixture_sample_lazy,
+        temperature_targets,
+    )
+
+    rows = [(i, "en", 100) for i in range(400)] + [
+        (1000 + i, "es", 100) for i in range(100)
+    ] + [(2000 + i, "fr", 37) for i in range(57)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    target = {"en": 0.5, "es": 0.3, "fr": 0.2}
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = mixture_sample_lazy(
+        df, "lang", F.col("n_tokens"), key="doc_id", target=target
+    )
+    lazy_temp = mixture_sample_lazy(
+        df, "lang", F.col("n_tokens"), key="doc_id", alpha=0.5
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # construction is job-free
+
+    eager, _ = mixture_sample(
+        df, "lang", F.col("n_tokens"), target, key="doc_id"
+    )
+    assert sorted(r.doc_id for r in lazy.collect()) == sorted(
+        r.doc_id for r in eager.collect()
+    )
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy("lang").agg(F.sum("n_tokens")).collect()
+    }
+    eager_temp, _ = mixture_sample(
+        df, "lang", F.col("n_tokens"), temperature_targets(totals, 0.5),
+        key="doc_id",
+    )
+    assert sorted(r.doc_id for r in lazy_temp.collect()) == sorted(
+        r.doc_id for r in eager_temp.collect()
+    )
+
+    with pytest.raises(ValueError, match="exactly one"):
+        mixture_sample_lazy(df, "lang", F.col("n_tokens"), key="doc_id")
+    with pytest.raises(ValueError, match="portable"):
+        mixture_sample_lazy(
+            df, "lang", F.col("n_tokens"), key="doc_id", alpha=0.3
+        )
+
+
 def test_split_by_content_hash_properties(spark):
     """Deterministic, partition-invariant, exhaustive-and-disjoint, and
     approximately honoring the fractions."""
