@@ -179,3 +179,142 @@ def test_random_window_query_matches_duckdb(spark, seed):
     con = duckdb.connect()
     want = con.sql(sql).df()
     assert_frames_equal(got, want, f"window-fuzz seed={seed} {part} {funcs}")
+
+
+# ---------------------------------------------------------------------------
+# Graph / mining fuzz (round-4 verdict item 7): random structures vs
+# pure-Python reference implementations. Triangles and PageRank batch 100
+# random graphs each into ONE Spark call by giving every graph a disjoint
+# node-id space (no cross edges => the union's result is the union of the
+# per-graph results); PrefixSpan support thresholds are global, so those
+# cases run as separate (smaller) calls.
+# ---------------------------------------------------------------------------
+
+
+def _random_undirected(rng: random.Random, offset: int):
+    """Random simple undirected graph as (canonical_pairs, both_dir_edges)
+    with node ids offset into a private range."""
+    n = rng.randint(4, 12)
+    p = rng.uniform(0.15, 0.6)
+    pairs = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rng.random() < p:
+                pairs.add((offset + a, offset + b))
+    both = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    return pairs, both
+
+
+def test_fuzz_triangles_match_python_reference(spark):
+    """100 random graphs, one triangle_count call, exact per-vertex
+    counts vs brute-force triple enumeration."""
+    from collections import Counter, defaultdict
+
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(404)
+    want: Counter = Counter()
+    edges = []
+    for g in range(100):
+        pairs, both = _random_undirected(rng, offset=1000 * g)
+        edges.extend(both)
+        adj = defaultdict(set)
+        for u, v in pairs:
+            adj[u].add(v)
+            adj[v].add(u)
+        for a in sorted(adj):
+            for b in sorted(x for x in adj[a] if x > a):
+                for c in sorted(adj[a] & adj[b]):
+                    if c > b:
+                        want[a] += 1
+                        want[b] += 1
+                        want[c] += 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {n: c for n, c in want.items() if c > 0}
+
+
+def test_fuzz_pagerank_matches_python_reference(spark):
+    """100 random symmetric graphs, one 3-iteration pagerank call, BITWISE
+    per-node ranks vs a Python replay of the exact quantized arithmetic
+    (the determinism contract the oracle relies on)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        pagerank,
+    )
+
+    rng = random.Random(505)
+    edges = []
+    for g in range(100):
+        _, both = _random_undirected(rng, offset=1000 * g)
+        edges.extend(both)
+    outdeg = Counter(s for s, _ in edges)
+    ranks = {s: 1.0 for s in outdeg}
+    for _ in range(3):
+        qsum: dict = defaultdict(int)
+        for s, d in edges:
+            if s in ranks:
+                qsum[d] += math.floor(ranks[s] / outdeg[s] * 1e9)
+        # (1.0 - 0.85) != 0.15 in IEEE — replicate the operator's exact
+        # literal arithmetic (graph.py computes F.lit(1.0 - damping))
+        ranks = {d: (1.0 - 0.85) + 0.85 * (qs / 1e9) for d, qs in qsum.items()}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(df, iterations=3).collect()}
+    assert got == ranks  # exact float equality — quantized sums are integers
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_prefixspan_matches_python_reference(spark, seed):
+    """Random event streams vs a pure-Python subsequence counter for
+    patterns of length <= 2 (support = #sessions containing the ordered
+    subsequence, multiplicity-free — the PrefixSpan contract)."""
+    from collections import Counter
+
+    from f1_data_engineering_machine_learning_spark.dataops.mining import (
+        frequent_sequences,
+    )
+
+    rng = random.Random(3000 + seed)
+    steps_alphabet = ["a", "b", "c", "d"]
+    rows = []
+    sessions: dict = {}
+    for sid in range(rng.randint(4, 10)):
+        evs = [
+            (rng.randint(0, 20), rng.choice(steps_alphabet))
+            for _ in range(rng.randint(1, 6))
+        ]
+        sessions[sid] = evs
+        rows.extend((sid, ts, st) for ts, st in evs)
+    min_count = rng.randint(2, 3)
+
+    support: Counter = Counter()
+    for evs in sessions.values():
+        seq = [s for _, s in sorted(evs)]
+        for s in set(seq):
+            support[s] += 1
+        pairs = {
+            (seq[i], seq[j])
+            for i in range(len(seq))
+            for j in range(i + 1, len(seq))
+        }
+        for a, b in pairs:
+            support[f"{a}>{b}"] += 1
+    want = {
+        (p, 1 if ">" not in p else 2, c)
+        for p, c in support.items()
+        if c >= min_count
+    }
+
+    df = spark.createDataFrame(rows, "session_id long, ts long, step string")
+    got = {
+        (r.pattern, r.size, r.freq)
+        for r in frequent_sequences(
+            df, ["session_id"], "ts", "step", min_count=min_count, max_len=2
+        ).collect()
+    }
+    assert got == want, f"seed={seed} min_count={min_count}"
