@@ -111,12 +111,24 @@ def triangle_count(
     broadcast-or-shuffle hash joins (wedge build + closure probe), one
     explode + count for attribution. Self-loops dropped; vertices in no
     triangle are absent from the output (left-join a vertex frame for
-    zero-filled counts)."""
+    zero-filled counts).
+
+    The canonical edge frame and the oriented frame are LAZY
+    local-checkpointed (same contract as :func:`pagerank`): the edges
+    are referenced four times (two degree unions, the orientation join)
+    and the oriented frame three times (wedge x2, closure probe) —
+    without materialization Catalyst re-derives the whole upstream
+    edge-build per reference (the catalog's co-purchase build replicated
+    its fact-table self-join 60x across the plan, 104k chars of plan
+    text), and runtime exchange reuse is a best-effort AQE optimization,
+    not a contract. With the checkpoints every branch reads executor
+    blocks."""
     u, v = F.col(src), F.col(dst)
     e = (
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -133,7 +145,7 @@ def triangle_count(
     oriented = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y")

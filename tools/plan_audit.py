@@ -94,6 +94,9 @@ HEADLINE = [
     "nation_share_of_region_revenue",
     "weekly_distinct_users_bitmap",
     "frequent_session_sequences",
+    "embedding_pq_topk",
+    "corpus_mixture_sample",
+    "temperature_mixture_docs",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
@@ -120,11 +123,53 @@ def _broadcast_refine(plan: str) -> None:
     )
 
 
+def _checkpointed_graph_plan(plan: str) -> None:
+    """The iterative-graph materialization contract (graph.py): the edge
+    build is lazily local-checkpointed, so every per-iteration (or
+    per-branch) reference reads executor blocks — the plan must contain
+    ONLY ExistingRDD scans, zero parquet re-derivations of the edge
+    subtree. (Before the triangles checkpoint this plan re-derived the
+    fact-table self-join 60x: 104k plan chars; now ~4k.)"""
+    assert "Scan ExistingRDD" in plan, "graph plan lost its checkpoint"
+    assert "Scan parquet" not in plan, (
+        "graph plan re-derives the edge build from the source scan "
+        "instead of reading the checkpointed blocks"
+    )
+
+
+def _pq_scoring_shape(plan: str) -> None:
+    """PQ contract: codebooks ride broadcasts (ADC lookup is map-side —
+    no shuffle keyed on codebook entries), and nothing degenerates into
+    a cartesian pair scan. The 1-row codebook frames plan as
+    BroadcastNestedLoopJoin over a single row (sanctioned); a
+    CartesianProduct or a codebook-side shuffle would mean the scoring
+    stopped being map-only."""
+    assert "BroadcastExchange" in plan, "PQ codebooks are no longer broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def _semantic_dedup_join_quantizer(plan: str) -> None:
+    """Round-4 change: assignment must ride the k-independent broadcast
+    carrier (a one-row createDataFrame centroid frame, planned as a
+    Scan ExistingRDD under a BroadcastExchange + 1-row
+    BroadcastNestedLoopJoin), not a k x dim literal argmax. The
+    array_min-over-__cents fold is the join-path marker: the literal
+    path has no array_min and no broadcast centroid carrier."""
+    assert "array_min" in plan and "BroadcastNestedLoopJoin" in plan, (
+        "semantic dedup lost its broadcast-join quantizer (literal-path "
+        "regression: plan size would again grow O(k x dim))"
+    )
+
+
 PLAN_ASSERTS = {
     "customer_spend_distribution": _no_unpartitioned_window,
     "customer_spend_deciles": _no_unpartitioned_window,
     "order_pit_features": _no_join_explosion,
     "heavy_hitter_tokens": _broadcast_refine,
+    "copurchase_pagerank": _checkpointed_graph_plan,
+    "copurchase_triangles": _checkpointed_graph_plan,
+    "embedding_pq_topk": _pq_scoring_shape,
+    "semantic_dedup_embeddings": _semantic_dedup_join_quantizer,
 }
 
 #: measured results appended to every regeneration (tools/skewbench.py)
