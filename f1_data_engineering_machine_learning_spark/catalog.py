@@ -8749,3 +8749,134 @@ def signup_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         F.percentile("lag_s", F.lit(0.9)).cast("double").alias("p90_lag_s"),
         F.max("lag_s").cast("bigint").alias("max_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: drift/statistics + multi-criteria curation operators
+# ---------------------------------------------------------------------------
+
+def _benford_case_sql(total_expr: str) -> str:
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        BENFORD_P,
+    )
+
+    whens = " ".join(f"WHEN {d} THEN {p!r}" for d, p in BENFORD_P.items())
+    return f"CAST({total_expr} * (CASE digit {whens} END) AS DOUBLE)"
+
+
+@query(
+    "order_price_benford",
+    f"""
+    WITH counts AS (
+      SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                      AS VARCHAR), '[1-9]') AS INTEGER) AS digit,
+             CAST(COUNT(*) AS DOUBLE) AS observed
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      GROUP BY 1
+    ), tot AS (SELECT SUM(observed) AS total FROM counts
+    ), expd AS (
+      SELECT digit, observed,
+             {{benford_case}} AS expected
+      FROM counts CROSS JOIN tot
+    )
+    SELECT digit, CAST(observed AS BIGINT) AS observed, expected,
+           CAST(pow(observed - expected, 2) / expected AS DOUBLE) AS cell_chisq
+    FROM expd
+    """.replace("{benford_case}", _benford_case_sql("tot.total")),
+)
+def order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit drift screen over order prices
+    (dataops/quality.py::benford_digit_test) — the fabricated-data /
+    unit-mixing detector for financial columns, joining the drift family
+    (KS / TVD / chi-square). The first significant digit comes from the
+    DECIMAL string form (no log10 on data; both engines print plain
+    decimals), expected counts multiply the exact integer total by
+    SHARED double literals of log10(1+1/d) (cross-engine libm log10 is
+    not correctly-rounded; shared literals are bitwise by construction).
+    One 9-key aggregate + a 9-row window — scale-free."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        benford_digit_test,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digit_test(o, "o_totalprice")
+
+
+@query(
+    "daily_revenue_cusum",
+    """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,2))) AS DOUBLE)
+                  / COUNT(revenue) AS DOUBLE) AS mean FROM daily
+    ), c AS (
+      SELECT day, revenue,
+             CAST(SUM(CAST(floor((revenue - m.mean) * 100) AS BIGINT))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) / 100.0
+                  AS DOUBLE) AS cusum
+      FROM daily CROSS JOIN m
+    )
+    SELECT day, revenue, cusum,
+           abs(cusum) = MAX(abs(cusum)) OVER () AS is_peak
+    FROM c
+    """,
+)
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint signal over the daily revenue series
+    (dataops/quality.py::cusum_changepoint) — the sequential drift
+    localizer complementing the two-sample KS test: |cusum| peaks at the
+    day the revenue level shifted. The mean is decimal-exact over exact
+    per-day decimal sums; per-day deviations are quantized to integer
+    cents and cumulated as BIGINT (windowed float SUM accumulation order
+    is an engine choice — DuckDB segment-trees sum pairwise — so only an
+    integer cumsum is cross-engine exact; same trick as pagerank's
+    nano-quantized contributions). Input is the PRE-AGGREGATED
+    |days|-row series (2.4k rows over 7 years), so the partition-free
+    running window is post-agg trivia, same tier as the chi-square
+    marginals."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        cusum_changepoint,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    return cusum_changepoint(daily, "day", "revenue")
+
+
+@query(
+    "part_price_size_skyline",
+    """
+    SELECT a.p_partkey, CAST(a.p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(a.p_size AS INTEGER) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier over parts — cheapest-for-their-size parts no
+    other part dominates (operators/skyline.py::pareto_frontier_2d), the
+    multi-criteria curation primitive (price/quality, length/quality
+    frontiers). The implementation is the sort-sweep: per-price group
+    max + a range-partitioned prefix max (the two-pass idiom of
+    range_partitioned_rank — NO unpartitioned global window, no O(n^2)
+    pair join); the oracle replays the NOT EXISTS brute force at
+    sf0.01, proving the sweep's domination algebra (ties: equal twins
+    both survive) exact."""
+    from f1_data_engineering_machine_learning_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )

@@ -672,3 +672,122 @@ def file_row_profile(df: DataFrame) -> DataFrame:
     return df.groupBy(base.alias("file_name")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as the SAME
+# double literals the oracle SQL carries (cross-engine log10 is not
+# guaranteed correctly rounded; shared literals are bitwise by
+# construction). Values are shortest-exact reprs of math.log10(1 + 1/d).
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digit_test(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen over a positive numeric column —
+    the classic fabricated-data / unit-mixing detector for financial and
+    measurement columns (naturally-grown magnitudes follow
+    P(d) = log10(1 + 1/d); keyed sequences, capped values, and invented
+    numbers do not). Returns one row per digit 1-9:
+    ``(digit, observed, expected, cell_chisq)``; sum the cell terms for
+    the chi-square statistic (df = 8).
+
+    Determinism: the first significant digit is extracted from the
+    DECIMAL(18,2) string form (both engines print plain decimal
+    digits — no scientific-notation divergence, no log10 on data) via
+    the first [1-9] in the string; expected counts multiply the exact
+    integer total by the shared BENFORD_P literals. One aggregate
+    shuffle over 9 keys + a 9-row window — trivially scale-safe."""
+    digit = F.regexp_extract(
+        F.col(col).cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("double").alias("observed"))
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("observed").over(Window.partitionBy())  # 9-row window
+    expected = F.when(F.lit(False), F.lit(None).cast("double"))
+    for d, p in BENFORD_P.items():
+        expected = F.when(F.col("digit") == d, total * F.lit(p)).otherwise(
+            expected
+        )
+    return (
+        counts.withColumn("expected", expected.cast("double"))
+        .select(
+            "digit",
+            F.col("observed").cast("bigint").alias("observed"),
+            "expected",
+            (
+                F.pow(F.col("observed") - F.col("expected"), F.lit(2))
+                / F.col("expected")
+            )
+            .cast("double")
+            .alias("cell_chisq"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    quantize: float = 100.0,
+) -> DataFrame:
+    """CUSUM changepoint signal over an ordered series (one row per
+    ``order_col`` value): ``cusum_t = sum_{s<=t} (x_s - mean(x))``. A
+    mean-shift at time T makes |cusum| peak at T (the classic
+    distribution-drift localizer, the sequential complement of the
+    two-sample KS test above). Returns
+    ``(order_col, value_col, cusum, is_peak)`` with ``is_peak`` marking
+    every row attaining the max |cusum| (bitwise float ties all mark).
+
+    Determinism: the global mean is the decimal-exact sum over the
+    exact count (one number, no accumulation-order dependence). A float
+    running sum would NOT be cross-engine bitwise — windowed SUM
+    accumulation order is an engine choice (DuckDB's segment trees sum
+    pairwise, Spark accumulates sequentially) — so per-row deviations
+    are quantized to integers (``floor((x - mean) * quantize)``, exact
+    in IEEE) and cumulated as BIGINT: exact, associative,
+    order-independent — the same trick as operators/graph.py::pagerank.
+    Quantization bounds the signal error at ``rows/quantize`` absolute
+    (24 cents over 2400 daily rows at the default), far below any real
+    mean shift. The series is one row per order key (PRE-AGGREGATED
+    input — pass daily totals, not raw events); a series that outgrows
+    one task should be swept with the range-partitioned prefix idiom of
+    operators/windows.py."""
+    from pyspark.sql import Window
+
+    dec = "decimal(30,2)"
+    stats = df.agg(
+        (F.sum(F.col(value_col).cast(dec)).cast("double") / F.count(value_col))
+        .cast("double")
+        .alias("__mean")
+    )
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qdev = F.floor(
+        (F.col(value_col).cast("double") - F.col("__mean")) * F.lit(quantize)
+    ).cast("long")
+    cum = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("cusum", (F.sum(qdev).over(w) / F.lit(quantize)).cast("double"))
+        .drop("__mean")
+    )
+    # peak = max |cusum| over the whole (pre-aggregated, small) series;
+    # the window is partition-free over the series frame, same tier as
+    # the marginal windows in segment_priority_chisq (post-agg trivia)
+    wp = Window.partitionBy()
+    peak_abs = F.max(F.abs(F.col("cusum"))).over(wp)
+    return cum.withColumn("is_peak", F.abs(F.col("cusum")) == peak_abs)

@@ -465,3 +465,52 @@ def test_session_paths_order_is_deterministic_under_ties(spark):
         df.repartition(4), ["user_id"], "ts", "et", 30.0, tiebreak=["event_id"]
     ).collect()
     assert [(r.path, r.n_sessions) for r in out] == [("a>b", 1)]
+
+
+def test_pareto_frontier_2d_hand_case(spark):
+    from f1_data_engineering_machine_learning_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    rows = [
+        (1, 10.0, 5),   # frontier (cheapest)
+        (2, 20.0, 5),   # dominated by 1 (same size, pricier)
+        (3, 20.0, 8),   # frontier
+        (4, 30.0, 8),   # dominated by 3
+        (5, 30.0, 9),   # frontier
+        (6, 10.0, 5),   # equal twin of 1 -> both survive
+        (7, 25.0, 7),   # dominated by 3 (cheaper AND bigger)
+        (8, None, 9),   # null criterion -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(
+        r.id for r in pareto_frontier_2d(df, "price", "size").collect()
+    )
+    assert got == [1, 3, 5, 6]
+
+
+def test_pareto_frontier_2d_fuzz_vs_bruteforce(spark):
+    import random
+
+    from f1_data_engineering_machine_learning_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (i, float(rng.randint(1, 15)), rng.randint(1, 15)) for i in range(300)
+    ]
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    want = sorted(
+        a[0] for a in rows if not any(dominated(a, b) for b in rows)
+    )
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(r.id for r in pareto_frontier_2d(df, "price", "size").collect())
+    assert got == want

@@ -335,3 +335,43 @@ def test_file_row_profile_matches_duckdb_filename_scan(spark):
         ).fetchall()
     }
     assert got == want and sum(n for _, n in got) == df.count()
+
+
+def test_benford_digit_test_counts_and_expectation(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        BENFORD_P,
+        benford_digit_test,
+    )
+
+    # 100 values with first digit 1, 50 with first digit 2; zeros/nulls
+    # and negatives are excluded from the population
+    rows = (
+        [(123.45,)] * 100 + [(2999.99,)] * 50 + [(0.0,)] + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.digit: r for r in benford_digit_test(df, "v").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].observed == 100 and got[2].observed == 50
+    assert got[1].expected == 150 * BENFORD_P[1]
+    # chi-square cell term is (o-e)^2/e exactly
+    e = got[2].expected
+    assert got[2].cell_chisq == (50 - e) ** 2 / e
+
+
+def test_cusum_changepoint_peaks_at_planted_shift(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        cusum_changepoint,
+    )
+
+    # level 10 for days 0-49, level 20 for days 50-99: |cusum| peaks at
+    # the last pre-shift day (day 49)
+    rows = [(f"d{d:03d}", 10.0 if d < 50 else 20.0) for d in range(100)]
+    df = spark.createDataFrame(rows, "day string, v double")
+    out = {r.day: r for r in cusum_changepoint(df, "day", "v").collect()}
+    assert len(out) == 100
+    peaks = [d for d, r in out.items() if r.is_peak]
+    assert peaks == ["d049"]
+    # mean is 15; cusum at day 49 is 50 * (10 - 15) = -250
+    assert out["d049"].cusum == -250.0
+    # the series returns to ~0 at the end (quantization keeps it exact here)
+    assert out["d099"].cusum == 0.0
