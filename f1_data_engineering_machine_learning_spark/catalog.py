@@ -8880,3 +8880,124 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
         F.col("p_size").cast("int").alias("p_size"),
     )
+
+
+@query(
+    "doc_top_terms_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dlen AS (
+      SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1
+    ), dfr AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, dfr.df,
+             CAST(CAST(tf.tf * nd.n AS DOUBLE)
+                  / CAST(dlen.len * dfr.df AS DOUBLE) AS DOUBLE) AS score
+      FROM tf JOIN dlen USING (doc_id) JOIN dfr USING (t) CROSS JOIN nd
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, t) AS rank
+      FROM scored
+    )
+    SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by transcendental-free
+    TF-IDF (dataops/text.py::top_terms_tfidf): score = tf*N/(len*df),
+    one double division of exact BIGINT products — the raw-idf scoring
+    variant chosen so the whole ranking is cross-engine bitwise (ln()
+    would hash-drift on libm ulps). Sparse-retrieval / keyword-
+    extraction primitive joining the text-analysis family; the ranking
+    window is per-document (never global)."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        top_terms_tfidf,
+    )
+
+    return top_terms_tfidf(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@query(
+    "doc_pii_scan",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example or +1 555 123 4567 at 10.0.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IPV4>', 'g'),
+             '\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS BIGINT)
+             AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+             '\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')
+             AS redacted
+    FROM planted
+    """,
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII detection + redaction (dataops/governance.py::pii_scan)
+    over the documents corpus with DETERMINISTICALLY PLANTED identifiers
+    (every 7th doc gains an email + phone + ipv4 derived from its id —
+    the synthetic corpus carries none, and a scan that never fires is an
+    untested scan). Counts and the fully redacted text are value-oracled:
+    the patterns are an RE2-compatible subset, so Java regex and DuckDB
+    RE2 agree byte-for-byte. Map-only codegen expressions — the scrub
+    stage streams at scan speed over 100 TB.
+
+    Count semantics: each type's count is measured on the text with all
+    earlier types already redacted (email -> ipv4 -> phone) — the
+    sequential-redaction contract, so a span never counts twice under
+    two types; oracle replays the same chaining."""
+    from f1_data_engineering_machine_learning_spark.dataops.governance import (
+        pii_scan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example or +1 555 123 4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scan(planted, "doc_id", "text")

@@ -132,3 +132,49 @@ def forget_in_table(
     os.rename(tmp, root)
     shutil.rmtree(old)
     return audit
+
+
+#: typed PII detectors — deliberately RE2-compatible subset (no
+#: backreferences, no lookaround) so Java regex (Spark), RE2 (DuckDB),
+#: and any other engine agree token-for-token on the same text
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_scan(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Typed PII detection + redaction over a text column — the scrub
+    stage every published training corpus runs before release (pairs
+    with the RTBF purge above: forgetting removes known subjects,
+    scanning catches embedded identifiers nobody registered).
+
+    Returns ``(id_col, n_email, n_ipv4, n_phone, redacted)``. Redaction
+    applies the ``<TYPE>`` tags in PII_PATTERNS order, and each type's
+    COUNT is measured on the text with all EARLIER types already
+    redacted — email first, so an address's dotted domain is consumed
+    before the ipv4 pattern can see its digits, and a span never counts
+    twice under two types.
+
+    Scale shape: pure regexp expressions — map-only, whole-stage
+    codegen, zero Python in the row path, streams at scan speed. The
+    patterns are an RE2-compatible subset so a second engine replays
+    counts and redacted text byte-for-byte (value-oracled in the
+    catalog with deterministically planted PII)."""
+    from pyspark.sql import functions as F
+
+    counts = []
+    red = F.col(text_col)
+    for name, p in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(p), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, p, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

@@ -413,3 +413,64 @@ def ngram_novelty(
             .alias("novelty"),
         )
     )
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by a transcendental-free
+    TF-IDF: ``score = (tf * n_docs) / (doc_len * df)`` — term frequency
+    normalized by document length, inverse document frequency as the
+    plain ratio instead of its log. The log is monotone in ``df`` but
+    NOT in the product, so this is a deliberate scoring variant (the
+    sparse-retrieval literature's "raw idf"), chosen because the score
+    stays ONE double division of two exact BIGINT products — bitwise
+    reproducible in any engine (the repo-wide oracle discipline; ln()
+    would hash-drift on libm ulps).
+
+    Output: ``(id_col, term, tf, df, score, rank)`` with rank 1..k per
+    document by (score desc, term asc) — fully deterministic.
+
+    Plan: one explode to (doc, term) with per-doc positions counted map-
+    side; term document frequency from the DISTINCT (doc, term) pairs
+    (one token-keyed shuffle, Zipf skew handled by AQE exactly as in
+    token_familiarity); a 1-row doc-count broadcast; top-k per doc is a
+    partitioned window (never global)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__t"),
+    ).filter(F.col("__t") != "")
+    tf = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__len"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(doclen, "__id")
+        .join(dfreq, "__t")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            (
+                (F.col("tf") * F.col("__n")).cast("double")
+                / (F.col("__len") * F.col("df")).cast("double")
+            ).cast("double"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.col("__t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__t").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -942,3 +942,47 @@ def test_ivf_index_upsert_matches_full_rebuild_partitioning(spark, tmp_path):
     res = ivf_probe_indexed(q, idx, k=8, n_probe=4)
     ids = {r.neighbor_id for r in res.collect()}
     assert any(i >= 400 for i in ids) and any(i < 400 for i in ids)
+
+
+def test_top_terms_tfidf_exact_rational(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        top_terms_tfidf,
+    )
+
+    # corpus: "common" is in both docs (df=2), others are unique (df=1)
+    docs = spark.createDataFrame(
+        [(1, "common alpha alpha"), (2, "common beta")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.rank): r
+        for r in top_terms_tfidf(docs, k=2).collect()
+    }
+    # doc 1: alpha tf=2 len=3 df=1 -> 2*2/(3*1)=4/3; common 1*2/(3*2)=1/3
+    assert got[(1, 1)].term == "alpha" and got[(1, 1)].score == 4 / 3
+    assert got[(1, 2)].term == "common" and got[(1, 2)].score == 2 / 6
+    # doc 2: beta 1*2/(2*1)=1.0 beats common 1*2/(2*2)=0.5
+    assert got[(2, 1)].term == "beta" and got[(2, 1)].score == 1.0
+    assert got[(2, 2)].term == "common" and got[(2, 2)].score == 0.5
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.governance import (
+        pii_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, host 10.0.0.1, call +1 555 123 4567"),
+            (2, "clean text"),
+            (3, "version 1.2.3.4 of x"),  # ipv4-shaped -> counted as ipv4
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 1, 1)
+    assert got[1].redacted == (
+        "mail <EMAIL> and <EMAIL>, host <IPV4>, call <PHONE>"
+    )
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].redacted == "clean text"
+    assert got[3].n_ipv4 == 1
