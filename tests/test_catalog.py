@@ -76,17 +76,26 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order; every flagship in _GATE_PRIORITY must be inside that
-    window, registered, and oracle-paired (value-checked, not rows-only
-    — curated_docs_survivors et al. carry full oracles)."""
+    iteration order. Round 4 rotates the gate to the 73 entries with no
+    prior driver row: every _GATE_PRIORITY entry must be registered and
+    lead the iteration order (gated 50 first, the rest queued next for
+    round 5), and the gated 50 must all be value-oracle-paired (the one
+    rows-only entry, embedding_lsh_topk, sits past the cutoff)."""
+    import json
+
     from f1_data_engineering_machine_learning_spark import catalog
 
     names = list(catalog.queries())
     oracles = catalog.oracle_sql()
-    for n in catalog._GATE_PRIORITY:
+    for i, n in enumerate(catalog._GATE_PRIORITY):
         assert n in catalog._QUERIES, f"{n} not registered"
-        assert names.index(n) < 50, f"{n} outside the 50-slot gate"
-        assert n in oracles, f"{n} has no oracle"
+        assert names.index(n) == i, f"{n} not at iteration position {i}"
+    gated = set()
+    for r in (1, 2, 3):
+        gated |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
+    for n in names[:50]:
+        assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
+        assert n not in gated, f"{n} already driver-gated in rounds 1-3"
 
 
 def test_variant_nested_typed_extraction(spark):
