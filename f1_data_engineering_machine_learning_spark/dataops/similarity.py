@@ -400,6 +400,28 @@ def rp_lsh_topk(
     )
 
 
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL text twin of :func:`dot_fixed` over ALREADY-double arrays —
+    the same left-to-right chain (leading 0.0 seed included), so values
+    are bitwise-equal, but the whole expression is ONE parse instead of
+    ~4 py4j round-trips per term (measured: the Column form costs
+    ~seconds of pure driver time when a query builds several unrolled
+    64-dim expressions)."""
+    acc = f"(0.0D + (element_at({a}, 1) * element_at({b}, 1)))"
+    for i in range(2, dim + 1):
+        acc = f"({acc} + (element_at({a}, {i}) * element_at({b}, {i})))"
+    return acc
+
+
+def _l2_fixed_sql(a: str, dim: int) -> str:
+    """SQL text twin of :func:`l2_norm_fixed` over an already-double
+    array — same accumulation chain, one parse."""
+    acc = f"(element_at({a}, 1) * element_at({a}, 1))"
+    for i in range(2, dim + 1):
+        acc = f"({acc} + (element_at({a}, {i}) * element_at({a}, {i})))"
+    return f"sqrt({acc})"
+
+
 def _f64_lit(x: float) -> str:
     """A SQL double literal that round-trips ``x`` exactly: repr is the
     shortest exact decimal and Spark's ``D``-suffix literal re-reads the
@@ -968,17 +990,19 @@ def semantic_dedup_deterministic(
         )
         cents_row = _centroid_frame(corpus, id_col, vec_col, n_centroids)
 
+    # fixed-dim norms as SQL text (one parse) instead of unrolled Column
+    # chains (~200 py4j calls each x 6 uses — was the dominant
+    # DataFrame-construction cost); __v is already array<double>, so the
+    # Column form's per-element no-op casts are droppable bitwise
+    norm_sql = _l2_fixed_sql("__v", dim) if dim is not None else None
+
     def _assigned(tag: str) -> DataFrame:
         out = corpus.select(
             F.col(id_col).alias("__id"),
             _as_double(F.col(vec_col)).alias("__v"),
         )
         if assign == "join":
-            nv = (
-                l2_norm_fixed(F.col("__v"), dim)
-                if dim is not None
-                else l2_norm(F.col("__v"))
-            )
+            nv = F.expr(norm_sql) if dim is not None else l2_norm(F.col("__v"))
             out = (
                 out.withColumn("__nv", nv)
                 .join(F.broadcast(cents_row))
@@ -988,21 +1012,33 @@ def semantic_dedup_deterministic(
         else:
             out = out.withColumn("__c", argmax_col)
         if dim is not None:
-            out = out.withColumn("__n", l2_norm_fixed(F.col("__v"), dim))
+            out = out.withColumn("__n", F.expr(norm_sql))
         if tag:
             out = out.select(*[F.col(c).alias(f"{c}{tag}") for c in out.columns])
         return out
 
     a, b, full = _assigned("a"), _assigned("b"), _assigned("")
-    sizes = full.groupBy("__c").agg(F.count(F.lit(1)).alias("__csz"))
-    ok = sizes.filter(F.col("__csz") <= max_cluster).select("__c")
-    a = a.join(F.broadcast(ok.select(F.col("__c").alias("__ca"))), "__ca")
-    b = b.join(F.broadcast(ok.select(F.col("__c").alias("__cb"))), "__cb")
+    # max_cluster guard as a count-window on the pair scan's OWN join
+    # key: the window's cluster-keyed exchange is the very exchange the
+    # a-b join needs, so the guard costs zero extra shuffles (vs the
+    # previous sizes-agg + two broadcast joins over a third assignment
+    # lineage). Filtering the a side alone suffices — the join is inner
+    # on cluster, so a removed cluster produces no pairs regardless of
+    # the b side. Semantics unchanged: __csz counts the FULL corpus
+    # rows of the cluster (a IS the full corpus, assigned).
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("__ca")
+    a = (
+        a.withColumn("__csz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__csz") <= max_cluster)
+        .drop("__csz")
+    )
     if dim is not None:
-        sim = (
-            dot_fixed(F.col("__va"), F.col("__vb"), dim)
-            / (F.col("__na") * F.col("__nb"))
-        ).cast("double")
+        sim = F.expr(
+            f"CAST({_dot_fixed_sql('__va', '__vb', dim)}"
+            f" / (__na * __nb) AS DOUBLE)"
+        )
     else:
         sim = cosine(F.col("__va"), F.col("__vb"))
     # threshold inside the join condition AFTER id<id (same short-circuit
