@@ -107,20 +107,25 @@ def cosine_topk(
     unrolls into a codegen-friendly expression chain (:func:`dot_fixed`) —
     bitwise-identical results, ~an order of magnitude less work on the
     O(Q x N) scan."""
+    # vectors pre-cast to array<double> once per side so the fixed-dim
+    # path's SQL-text expressions (one parse each — the unrolled Column
+    # chains cost hundreds of py4j calls per use) need no per-element
+    # casts; float->double is exact, values unchanged
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
     )
     c = ensure_min_parallelism(c)
     if dim is not None:
-        q = q.withColumn("__qn", l2_norm_fixed(_as_double(F.col("__qvec")), dim))
-        c = c.withColumn("__cn", l2_norm_fixed(_as_double(F.col("__cvec")), dim))
-        sim = (
-            dot_fixed(F.col("__qvec"), F.col("__cvec"), dim)
-            / (F.col("__qn") * F.col("__cn"))
-        ).cast("double")
+        q = q.withColumn("__qn", F.expr(_l2_fixed_sql("__qvec", dim)))
+        c = c.withColumn("__cn", F.expr(_l2_fixed_sql("__cvec", dim)))
+        sim = F.expr(
+            f"CAST({_dot_fixed_sql('__qvec', '__cvec', dim)}"
+            f" / (__qn * __cn) AS DOUBLE)"
+        )
     else:
         sim = cosine(F.col("__qvec"), F.col("__cvec"))
     scored = (
@@ -798,16 +803,16 @@ def embedding_cosine_dup_pairs(
     scale). With ``dim`` known, norms are precomputed per side and the dot
     product unrolls (:func:`dot_fixed`) — bitwise-identical, much faster."""
     a = ensure_min_parallelism(
-        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("__va"))
+        df.select(F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("__va"))
     )
-    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"))
+    b = df.select(F.col(id_col).alias("j"), _as_double(F.col(vec_col)).alias("__vb"))
     if dim is not None:
-        a = a.withColumn("__na", l2_norm_fixed(_as_double(F.col("__va")), dim))
-        b = b.withColumn("__nb", l2_norm_fixed(_as_double(F.col("__vb")), dim))
-        sim = (
-            dot_fixed(F.col("__va"), F.col("__vb"), dim)
-            / (F.col("__na") * F.col("__nb"))
-        ).cast("double")
+        a = a.withColumn("__na", F.expr(_l2_fixed_sql("__va", dim)))
+        b = b.withColumn("__nb", F.expr(_l2_fixed_sql("__vb", dim)))
+        sim = F.expr(
+            f"CAST({_dot_fixed_sql('__va', '__vb', dim)}"
+            f" / (__na * __nb) AS DOUBLE)"
+        )
     else:
         sim = cosine(F.col("__va"), F.col("__vb"))
     # the threshold goes INTO the join condition, AFTER i<j: And
@@ -868,19 +873,20 @@ def embedding_cosine_dup_pairs_blocked(
     # per candidate pair); the pair-level dot is the unrolled codegen
     # form — bitwise identical to the sequential fold, ~5-10x faster
     withnorm = base.select(
-        "__id", "__v", l2_norm_fixed(_as_double(F.col("__v")), dim).alias("__n")
-    )
+        "__id",
+        _as_double(F.col("__v")).alias("__vd"),
+    ).select("__id", "__vd", F.expr(_l2_fixed_sql("__vd", dim)).alias("__n"))
     pairs = cand.join(
-        withnorm.select(F.col("__id").alias("i"), F.col("__v").alias("__va"),
+        withnorm.select(F.col("__id").alias("i"), F.col("__vd").alias("__va"),
                         F.col("__n").alias("__na")), "i"
     ).join(
-        withnorm.select(F.col("__id").alias("j"), F.col("__v").alias("__vb"),
+        withnorm.select(F.col("__id").alias("j"), F.col("__vd").alias("__vb"),
                         F.col("__n").alias("__nb")), "j"
     )
-    sim = (
-        dot_fixed(F.col("__va"), F.col("__vb"), dim)
-        / (F.col("__na") * F.col("__nb"))
-    ).cast("double")
+    sim = F.expr(
+        f"CAST({_dot_fixed_sql('__va', '__vb', dim)}"
+        f" / (__na * __nb) AS DOUBLE)"
+    )
     return (
         pairs.withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
@@ -1188,23 +1194,20 @@ def embedding_incremental_dup_pairs(
         .dropDuplicates(["i", "j"])
     )
     withnorm_b = batch.select(
-        F.col(id_col).alias("i"), F.col(vec_col).alias("__va"),
-        l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__na"),
-    )
-    allv = corpus.select(
-        F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"),
-        l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__nb"),
-    ).unionByName(
-        batch.select(
-            F.col(id_col).alias("j"), F.col(vec_col).alias("__vb"),
-            l2_norm_fixed(_as_double(F.col(vec_col)), dim).alias("__nb"),
-        )
-    )
+        F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("__va")
+    ).withColumn("__na", F.expr(_l2_fixed_sql("__va", dim)))
+
+    def _corpus_side(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("j"), _as_double(F.col(vec_col)).alias("__vb")
+        ).withColumn("__nb", F.expr(_l2_fixed_sql("__vb", dim)))
+
+    allv = _corpus_side(corpus).unionByName(_corpus_side(batch))
     pairs = cand.join(withnorm_b, "i").join(allv, "j")
-    sim = (
-        dot_fixed(F.col("__va"), F.col("__vb"), dim)
-        / (F.col("__na") * F.col("__nb"))
-    ).cast("double")
+    sim = F.expr(
+        f"CAST({_dot_fixed_sql('__va', '__vb', dim)}"
+        f" / (__na * __nb) AS DOUBLE)"
+    )
     return (
         pairs.withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
