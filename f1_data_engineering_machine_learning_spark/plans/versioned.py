@@ -1,0 +1,252 @@
+"""Versioned parquet tables: snapshot isolation, time travel, rollback,
+and VACUUM on a plain filesystem — no table-format package required.
+
+The reference's storage layer is Delta (overwrite+vacuum at
+/root/reference/scripts/spark_ops.py:87-96, replaceWhere at :169-175),
+and this container cannot install delta-spark (documented in
+COVERAGE.md), so the Delta-gated branches in io.py have never EXECUTED
+here. This module implements the same transactional semantics directly
+over parquet + JSON manifests, so snapshot reads, time travel, atomic
+overwrite, rollback, and vacuum all run and are tested in this repo —
+and the protocol is the real thing, not a mock: it is the same
+manifest-log design Delta/Iceberg use, scaled down.
+
+Layout::
+
+    <path>/data/part-<uuid>.parquet      immutable data files
+    <path>/_manifests/v00000042.json     one manifest per version
+
+A manifest lists the data files visible in that version (plus mode,
+parent, row count). Readers resolve a version by listing manifests —
+the table state is the MANIFEST, never the directory: half-written
+data files are invisible until a manifest references them, so readers
+get snapshot isolation for free and writers never block readers.
+
+Commit protocol (optimistic concurrency, Delta-style):
+
+1. write new data files under ``data/`` (uuid names — never clobber);
+2. compute the next version number;
+3. atomically CREATE ``v<N>.json`` with ``open(..., 'x')`` — the POSIX
+   exclusive-create is the compare-and-swap: if another writer took N
+   first, creation fails and the commit RETRIES against the new state
+   (re-reading the parent manifest, so appends compose correctly).
+
+``rollback`` commits a NEW version whose file list is the old
+version's — history is append-only, a rollback is itself time-travel-
+able. ``vacuum`` deletes data files unreachable from the retained
+manifests (and drops the pruned manifests), the same contract as
+``VACUUM <table> RETAIN``: time travel works within the retention
+window and not past it.
+
+At 100 TB: manifests carry file NAMES (O(files), not O(rows)); commits
+move metadata only (an overwrite of a petabyte table writes the new
+files + one JSON). This is exactly why table formats win over
+directory-swap at scale — and why `mode("overwrite")` on bare parquet
+(delete-then-write, readers see torn state) is not the production
+path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+@dataclass
+class VersionInfo:
+    version: int
+    mode: str
+    n_files: int
+    n_rows: int
+    parent: int | None
+    ts: float
+
+
+class VersionedTable:
+    """A versioned parquet table rooted at ``path`` (local/shared fs;
+    on object stores the exclusive-create CAS maps to the store's
+    conditional-put)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._mdir = os.path.join(path, _MANIFEST_DIR)
+        self._ddir = os.path.join(path, _DATA_DIR)
+
+    # -- protocol internals -------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._mdir):
+            return []
+        out = []
+        for f in os.listdir(self._mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._mdir, f"v{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _write_data_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write df as immutable uuid-named files; returns (names, rows).
+
+        Files land in a private staging dir first and are hard-renamed
+        into ``data/`` — Spark owns its own output layout, the protocol
+        owns the names."""
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        os.makedirs(self._ddir, exist_ok=True)
+        names = []
+        n_rows = 0
+        for f in sorted(os.listdir(stage)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(stage, f), os.path.join(self._ddir, name))
+            names.append(name)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        n_rows = (
+            self.spark.read.parquet(
+                *[os.path.join(self._ddir, n) for n in names]
+            ).count()
+            if names
+            else 0
+        )
+        return names, n_rows
+
+    # -- public API ---------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Commit ``df`` as a new version. ``overwrite`` replaces the
+        visible file set; ``append`` adds to the parent's. Returns the
+        committed version number. Safe under concurrent committers: the
+        exclusive manifest create is the CAS, and a loser retries
+        against the winner's state (appends compose; overwrites
+        last-writer-win, both the Delta semantics)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError("mode must be 'overwrite' or 'append'")
+        names, n_rows = self._write_data_files(df)
+        os.makedirs(self._mdir, exist_ok=True)
+        while True:
+            versions = self._versions()
+            parent = versions[-1] if versions else None
+            files = list(names)
+            total = n_rows
+            if mode == "append" and parent is not None:
+                pm = self._manifest(parent)
+                files = pm["files"] + files
+                total = pm["n_rows"] + n_rows
+            v = (parent + 1) if parent is not None else 0
+            manifest = {
+                "version": v,
+                "mode": mode,
+                "files": files,
+                "n_rows": total,
+                "parent": parent,
+                "ts": time.time(),
+            }
+            try:
+                with open(
+                    os.path.join(self._mdir, f"v{v:08d}.json"), "x"
+                ) as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                continue  # lost the CAS — recompute against the new tip
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read of ``version`` (default: latest). Reads ONLY
+        the manifest's file list — uncommitted files are invisible."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not found (have {versions[0]}..{versions[-1]}; "
+                "it may have been vacuumed)"
+            )
+        m = self._manifest(v)
+        if not m["files"]:
+            return self.spark.createDataFrame([], "dummy string").limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self._ddir, f) for f in m["files"]]
+        )
+
+    def history(self) -> list[VersionInfo]:
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            out.append(
+                VersionInfo(
+                    version=m["version"],
+                    mode=m["mode"],
+                    n_files=len(m["files"]),
+                    n_rows=m["n_rows"],
+                    parent=m["parent"],
+                    ts=m["ts"],
+                )
+            )
+        return out
+
+    def rollback(self, to_version: int) -> int:
+        """Commit a new version replaying ``to_version``'s file list —
+        metadata-only (no data copied, no history rewritten)."""
+        m = self._manifest(to_version)
+        os.makedirs(self._mdir, exist_ok=True)
+        while True:
+            versions = self._versions()
+            parent = versions[-1]
+            v = parent + 1
+            manifest = {
+                "version": v,
+                "mode": f"rollback:{to_version}",
+                "files": m["files"],
+                "n_rows": m["n_rows"],
+                "parent": parent,
+                "ts": time.time(),
+            }
+            try:
+                with open(
+                    os.path.join(self._mdir, f"v{v:08d}.json"), "x"
+                ) as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                continue
+
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Drop all but the last ``retain_last`` versions and delete
+        data files no retained manifest references. Time travel keeps
+        working within the retention window, errors cleanly past it —
+        the VACUUM RETAIN contract. Returns counts."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = self._versions()
+        keep = set(versions[-retain_last:])
+        live: set[str] = set()
+        for v in keep:
+            live |= set(self._manifest(v)["files"])
+        n_files = 0
+        if os.path.isdir(self._ddir):
+            for f in os.listdir(self._ddir):
+                if f.endswith(".parquet") and f not in live:
+                    os.remove(os.path.join(self._ddir, f))
+                    n_files += 1
+        n_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self._mdir, f"v{v:08d}.json"))
+                n_manifests += 1
+        return {"removed_files": n_files, "removed_versions": n_manifests}

@@ -1,0 +1,147 @@
+"""Versioned parquet table: snapshot isolation, time travel, rollback,
+VACUUM — the Delta-shaped storage semantics, executing on plain parquet
+(plans/versioned.py; the delta-spark package is install-blocked here,
+see COVERAGE.md)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_machine_learning_spark.plans.versioned import VersionedTable
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_overwrite_append_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v0 = t.commit(spark.range(5), mode="overwrite")
+    v1 = t.commit(spark.range(10, 13), mode="append")
+    v2 = t.commit(spark.range(100, 102), mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    # latest = the overwrite
+    assert _ids(t.read()) == [100, 101]
+    # time travel to every prior snapshot
+    assert _ids(t.read(0)) == [0, 1, 2, 3, 4]
+    assert _ids(t.read(1)) == [0, 1, 2, 3, 4, 10, 11, 12]
+    hist = t.history()
+    assert [h.version for h in hist] == [0, 1, 2]
+    assert hist[1].mode == "append" and hist[1].n_rows == 8
+    assert hist[1].parent == 0
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    """Snapshot isolation: a data file without a manifest reference
+    does not exist for readers — the torn-state failure of bare
+    parquet overwrite cannot happen."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3))
+    # simulate a crashed writer: orphan data file, no manifest
+    spark.range(1000, 1010).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orphan")
+    )
+    for f in os.listdir(tmp_path / "orphan"):
+        if f.endswith(".parquet"):
+            os.rename(
+                tmp_path / "orphan" / f,
+                tmp_path / "tbl" / "data" / "part-orphan.parquet",
+            )
+    assert _ids(t.read()) == [0, 1, 2]  # orphan invisible
+
+
+def test_rollback_is_metadata_only_and_travelable(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(4))
+    t.commit(spark.range(50, 52), mode="overwrite")
+    n_files_before = len(os.listdir(tmp_path / "tbl" / "data"))
+    v = t.rollback(0)
+    assert v == 2
+    assert _ids(t.read()) == [0, 1, 2, 3]  # back to v0's content
+    assert _ids(t.read(1)) == [50, 51]  # history intact
+    # no data was copied
+    assert len(os.listdir(tmp_path / "tbl" / "data")) == n_files_before
+
+
+def test_vacuum_retains_window_and_deletes_unreachable(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3))
+    t.commit(spark.range(10, 14), mode="overwrite")
+    t.commit(spark.range(20, 22), mode="overwrite")
+    stats = t.vacuum(retain_last=2)
+    assert stats["removed_versions"] == 1
+    assert stats["removed_files"] >= 1  # v0's files are unreachable
+    # retained window still reads
+    assert _ids(t.read()) == [20, 21]
+    assert _ids(t.read(1)) == [10, 11, 12, 13]
+    # past the window errors cleanly
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read(0)
+    # every remaining data file is referenced (no leaks)
+    live = set()
+    for v in (1, 2):
+        live |= set(t._manifest(v)["files"])
+    on_disk = {
+        f
+        for f in os.listdir(tmp_path / "tbl" / "data")
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_concurrent_commit_cas_composes_appends(spark, tmp_path):
+    """Two writers racing for the same version number: the loser's
+    exclusive-create fails and it retries against the winner's state,
+    so both appends land and compose."""
+    t1 = VersionedTable(spark, str(tmp_path / "tbl"))
+    t2 = VersionedTable(spark, str(tmp_path / "tbl"))
+    t1.commit(spark.range(2))
+
+    # interleave: both writers compute their data files first, then
+    # race the manifest create. Emulate by pre-writing t2's files via
+    # the internal API, committing t1, then finishing t2's commit —
+    # t2's loop recomputes parent and lands on the next version.
+    names2, rows2 = t2._write_data_files(spark.range(10, 12))
+    t1.commit(spark.range(5, 7), mode="append")
+
+    import json, time as _time
+
+    # replay commit()'s loop body with the pre-written files
+    while True:
+        versions = t2._versions()
+        parent = versions[-1]
+        pm = t2._manifest(parent)
+        manifest = {
+            "version": parent + 1,
+            "mode": "append",
+            "files": pm["files"] + names2,
+            "n_rows": pm["n_rows"] + rows2,
+            "parent": parent,
+            "ts": _time.time(),
+        }
+        try:
+            with open(
+                os.path.join(t2._mdir, f"v{parent + 1:08d}.json"), "x"
+            ) as fh:
+                json.dump(manifest, fh)
+            break
+        except FileExistsError:
+            continue
+
+    assert _ids(t1.read()) == [0, 1, 5, 6, 10, 11]
+
+
+def test_filters_push_into_snapshot_scan(spark, tmp_path):
+    """The snapshot read is a plain parquet scan of the manifest's
+    files — predicate pushdown and column pruning still apply."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(100).select("id", (F.col("id") * 2).alias("v")))
+    df = t.read().filter(F.col("id") > 90).select("v")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+    assert "struct<v:bigint>" in plan.replace(" ", "") or "ReadSchema" in plan
+    assert sorted(r.v for r in df.collect()) == [182, 184, 186, 188, 190, 192, 194, 196, 198]
