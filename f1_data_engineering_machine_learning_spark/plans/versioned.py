@@ -60,6 +60,16 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+def _jsonable(v):
+    """Footer stat values as JSON-storable scalars (bytes -> utf-8 str,
+    dates/timestamps -> isoformat)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -96,63 +106,100 @@ class VersionedTable:
         with open(os.path.join(self._mdir, f"v{version:08d}.json")) as fh:
             return json.load(fh)
 
-    def _write_data_files(self, df: DataFrame) -> tuple[list[str], int]:
-        """Write df as immutable uuid-named files; returns (names, rows).
+    def _write_data_files(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> tuple[list[str], int, dict]:
+        """Write df as immutable uuid-named files; returns
+        ``(names, rows, per_file_stats)``.
 
         Files land in a private staging dir first and are hard-renamed
         into ``data/`` — Spark owns its own output layout, the protocol
-        owns the names."""
+        owns the names. Row counts and per-file min/max column stats
+        come from the PARQUET FOOTERS via pyarrow — zero extra Spark
+        jobs, the same metadata Delta/Iceberg harvest at commit."""
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         os.makedirs(self._ddir, exist_ok=True)
         names = []
         n_rows = 0
+        stats: dict[str, dict] = {}
+        import pyarrow.parquet as pq
+
         for f in sorted(os.listdir(stage)):
             if not f.endswith(".parquet"):
                 continue
             name = f"part-{uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(stage, f), os.path.join(self._ddir, name))
+            src = os.path.join(stage, f)
+            md = pq.ParquetFile(src).metadata
+            n_rows += md.num_rows
+            if stats_cols:
+                col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                fstats: dict[str, dict] = {}
+                for c in stats_cols:
+                    if c not in col_idx:
+                        continue
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(col_idx[c]).statistics
+                        if s is None or not s.has_min_max:
+                            lo = hi = None
+                            break
+                        mn, mx = s.min, s.max
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                    if lo is not None:
+                        fstats[c] = {"min": _jsonable(lo), "max": _jsonable(hi)}
+                if fstats:
+                    stats[name] = fstats
+            os.replace(src, os.path.join(self._ddir, name))
             names.append(name)
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
-        n_rows = (
-            self.spark.read.parquet(
-                *[os.path.join(self._ddir, n) for n in names]
-            ).count()
-            if names
-            else 0
-        )
-        return names, n_rows
+        return names, n_rows, stats
 
     # -- public API ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Commit ``df`` as a new version. ``overwrite`` replaces the
         visible file set; ``append`` adds to the parent's. Returns the
         committed version number. Safe under concurrent committers: the
         exclusive manifest create is the CAS, and a loser retries
         against the winner's state (appends compose; overwrites
-        last-writer-win, both the Delta semantics)."""
+        last-writer-win, both the Delta semantics).
+
+        ``stats_cols``: harvest per-file min/max for these columns from
+        the parquet footers into the manifest — the data-skipping index
+        ``read(prune=...)`` consults. At 100 TB this is the difference
+        between listing-then-opening every file and touching only the
+        files whose range can match."""
         if mode not in ("overwrite", "append"):
             raise ValueError("mode must be 'overwrite' or 'append'")
-        names, n_rows = self._write_data_files(df)
+        names, n_rows, stats = self._write_data_files(df, stats_cols)
         os.makedirs(self._mdir, exist_ok=True)
         while True:
             versions = self._versions()
             parent = versions[-1] if versions else None
             files = list(names)
             total = n_rows
+            all_stats = dict(stats)
             if mode == "append" and parent is not None:
                 pm = self._manifest(parent)
                 files = pm["files"] + files
                 total = pm["n_rows"] + n_rows
+                all_stats = {**pm.get("stats", {}), **all_stats}
             v = (parent + 1) if parent is not None else 0
             manifest = {
                 "version": v,
                 "mode": mode,
                 "files": files,
                 "n_rows": total,
+                "stats": all_stats,
                 "parent": parent,
                 "ts": time.time(),
             }
@@ -165,9 +212,20 @@ class VersionedTable:
             except FileExistsError:
                 continue  # lost the CAS — recompute against the new tip
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read of ``version`` (default: latest). Reads ONLY
-        the manifest's file list — uncommitted files are invisible."""
+        the manifest's file list — uncommitted files are invisible.
+
+        ``prune=(col, lo, hi)``: manifest-level data skipping — only
+        files whose committed [min, max] range for ``col`` intersects
+        [lo, hi] enter the scan (files without stats are conservatively
+        kept). This prunes at FILE LISTING, before parquet footers are
+        even opened; the caller still applies the row-level filter
+        (skipping is a superset guarantee, same as Delta/Iceberg)."""
         versions = self._versions()
         if not versions:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -178,11 +236,41 @@ class VersionedTable:
                 "it may have been vacuumed)"
             )
         m = self._manifest(v)
-        if not m["files"]:
+        files = m["files"]
+        if prune is not None:
+            col, lo, hi = prune
+            stats = m.get("stats", {})
+
+            def _keep(name: str) -> bool:
+                s = stats.get(name, {}).get(col)
+                if s is None:
+                    return True  # no stats -> cannot exclude
+                return not (s["max"] < lo or s["min"] > hi)
+
+            files = [f for f in files if _keep(f)]
+        if not files:
             return self.spark.createDataFrame([], "dummy string").limit(0)
         return self.spark.read.parquet(
-            *[os.path.join(self._ddir, f) for f in m["files"]]
+            *[os.path.join(self._ddir, f) for f in files]
         )
+
+    def pruned_file_count(
+        self, version: int | None, prune: tuple[str, object, object]
+    ) -> tuple[int, int]:
+        """(files selected, files total) for a prune predicate — the
+        observable skipping ratio (test/ops hook)."""
+        versions = self._versions()
+        v = versions[-1] if version is None else version
+        m = self._manifest(v)
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+        kept = [
+            f
+            for f in m["files"]
+            if (s := stats.get(f, {}).get(col)) is None
+            or not (s["max"] < lo or s["min"] > hi)
+        ]
+        return len(kept), len(m["files"])
 
     def history(self) -> list[VersionInfo]:
         out = []
@@ -214,6 +302,7 @@ class VersionedTable:
                 "mode": f"rollback:{to_version}",
                 "files": m["files"],
                 "n_rows": m["n_rows"],
+                "stats": m.get("stats", {}),
                 "parent": parent,
                 "ts": time.time(),
             }

@@ -105,7 +105,7 @@ def test_concurrent_commit_cas_composes_appends(spark, tmp_path):
     # race the manifest create. Emulate by pre-writing t2's files via
     # the internal API, committing t1, then finishing t2's commit —
     # t2's loop recomputes parent and lands on the next version.
-    names2, rows2 = t2._write_data_files(spark.range(10, 12))
+    names2, rows2, _stats2 = t2._write_data_files(spark.range(10, 12))
     t1.commit(spark.range(5, 7), mode="append")
 
     import json, time as _time
@@ -145,3 +145,29 @@ def test_filters_push_into_snapshot_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
     assert "struct<v:bigint>" in plan.replace(" ", "") or "ReadSchema" in plan
     assert sorted(r.v for r in df.collect()) == [182, 184, 186, 188, 190, 192, 194, 196, 198]
+
+
+def test_manifest_stats_file_skipping(spark, tmp_path):
+    """Data skipping from footer-harvested manifest stats: a range
+    predicate over the stats column selects a strict subset of files at
+    LISTING time, and the pruned read returns exactly the filtered
+    rows (skipping is a superset guarantee — the row filter still
+    applies)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # range-partitioned write -> disjoint id ranges per file
+    df = spark.range(10_000).repartitionByRange(8, "id")
+    t.commit(df, stats_cols=["id"])
+
+    kept, total = t.pruned_file_count(None, ("id", 9000, 9100))
+    assert total == 8 and kept < total  # real skipping happened
+
+    pruned = t.read(prune=("id", 9000, 9100)).filter(
+        (F.col("id") >= 9000) & (F.col("id") <= 9100)
+    )
+    assert _ids(pruned) == list(range(9000, 9101))
+    # append merges stats; pruning still covers both eras
+    t.commit(spark.range(50_000, 50_010), mode="append", stats_cols=["id"])
+    got = t.read(prune=("id", 49_999, 60_000)).filter(F.col("id") >= 49_999)
+    assert _ids(got) == list(range(50_000, 50_010))
+    kept2, total2 = t.pruned_file_count(None, ("id", 50_000, 60_000))
+    assert kept2 < total2
