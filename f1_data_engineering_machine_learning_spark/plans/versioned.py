@@ -272,6 +272,97 @@ class VersionedTable:
         ]
         return len(kept), len(m["files"])
 
+    def replace_where(
+        self,
+        df: DataFrame,
+        col: str,
+        lo,
+        hi,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere`` semantic: atomically delete every
+        row with ``col`` in [lo, hi] and insert ``df`` (whose rows must
+        all satisfy the predicate — enforced) — the idempotent
+        partition-slice reload pattern (S9). File-level resolution
+        against the manifest stats:
+
+        - files whose committed range is DISJOINT from [lo, hi] carry
+          over untouched (metadata only — the 100 TB case: a daily
+          reload rewrites one day's files, not the table);
+        - files fully INSIDE the range are dropped;
+        - straddling files (or files without stats) are REWRITTEN
+          minus their in-range rows.
+
+        The commit retries through the same CAS loop; a lost race
+        recomputes the file partition against the new tip."""
+        from pyspark.sql import functions as F
+
+        bad = df.filter(
+            (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"replace_where: {bad} rows fall outside [{lo}, {hi}]"
+            )
+        s_cols = stats_cols if stats_cols is not None else [col]
+        new_names, new_rows, new_stats = self._write_data_files(df, s_cols)
+        os.makedirs(self._mdir, exist_ok=True)
+        while True:
+            versions = self._versions()
+            if not versions:
+                raise FileNotFoundError("replace_where needs a committed table")
+            parent = versions[-1]
+            pm = self._manifest(parent)
+            stats = pm.get("stats", {})
+            keep, rewrite = [], []
+            for f in pm["files"]:
+                s = stats.get(f, {}).get(col)
+                if s is None:
+                    rewrite.append(f)  # unknown range -> must inspect
+                elif s["max"] < lo or s["min"] > hi:
+                    keep.append(f)  # disjoint -> carry over untouched
+                elif s["min"] >= lo and s["max"] <= hi:
+                    pass  # fully inside -> dropped
+                else:
+                    rewrite.append(f)
+            rw_names: list[str] = []
+            rw_rows = 0
+            rw_stats: dict = {}
+            if rewrite:
+                remainder = self.spark.read.parquet(
+                    *[os.path.join(self._ddir, f) for f in rewrite]
+                ).filter((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)))
+                rw_names, rw_rows, rw_stats = self._write_data_files(
+                    remainder, s_cols
+                )
+            kept_rows = self.spark.read.parquet(
+                *[os.path.join(self._ddir, f) for f in keep]
+            ).count() if keep else 0
+            files = keep + rw_names + new_names
+            all_stats = {
+                **{f: stats[f] for f in keep if f in stats},
+                **rw_stats,
+                **new_stats,
+            }
+            v = parent + 1
+            manifest = {
+                "version": v,
+                "mode": f"replace_where:{col}",
+                "files": files,
+                "n_rows": kept_rows + rw_rows + new_rows,
+                "stats": all_stats,
+                "parent": parent,
+                "ts": time.time(),
+            }
+            try:
+                with open(
+                    os.path.join(self._mdir, f"v{v:08d}.json"), "x"
+                ) as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                continue
+
     def history(self) -> list[VersionInfo]:
         out = []
         for v in self._versions():

