@@ -363,6 +363,90 @@ class VersionedTable:
             except FileExistsError:
                 continue
 
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        key: str,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Delta's ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``
+        for whole rows, keyed on ``key`` — the upsert that completes the
+        replaceWhere/VACUUM/MERGE triad (S9/S10 family). File-level
+        resolution: only files whose committed ``key`` range intersects
+        the batch's [min, max] are rewritten (their rows anti-joined
+        against the batch's keys); disjoint files carry over by name.
+        The batch must be unique per key (enforced — a MERGE with
+        duplicate source keys is ambiguous, the same error Delta
+        raises)."""
+        from pyspark.sql import functions as F
+
+        dup = (
+            batch.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .count()
+        )
+        if dup:
+            raise ValueError(f"merge_upsert: {dup} duplicate source keys")
+        lohi = batch.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        s_cols = stats_cols if stats_cols is not None else [key]
+        new_names, new_rows, new_stats = self._write_data_files(batch, s_cols)
+        os.makedirs(self._mdir, exist_ok=True)
+        while True:
+            versions = self._versions()
+            if not versions:
+                raise FileNotFoundError("merge_upsert needs a committed table")
+            parent = versions[-1]
+            pm = self._manifest(parent)
+            stats = pm.get("stats", {})
+            keep, rewrite = [], []
+            for f in pm["files"]:
+                s = stats.get(f, {}).get(key)
+                if s is not None and (s["max"] < lohi.lo or s["min"] > lohi.hi):
+                    keep.append(f)
+                else:
+                    rewrite.append(f)
+            rw_names: list[str] = []
+            rw_rows = 0
+            rw_stats: dict = {}
+            if rewrite:
+                remainder = self.spark.read.parquet(
+                    *[os.path.join(self._ddir, f) for f in rewrite]
+                ).join(batch.select(key), key, "left_anti")
+                rw_names, rw_rows, rw_stats = self._write_data_files(
+                    remainder, s_cols
+                )
+            kept_rows = (
+                self.spark.read.parquet(
+                    *[os.path.join(self._ddir, f) for f in keep]
+                ).count()
+                if keep
+                else 0
+            )
+            v = parent + 1
+            manifest = {
+                "version": v,
+                "mode": f"merge_upsert:{key}",
+                "files": keep + rw_names + new_names,
+                "n_rows": kept_rows + rw_rows + new_rows,
+                "stats": {
+                    **{f: stats[f] for f in keep if f in stats},
+                    **rw_stats,
+                    **new_stats,
+                },
+                "parent": parent,
+                "ts": time.time(),
+            }
+            try:
+                with open(
+                    os.path.join(self._mdir, f"v{v:08d}.json"), "x"
+                ) as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                continue
+
     def history(self) -> list[VersionInfo]:
         out = []
         for v in self._versions():

@@ -218,3 +218,46 @@ def test_replace_where_drops_fully_inside_files(spark, tmp_path):
     m1 = t._manifest(1)
     assert not (set(inside) & set(m1["files"]))  # dropped, not rewritten
     assert _ids(t.read()) == list(range(400))
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """MERGE semantics (the third of the Delta triad): matched keys
+    update, unmatched insert, disjoint files carry over by name, and a
+    duplicate-key source is rejected as ambiguous."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(100).select("id", (F.col("id") * 10).alias("v"))
+    t.commit(base.repartitionByRange(4, "id"), stats_cols=["id"])
+    files_v0 = set(t._manifest(0)["files"])
+
+    batch = spark.createDataFrame(
+        [(5, -1), (17, -2), (200, -3)], "id long, v long"
+    )
+    v = t.merge_upsert(batch, "id")
+    assert v == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 101
+    assert got[5] == -1 and got[17] == -2 and got[200] == -3  # updated+inserted
+    assert got[50] == 500  # untouched row preserved
+    # files whose id-range misses [5, 200]... all base files intersect
+    # here; assert instead that prior snapshot is intact
+    assert {r.v for r in t.read(0).filter(F.col("id") == 5).collect()} == {50}
+    del files_v0
+
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, 0), (1, 1)], "id long, v long"), "id"
+        )
+
+
+def test_merge_upsert_carries_disjoint_files(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(1000).repartitionByRange(4, "id"), stats_cols=["id"])
+    m0 = t._manifest(0)
+    # batch confined to the low range: high-range files must carry over
+    t.merge_upsert(spark.range(0, 10), "id")
+    m1 = t._manifest(1)
+    disjoint = [
+        f for f in m0["files"] if m0["stats"][f]["id"]["min"] > 9
+    ]
+    assert disjoint and set(disjoint) <= set(m1["files"])
+    assert _ids(t.read()) == list(range(1000))
