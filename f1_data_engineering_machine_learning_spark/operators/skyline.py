@@ -60,7 +60,13 @@ def pareto_frontier_2d(
         "spark.sql.shuffle.partitions", "200"
     )
     ranged = groups.repartitionByRange(int(parts), F.col("__price"))
-    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    # lazy checkpoint: (row -> __pid) must be IDENTICAL in the pmax
+    # branch and the sweep branch — re-executed range exchanges
+    # re-sample their boundaries (see the reproduced divergence note in
+    # operators/windows.py::range_partitioned_rank)
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     # prefix max over strictly-lower range partitions: O(P)-row lazy
     # subplan (per-partition maxes, broadcast non-equi self-join), no

@@ -97,8 +97,10 @@ def range_partitioned_rank(
        nested-loop over tiny frames) into prefix/suffix sums and
        broadcast-joins back onto the data by partition id. The operator
        is fully LAZY — construction runs zero jobs, the driver never
-       holds anything, and within one action ReuseExchange collapses
-       the two appearances of the range exchange;
+       holds anything — and the tagged frame is lazily
+       local-checkpointed so both branches read ONE materialization of
+       the range exchange (exchange reuse alone is best-effort under
+       AQE; see the divergence note below);
     3. rank locally inside each range partition (parallel sorts of
        N/partitions rows) and add the range's offset:
        ``global_rank = offset[p] + local_rank``. Descending-order local
@@ -135,7 +137,19 @@ def range_partitioned_rank(
         "spark.sql.shuffle.partitions", "200"
     )
     ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
-    tagged = ranged.withColumn("__pid", F.spark_partition_id())
+    # LAZY localCheckpoint pins (row -> __pid) before the frame forks
+    # into the counts branch and the data branch. Without it the range
+    # exchange may EXECUTE TWICE (AQE re-plans the branches separately
+    # and exchange reuse is best-effort, not a contract), and each
+    # execution re-SAMPLES its range boundaries — the two branches then
+    # disagree on partition membership and the offsets join assigns
+    # wrong global ranks. Reproduced at sf0.1 as a nondeterministic
+    # 10-vs-11-row NTILE(10) result (round-4 sf0.1 oracle sweep);
+    # invisible at sf0.01 where the sampled boundaries coincide. Same
+    # contract as the iterative-graph checkpoints in operators/graph.py.
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     # prefix offset __lo (rows in ranges BELOW p), suffix offset __hi
     # (rows ABOVE p), and the global total __n — computed lazily from the

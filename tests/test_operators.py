@@ -257,9 +257,15 @@ class TestRangePartitionedRank:
         assert (row.rk, row.pr, row.cd, row.ntile) == (1, 0.0, 1.0, 1)
 
 
-def test_range_partitioned_rank_is_lazy(spark):
-    """Construction must run ZERO Spark jobs — the offsets are a plan
-    (broadcast self-join over the counts frame), not a driver collect."""
+def test_range_partitioned_rank_construction_budget(spark):
+    """Construction runs AT MOST the lazy checkpoint's range-boundary
+    sampling/planning jobs (2) and NEVER a driver collect — the offsets
+    stay a plan (broadcast self-join over the counts frame). The
+    checkpoint is load-bearing: without it the counts branch and the
+    data branch can re-execute the range exchange with independently
+    re-sampled boundaries and disagree on partition membership
+    (reproduced at sf0.1 as a nondeterministic 11-row NTILE(10);
+    see the divergence note in windows.py)."""
     from f1_data_engineering_machine_learning_spark.operators.windows import (
         range_partitioned_rank,
     )
@@ -272,8 +278,37 @@ def test_range_partitioned_rank_is_lazy(spark):
         cume_dist_col="cd", ntile=4, tiebreak=["id"], num_partitions=8,
     )
     after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before
+    assert after - before <= 2
     assert out.count() == 100  # and it still executes fine
+
+
+def test_range_partitioned_rank_deterministic_across_runs(spark, sf_dir):
+    """Regression for the re-sampled-boundaries divergence: repeated
+    executions over real data must produce identical global ranks (the
+    sf0.1 oracle sweep caught 10-vs-11 NTILE rows before the checkpoint
+    pinned the partitioning)."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_rank,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+    def run():
+        t = range_partitioned_rank(
+            spend, ["n"], ntile=10, ntile_col="decile", tiebreak=["o_custkey"]
+        )
+        return sorted(
+            (r.decile, r.cnt)
+            for r in t.groupBy("decile").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+
+    first = run()
+    assert len(first) == 10
+    for _ in range(2):
+        assert run() == first
 
 
 def test_range_partitioned_rank_null_order_values(spark):
