@@ -601,8 +601,15 @@ def numeric_drift_ks(
         .groupBy("v")
         .agg(F.sum("__na").alias("na"), F.sum("__nb").alias("nb"))
     )
-    ranged = counts.repartitionByRange(32, F.col("v")).withColumn(
-        "__pid", F.spark_partition_id()
+    # lazy checkpoint pins (row -> __pid) before the fork into per_part
+    # and the cumulative branch — re-executed range exchanges re-sample
+    # their boundaries and the branches then disagree on membership
+    # (the divergence reproduced in
+    # operators/windows.py::range_partitioned_rank; same fix)
+    ranged = (
+        counts.repartitionByRange(32, F.col("v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     per_part = ranged.groupBy("__pid").agg(
         F.sum("na").alias("__pa"), F.sum("nb").alias("__pb")
