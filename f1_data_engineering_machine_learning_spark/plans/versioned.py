@@ -165,6 +165,7 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "overwrite",
         stats_cols: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as a new version. ``overwrite`` replaces the
         visible file set; ``append`` adds to the parent's. Returns the
@@ -177,7 +178,14 @@ class VersionedTable:
         the parquet footers into the manifest — the data-skipping index
         ``read(prune=...)`` consults. At 100 TB this is the difference
         between listing-then-opening every file and touching only the
-        files whose range can match."""
+        files whose range can match.
+
+        ``txn=(app_id, batch_id)``: transactional idempotence for
+        streaming sinks (Delta's txn/appId protocol): the manifest
+        records the high-water batch id per app, and a commit at or
+        below it is a REPLAY — it cleans up its files and returns -1
+        without changing the table. This is what upgrades foreachBatch
+        from at-least-once to exactly-once (``stream_to_versioned``)."""
         if mode not in ("overwrite", "append"):
             raise ValueError("mode must be 'overwrite' or 'append'")
         names, n_rows, stats = self._write_data_files(df, stats_cols)
@@ -188,11 +196,27 @@ class VersionedTable:
             files = list(names)
             total = n_rows
             all_stats = dict(stats)
-            if mode == "append" and parent is not None:
+            txns: dict[str, int] = {}
+            if parent is not None:
                 pm = self._manifest(parent)
-                files = pm["files"] + files
-                total = pm["n_rows"] + n_rows
-                all_stats = {**pm.get("stats", {}), **all_stats}
+                txns = dict(pm.get("txns", {}))
+                if mode == "append":
+                    files = pm["files"] + files
+                    total = pm["n_rows"] + n_rows
+                    all_stats = {**pm.get("stats", {}), **all_stats}
+            if txn is not None:
+                app_id, batch_id = txn
+                if txns.get(app_id, -1) >= batch_id:
+                    # this transaction already committed (a replayed
+                    # micro-batch after a crash between sink write and
+                    # checkpoint commit): drop our files, change nothing
+                    for n in names:
+                        try:
+                            os.remove(os.path.join(self._ddir, n))
+                        except OSError:
+                            pass
+                    return -1
+                txns[app_id] = batch_id
             v = (parent + 1) if parent is not None else 0
             manifest = {
                 "version": v,
@@ -200,6 +224,7 @@ class VersionedTable:
                 "files": files,
                 "n_rows": total,
                 "stats": all_stats,
+                "txns": txns,
                 "parent": parent,
                 "ts": time.time(),
             }

@@ -397,3 +397,44 @@ def session_paths_stream(
             "n_steps",
         )
     )
+
+
+def stream_to_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str = "stream",
+):
+    """EXACTLY-ONCE streaming append into a versioned parquet table
+    (plans/versioned.py) — the transactional-sink composition that
+    foreachBatch alone cannot give: its replay contract is
+    at-least-once, so a crash between the sink write and the checkpoint
+    commit re-runs the batch. The table's manifest records the
+    high-water ``batch_id`` per ``app_id`` (Delta's txn/appId
+    protocol); a replayed batch's commit sees its id at-or-below the
+    high water, cleans up its staged files, and leaves the table
+    unchanged. End-to-end: source replay (checkpoint) x idempotent
+    commit (manifest txn) = each micro-batch's rows appear exactly
+    once, verified by a fresh-checkpoint full-replay test."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = VersionedTable(spark, table_path)
+        try:
+            t.commit(batch_df, mode="append", txn=(app_id, batch_id))
+        except FileNotFoundError:
+            t.commit(batch_df, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

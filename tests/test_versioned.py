@@ -261,3 +261,60 @@ def test_merge_upsert_carries_disjoint_files(spark, tmp_path):
     ]
     assert disjoint and set(disjoint) <= set(m1["files"])
     assert _ids(t.read()) == list(range(1000))
+
+
+def test_stream_to_versioned_exactly_once(spark, tmp_path):
+    """The txn/appId composition: source replay (fresh checkpoint, the
+    worst case foreachBatch allows) re-runs every batch, and the
+    manifest's per-app high-water batch id makes each replayed commit a
+    no-op — rows appear exactly once. A new app id is a NEW transaction
+    stream and appends again (the Delta txn semantics)."""
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        stream_to_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    spark.range(10).select(F.col("id")).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id long").parquet(src)
+    stream_to_versioned(stream, tbl, str(tmp_path / "ck1"), app_id="job1")
+    t = VersionedTable(spark, tbl)
+    assert _ids(t.read()) == list(range(10))
+
+    # same checkpoint: no new data -> no change
+    stream_to_versioned(
+        spark.readStream.schema("id long").parquet(src),
+        tbl,
+        str(tmp_path / "ck1"),
+        app_id="job1",
+    )
+    assert _ids(t.read()) == list(range(10))
+
+    # FRESH checkpoint, same app: the full source replays as the same
+    # batch ids -> txn high-water suppresses every duplicate commit
+    stream_to_versioned(
+        spark.readStream.schema("id long").parquet(src),
+        tbl,
+        str(tmp_path / "ck2"),
+        app_id="job1",
+    )
+    assert _ids(t.read()) == list(range(10))
+    # and no orphan files leaked from the suppressed replay
+    m = t._manifest(t._versions()[-1])
+    on_disk = {
+        f for f in os.listdir(tmp_path / "tbl" / "data") if f.endswith(".parquet")
+    }
+    live = set()
+    for v in t._versions():
+        live |= set(t._manifest(v)["files"])
+    assert on_disk == live
+
+    # a different app id is a new transaction stream -> appends
+    stream_to_versioned(
+        spark.readStream.schema("id long").parquet(src),
+        tbl,
+        str(tmp_path / "ck3"),
+        app_id="job2",
+    )
+    assert sorted(_ids(t.read())) == sorted(list(range(10)) * 2)
