@@ -9001,3 +9001,199 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return pii_scan(planted, "doc_id", "text")
+
+
+@query(
+    "session_step_transitions",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+    ), ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ), pairs AS (
+      SELECT event_type AS to_step,
+             LAG(event_type) OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS from_step
+      FROM sess
+    ), counts AS (
+      SELECT from_step, to_step, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE from_step IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_step, to_step, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_step) AS DOUBLE) AS prob
+    FROM counts
+    """,
+)
+def session_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over in-session event steps
+    (operators/sessions.py::assign_sessions + a within-session lag):
+    P(next step | current step) — the behavioral-model complement of
+    top_session_paths (full sequences) and the funnels (one hypothesis):
+    this is the EDGE-level structure recommenders and anomaly monitors
+    consume. Counts are exact integers; each probability is one double
+    division (count / row-marginal), so the whole matrix value-hashes
+    against the oracle. Shuffles: the entity window (reused by the
+    session id and the in-session lag — same partitioning) and the
+    map-side-combinable pair count."""
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    ev = _events(spark, sf_dir)
+    sess = assign_sessions(
+        ev, ["user_id"], "ts", gap_minutes=30.0, tiebreak=["event_id"]
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.lag("event_type").over(w).alias("from_step"),
+        F.col("event_type").alias("to_step"),
+    ).filter(F.col("from_step").isNotNull())
+    counts = pairs.groupBy("from_step", "to_step").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wmar = Window.partitionBy("from_step")
+    return counts.select(
+        "from_step",
+        "to_step",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wmar).cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+@query(
+    "source_lang_gini_impurity",
+    """
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, SUM(n) AS t FROM cells GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(MAX(t.t) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS INTEGER) AS n_langs,
+           CAST(1.0 - SUM(CAST(c.n * c.n AS DOUBLE)) / CAST(MAX(t.t) * MAX(t.t) AS DOUBLE)
+                AS DOUBLE) AS gini_impurity
+    FROM cells c JOIN tot t USING (source)
+    GROUP BY c.source
+    """,
+)
+def source_lang_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity as GINI IMPURITY ``1 - sum(p_i^2)``
+    — the information-theoretic mixture-balance monitor chosen over
+    Shannon entropy deliberately: entropy needs ``log``, whose libm
+    rounding differs across engines and would hash-drift, while impurity
+    is an exact rational of integer counts (``1 - sum(n_i^2)/t^2``, one
+    double division) that replays bitwise. 0 = monolingual source,
+    -> 1-1/k = uniform over k languages. One cells aggregate + a
+    |sources|-row join — scale-free."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("source").agg(F.sum("n").alias("t"))
+    return (
+        cells.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            (
+                F.lit(1.0)
+                - F.sum((F.col("n") * F.col("n")).cast("double"))
+                / (F.max("t") * F.max("t")).cast("double")
+            )
+            .cast("double")
+            .alias("gini_impurity"),
+        )
+    )
+
+
+def _duck_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+
+def _duck_lloyd_round(n: int, prev_c: str, k: int, dim: int = 64) -> str:
+    """One Lloyd round as CTE text: assignment a{n} vs centroids
+    {prev_c}, decimal-exact elementwise means m{n}, updated centroids
+    c{n} (empty clusters COALESCE to their previous centroid). ``dim``
+    is the testdata embedding width (the engine derives it from data;
+    DuckDB's generate_series takes no lateral args, so the oracle pins
+    it like the other 64-dim oracles)."""
+    d2 = _duck_l2sq("x.v", "i.cv")
+    return f"""
+    a{n} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT x.vec_id, x.v, i.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {d2}, i.cid) AS rn
+        FROM vecs x CROSS JOIN {prev_c} i)
+      WHERE rn = 1
+    ), m{n} AS (
+      SELECT a.cid, g.idx - 1 AS pos,
+             CAST(SUM(CAST(floor(a.v[g.idx] * 1000000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
+      FROM a{n} a, generate_series(1, {dim}) g(idx)
+      GROUP BY 1, 2
+    ), c{n} AS (
+      SELECT i.cid, COALESCE(mm.cv, i.cv) AS cv
+      FROM {prev_c} i LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM m{n} GROUP BY cid
+      ) mm USING (cid)
+    )"""
+
+
+@query(
+    "embedding_kmeans_lloyd",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS cv
+      FROM vecs ORDER BY vec_id LIMIT 4
+    ),{_duck_lloyd_round(1, "init", 4)},{_duck_lloyd_round(2, "c1", 4)}
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST(d2 AS DOUBLE) AS dist2
+    FROM (
+      SELECT x.vec_id, i.cid, {_duck_l2sq("x.v", "i.cv")} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                ORDER BY {_duck_l2sq("x.v", "i.cv")}, i.cid) AS rn
+      FROM vecs x CROSS JOIN c2 i)
+    WHERE rn = 1
+    """,
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-iteration Lloyd k-means over the embedding corpus
+    (dataops/similarity.py::kmeans_lloyd_deterministic, k=4) — iterative
+    ML as pure DataFrame ops with EVERY number value-oracled: the DuckDB
+    CTE chain replays both assignment rounds (argmin squared-L2, ties to
+    the smaller cluster id), both exact centroid updates
+    (nano-quantized BIGINT elementwise sums — a DECIMAL(38,18) cast is
+    NOT cross-engine portable, the 18th digit rounds differently;
+    measured), and the final
+    per-vector distance — the clustering twin of the CTE-unrolled
+    PageRank. MLlib KMeans (ivf_topk) stays the library path; this is
+    the auditable one."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_deterministic(
+        emb, id_col="vec_id", vec_col="embedding", k=4, iterations=2
+    )

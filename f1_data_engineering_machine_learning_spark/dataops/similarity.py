@@ -1459,3 +1459,113 @@ def pq_topk_deterministic(
         k,
         rn_col="rank",
     )
+
+
+def kmeans_lloyd_deterministic(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops with EVERY number
+    engine-reproducible — the iterative-ML counterpart of the
+    CTE-replayable PageRank: a second engine can re-derive the exact
+    assignments, the exact updated centroids, and the exact final
+    distances, so the whole clustering is VALUE-oracled (MLlib's KMeans
+    is rows-only checkable; this twin trades its sampling-based init
+    for the deterministic smallest-id init, as the sampled quantizer
+    family already does).
+
+    Determinism contract, step by step:
+    - init: the ``k`` smallest-id vectors, cluster ids 0..k-1 in id
+      order (one tiny collect, the literal-quantizer pattern);
+    - assignment: per-row argmin squared-L2 over a one-row broadcast
+      centroid frame (k-independent plan, single-parse fold; ties ->
+      smallest cluster id) — map-only;
+    - update: per-(cluster, dim) sums of NANO-QUANTIZED elements
+      (``floor(x * 1e9)`` as BIGINT — exact, associative, and identical
+      in every engine; a DECIMAL(38,18) cast is NOT portable, the two
+      engines round the 18th digit differently, measured 1-ulp drift).
+      The mean is ``qsum / 1e9 / n`` — two exact-input double
+      divisions; quantization error is 1e-9 per element, far inside
+      Lloyd's own convergence tolerance (the same trick as pagerank's
+      contributions and CUSUM's deviations). k x dim rows collect per
+      iteration — driver traffic O(k*dim), like BPE's per-round argmax;
+    - empty clusters keep their previous centroid (replayed by the
+      oracle's LEFT JOIN + COALESCE);
+    - output: (id, cluster, dist2) from a final assignment pass.
+
+    Scale: each iteration is one map-only assignment + one
+    (k x dim)-key aggregate over posexploded elements — shuffle rows
+    are (cluster, dim) keys, payload one decimal; the corpus is
+    scanned once per iteration. MLlib's KMeans remains the
+    library path (``ivf_topk``); this operator is the auditable one."""
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    init_rows = base.orderBy("__id").limit(k).collect()
+    cents = [[float(x) for x in r["__v"]] for r in init_rows]
+    dim = len(cents[0])
+
+    def _cents_row(cs: list[list[float]]) -> DataFrame:
+        payload = [(i, v) for i, v in enumerate(cs)]
+        return spark.createDataFrame(
+            [(payload,)],
+            "__cents array<struct<cid: int, cv: array<double>>>",
+        )
+
+    d2 = _l2sq_sql("__v", "c.cv")
+    argmin = F.expr(
+        f"array_min(transform(__cents, c -> named_struct("
+        f"'d', {d2}, 'cid', c.cid))).cid"
+    )
+
+    for _ in range(iterations):
+        assigned = (
+            base.join(F.broadcast(_cents_row(cents)))
+            .withColumn("__c", argmin)
+            .drop("__cents")
+        )
+        sums = (
+            assigned.select("__c", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__c", "__pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("__x") * F.lit(1e9)).cast("long")
+                ).alias("__qs"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep previous
+        by_cluster: dict[int, list] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["__c"]), []).append(r)
+        for cid, rows in by_cluster.items():
+            vec = [0.0] * dim
+            for r in rows:
+                # int -> float is exact below 2^53; the two divisions
+                # replay verbatim in the oracle (qs / 1e9 / n)
+                vec[int(r["__pos"])] = int(r["__qs"]) / 1e9 / int(r["__n"])
+            new_cents[cid] = vec
+        cents = new_cents
+
+    final = (
+        base.join(F.broadcast(_cents_row(cents)))
+        .withColumn("__c", argmin)
+        .withColumn(
+            "__d2",
+            F.expr(
+                f"array_min(transform(__cents, c -> named_struct("
+                f"'d', {d2}, 'cid', c.cid))).d"
+            ),
+        )
+        .drop("__cents")
+    )
+    return final.select(
+        F.col("__id").alias(id_col),
+        F.col("__c").cast("int").alias("cluster"),
+        F.col("__d2").cast("double").alias("dist2"),
+    )

@@ -986,3 +986,57 @@ def test_pii_scan_counts_and_redaction(spark):
     assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
     assert got[2].redacted == "clean text"
     assert got[3].n_ipv4 == 1
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(30):  # tight cluster at (0, 0, ...)
+        rows.append((i, [rng.gauss(0, 0.05) for _ in range(8)]))
+    for i in range(30):  # tight cluster at (10, 10, ...)
+        rows.append((100 + i, [10 + rng.gauss(0, 0.05) for _ in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: r
+        for r in kmeans_lloyd_deterministic(df, k=2, iterations=2).collect()
+    }
+    assert len(got) == 60
+    low = {got[i].cluster for i in range(30)}
+    high = {got[100 + i].cluster for i in range(30)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    # after the mean updates, members sit near their centroid
+    assert all(got[i].dist2 < 1.0 for i in range(30))
+    # deterministic across runs
+    again = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_lloyd_deterministic(df, k=2, iterations=2).collect()
+    }
+    assert again == {i: (r.cluster, r.dist2) for i, r in got.items()}
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    """Two identical init vectors: round 1 ties every vector to cluster
+    0 (smaller cid wins ties), cluster 1 is EMPTY and keeps its [0,0]
+    centroid. Round 2 then proves the kept centroid is alive: cluster
+    0's mean moved toward the far group, so the origin vectors snap to
+    the retained cluster-1 centroid — a crash or a zeroed/NaN centroid
+    would never produce this split."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (10 + i, [5.0 + 0.01 * i, 5.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = kmeans_lloyd_deterministic(df, k=2, iterations=2).collect()
+    assert len(got) == 7
+    clusters = {r.vec_id: r.cluster for r in got}
+    assert clusters[0] == 1 and clusters[1] == 1  # captured by the kept centroid
+    assert all(clusters[10 + i] == 0 for i in range(5))
