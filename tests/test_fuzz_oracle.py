@@ -318,3 +318,69 @@ def test_fuzz_prefixspan_matches_python_reference(spark, seed):
         ).collect()
     }
     assert got == want, f"seed={seed} min_count={min_count}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_kmeans_lloyd_matches_python_replay(spark, seed):
+    """Random corpora vs a pure-Python replay of the exact deterministic
+    Lloyd arithmetic: smallest-id init, argmin sequential-fold L2 with
+    smallest-cid ties, nano-quantized integer centroid updates, empty
+    clusters retained — BITWISE equality of clusters and distances."""
+    import math
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        kmeans_lloyd_deterministic,
+    )
+
+    rng = random.Random(7000 + seed)
+    n = rng.randint(12, 40)
+    dim = rng.choice([3, 5, 8])
+    k = rng.randint(2, 4)
+    iters = rng.randint(1, 3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def assign(vecs, cents):
+        out = {}
+        for vid, v in vecs:
+            best = None
+            for cid, cv in enumerate(cents):
+                d = l2sq(v, cv)
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    cents = [list(rows[i][1]) for i in range(k)]  # ids 0..k-1 are smallest
+    for _ in range(iters):
+        a = assign(rows, cents)
+        sums = {}
+        for vid, v in rows:
+            cid = a[vid][1]
+            qs, cnt = sums.setdefault(cid, ([0] * dim, 0))
+            for p, x in enumerate(v):
+                qs[p] += math.floor(x * 1e9)
+            sums[cid] = (qs, cnt + 1)
+        new_cents = [list(c) for c in cents]
+        for cid, (qs, cnt) in sums.items():
+            new_cents[cid] = [q / 1e9 / cnt for q in qs]
+        cents = new_cents
+    want = {
+        vid: (d_cid[1], d_cid[0]) for vid, d_cid in assign(rows, cents).items()
+    }
+
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_lloyd_deterministic(
+            df, k=k, iterations=iters
+        ).collect()
+    }
+    assert got == want, f"seed={seed} n={n} dim={dim} k={k} iters={iters}"

@@ -39,18 +39,35 @@ QUERIES = [
     "contrastive_negatives_docs",
     "semantic_dedup_embeddings",
     "curated_docs_survivors",
+    # round-4 additions
+    "embedding_kmeans_lloyd",
+    "part_price_size_skyline",
+    "doc_top_terms_tfidf",
+    "doc_pii_scan",
+    "session_step_transitions",
+    "daily_revenue_cusum",
+    "order_price_benford",
+    "doc_ngram_novelty",
+    "customer_rfm_segments",
 ]
 
 SHIFT_COLS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
 }
 
 
 def _gen(spark) -> None:
     from pyspark.sql import functions as F
 
+    # events.parquet carries TIMESTAMP(NANOS); read it the way
+    # catalog._events does (as epoch-nanos longs — the copies then carry
+    # the bigint form, which _events converts identically)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for table, keys in SHIFT_COLS.items():
         out = Path(SF1) / f"{table}.parquet"
         if out.exists():
@@ -90,8 +107,9 @@ def main() -> None:
         spark.catalog.clearCache()
         return round(time.time() - t0, 2)
 
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     results = {}
-    for name in QUERIES:
+    for name in (wanted or QUERIES):
         run(name, "/root/testdata/sf0.001")  # codegen warm at tiny sf
         t01 = run(name, SF01)
         t1 = run(name, SF1)
