@@ -97,6 +97,14 @@ HEADLINE = [
     "embedding_pq_topk",
     "corpus_mixture_sample",
     "temperature_mixture_docs",
+    "embedding_kmeans_lloyd",
+    "part_price_size_skyline",
+    "doc_top_terms_tfidf",
+    "doc_pii_scan",
+    "session_step_transitions",
+    "daily_revenue_cusum",
+    "order_price_benford",
+    "source_lang_gini_impurity",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
