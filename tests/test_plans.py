@@ -240,6 +240,39 @@ def test_mixture_catalog_entries_construct_lazily(spark):
         )
 
 
+def test_eager_construction_budgets_for_mining_family(spark):
+    """The entries whose construction is INHERENTLY eager (MLlib fit
+    needs a fraction computed from a count; BPE's next merge rule needs
+    this round's argmax) must stay within their documented job budgets —
+    this is the guard that keeps 'algorithmically necessary driver
+    results' from quietly growing into driver-side computation. Budgets
+    are upper bounds over: parquet schema reads, the support count, the
+    MLlib fit's own jobs, and (for BPE) one argmax collect per merge
+    round."""
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "frequent_part_itemsets": 12,      # count + FP-growth fit
+        "frequent_session_sequences": 14,  # count + PrefixSpan fit
+        # 8 merge rounds x up to 3 jobs each: orderBy.limit(1).collect()
+        # is Spark's INCREMENTAL take (1 partition, then scale-up
+        # retries), so one logical argmax can run 2-3 physical jobs
+        "bpe_merges_docs": 30,
+    }
+    tracker = spark.sparkContext.statusTracker()
+    qs = catalog.queries()
+    for name, budget in budgets.items():
+        qs[name](spark, sf)  # warm the parquet schema reads
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        qs[name](spark, sf)
+        ran = len(tracker.getJobIdsForGroup(None) or []) - before
+        assert ran <= budget, (
+            f"{name} construction ran {ran} jobs (budget {budget}) — "
+            "eager driver-side work grew beyond the documented algorithmic needs"
+        )
+
+
 def test_entire_catalog_plans_free_of_cartesian_and_rowwise_python(spark):
     """Mechanical honesty sweep over ALL catalog queries' physical plans:
     no CartesianProduct (the O(n*m) join that should never survive
