@@ -9197,3 +9197,85 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_deterministic(
         emb, id_col="vec_id", vec_col="embedding", k=4, iterations=2
     )
+
+
+@query(
+    "customer_revenue_pareto",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM spend
+    ), c AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM spend
+    )
+    SELECT o_custkey, CAST(cents AS BIGINT) AS cents,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(cum_cents AS DOUBLE) / CAST(tot.t AS DOUBLE) AS cum_share,
+           CAST(rnk AS DOUBLE) / tot.n AS cust_share,
+           CAST(cum_cents AS DOUBLE) / CAST(tot.t AS DOUBLE) >= 0.8
+             AND (cum_cents - cents) * 1.0 / tot.t < 0.8 AS crosses_80
+    FROM c CROSS JOIN tot
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz/Pareto concentration curve of customer revenue — every
+    customer with their global revenue rank, cumulative revenue share,
+    and the flag marking where the curve crosses 80% (the '80/20'
+    frontier). The global running sum is
+    operators/windows.py::range_partitioned_prefix_sum — the
+    two-pass distributed prefix-sum (per-range totals folded into
+    broadcast offsets + a partition-local running window), so no
+    single-task global ORDER BY window anywhere; revenue is quantized
+    to integer cents so the cumsum is exact and associative (oracle
+    replays it bit-for-bit). Descending order rides a negated sort key
+    (the range partitioner orders ascending)."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_prefix_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+        .withColumn("__negc", -F.col("cents"))
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    # running revenue AND global rank (= running count) share ONE range
+    # exchange / checkpoint / ordered window via the multi-value form
+    cum = range_partitioned_prefix_sum(
+        spend, ["__negc"], {"cum_cents": "cents", "rnk": "__one"},
+        tiebreak=["o_custkey"],
+    )
+    tot = spend.agg(
+        F.sum("cents").alias("__t"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            (F.col("cum_cents").cast("double") / F.col("__t").cast("double")).alias(
+                "cum_share"
+            ),
+            (F.col("rnk").cast("double") / F.col("__n")).alias("cust_share"),
+            (
+                (F.col("cum_cents").cast("double") / F.col("__t").cast("double")
+                 >= 0.8)
+                & (
+                    (F.col("cum_cents") - F.col("cents")) * 1.0 / F.col("__t")
+                    < 0.8
+                )
+            ).alias("crosses_80"),
+        )
+    )

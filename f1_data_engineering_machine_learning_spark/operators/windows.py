@@ -343,3 +343,80 @@ def ewma_trailing(
         num = term if num is None else num + F.coalesce(term, F.lit(0.0))
         den = mass if den is None else den + F.coalesce(mass, F.lit(0.0))
     return df.withColumn(out_col, num / den)
+
+
+def range_partitioned_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value: str | dict[str, str],
+    out_col: str = "prefix_sum",
+    tiebreak: Sequence[str] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL running sum over a total order without the single-task
+    global window — the cumulative-distribution primitive (Lorenz
+    curves, Pareto shares, global CDFs) built with the exact two-pass
+    shape of :func:`range_partitioned_rank`:
+
+    1. range-partition on ``(order_by, tiebreak)`` and lazily
+       local-checkpoint the (row -> partition) assignment (the forked
+       exchange re-sampling hazard documented above);
+    2. per-partition totals of ``value`` fold into per-partition prefix
+       OFFSETS through a broadcast non-equi self-join over the
+       O(P)-row totals frame — a plan, not a collect;
+    3. within each partition an ordinary partitioned running-sum window
+       adds the local prefix: ``global = offset[p] + local``.
+
+    ``value`` is one column name (emitted as ``out_col``) or a dict
+    ``{out_col: value_col}`` — MULTIPLE prefix sums share the one range
+    exchange, one checkpoint, and one ordered window (e.g. a running
+    revenue next to a running row count = global rank, as
+    ``customer_revenue_pareto`` does). Values must be EXACT types
+    (integer/decimal — the point of a distributed prefix sum is
+    exactness; float accumulation order would make the result
+    partitioning-dependent, quantize first as pagerank/CUSUM do).
+    ``(order_by, tiebreak)`` must totally order the rows, exactly as a
+    single ``SUM() OVER (ORDER BY ...)`` would require for
+    deterministic output. Largest task holds ~N/num_partitions rows."""
+    order_by = [str(c) for c in order_by]
+    tiebreak = [str(c) for c in tiebreak]
+    values = value if isinstance(value, dict) else {out_col: value}
+    keys = [*order_by, *tiebreak]
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in keys])
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    totals = tagged.groupBy("__pid").agg(
+        *[F.sum(F.col(v)).alias(f"__pt_{o}") for o, v in values.items()]
+    )
+    other = totals.select(
+        F.col("__pid").alias("__q"),
+        *[F.col(f"__pt_{o}").alias(f"__qt_{o}") for o in values],
+    )
+    offsets = (
+        totals.crossJoin(F.broadcast(other))
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__q") < F.col("__pid"), F.col(f"__qt_{o}"))
+                    ),
+                    F.lit(0),
+                ).alias(f"__off_{o}")
+                for o in values
+            ]
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c).asc() for c in keys])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.join(F.broadcast(offsets), "__pid")
+    for o, v in values.items():
+        out = out.withColumn(o, F.col(f"__off_{o}") + F.sum(F.col(v)).over(w))
+    return out.drop("__pid", *[f"__off_{o}" for o in values])

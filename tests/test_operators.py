@@ -549,3 +549,44 @@ def test_pareto_frontier_2d_fuzz_vs_bruteforce(spark):
     df = spark.createDataFrame(rows, "id long, price double, size int")
     got = sorted(r.id for r in pareto_frontier_2d(df, "price", "size").collect())
     assert got == want
+
+
+def test_range_partitioned_prefix_sum_matches_global_window(spark):
+    """Distributed prefix sum == the single-window SUM() OVER (ORDER BY)
+    formulation, exactly — including the multi-value form sharing one
+    pass, under forced multi-partition ranges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        range_partitioned_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    # single-value + multi-value forms
+    single = range_partitioned_prefix_sum(
+        df, ["k"], "v", out_col="cum_v", tiebreak=["id"], num_partitions=8
+    )
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r.id: r.cum_v for r in df.withColumn("cum_v", F.sum("v").over(w)).collect()}
+    assert {r.id: r.cum_v for r in single.collect()} == want
+
+    multi = range_partitioned_prefix_sum(
+        df.withColumn("__one", F.lit(1).cast("bigint")),
+        ["k"],
+        {"cum_v": "v", "rn": "__one"},
+        tiebreak=["id"],
+        num_partitions=8,
+    )
+    wantrn = {
+        r.id: (r.cum_v, r.rn)
+        for r in df.withColumn("cum_v", F.sum("v").over(w))
+        .withColumn("rn", F.row_number().over(Window.orderBy("k", "id")))
+        .collect()
+    }
+    assert {
+        r.id: (r.cum_v, int(r.rn)) for r in multi.collect()
+    } == {k: (a, int(b)) for k, (a, b) in wantrn.items()}
