@@ -9279,3 +9279,49 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("crosses_80"),
         )
     )
+
+
+@query(
+    "orders_maintained_status_rollup",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS price_sum,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS price_min,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS price_max,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS price_avg
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_maintained_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proven against the direct answer
+    (plans/ivm.py): the orders table arrives as THREE batches (split by
+    orderkey residue — the engine-side simulation of daily loads), each
+    folded into the maintained partials with only affected groups
+    re-aggregated; the finalized view must equal the one-shot GROUP BY
+    the oracle computes over the whole table — counts, exact decimal
+    sums, min/max, and the read-time avg, value-for-value. This is the
+    materialized-view contract: maintenance is invisible to readers."""
+    from f1_data_engineering_machine_learning_spark.plans.ivm import (
+        agg_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    sums = {"price": "o_totalprice"}
+    keys = ["o_orderstatus"]
+    state = agg_partials(o.filter(F.col("o_orderkey") % 3 == 0), keys, sums)
+    for r in (1, 2):
+        state = merge_partials(
+            state, o.filter(F.col("o_orderkey") % 3 == r), keys, sums
+        )
+    out = finalize_partials(state, sums)
+    return out.select(
+        "o_orderstatus", "n_rows", "price_sum", "price_min", "price_max",
+        "price_avg",
+    )
