@@ -9325,3 +9325,83 @@ def orders_maintained_status_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderstatus", "n_rows", "price_sum", "price_min", "price_max",
         "price_avg",
     )
+
+
+def _duck_cms_bucket(h: str, row: str, width: int) -> str:
+    return (
+        f"((({h} % 999999937 + 389 * {row}) * 2654435761 + 97531) "
+        f"% 4294967296) % {width}"
+    )
+
+
+@query(
+    "token_cms_estimates",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT t, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+    ), cells AS (
+      SELECT r.r AS row, {_duck_cms_bucket("h", "r.r", 512)} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed CROSS JOIN (SELECT unnest(range(4)) AS r) r
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY 1
+      ORDER BY exact_n DESC, t LIMIT 20
+    ), probes AS (
+      SELECT e.t, e.exact_n, r.r AS row,
+             {_duck_cms_bucket("CAST(('0x' || substr(md5(e.t), 1, 15)) AS BIGINT)", "r.r", 512)}
+               AS bucket
+      FROM exact e CROSS JOIN (SELECT unnest(range(4)) AS r) r
+    )
+    SELECT p.t AS token, MAX(p.exact_n) AS exact_n,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate,
+           CAST(MIN(COALESCE(c.cnt, 0)) - MAX(p.exact_n) AS BIGINT)
+             AS overestimate
+    FROM probes p LEFT JOIN cells c USING (row, bucket)
+    GROUP BY p.t
+    """,
+)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the corpus token
+    stream (dataops/heavyhitters.py::cms_build/cms_estimate, 4 x 512
+    cells): the top-20 exact tokens probed against the sketch, with the
+    CM overestimate emitted per token (>= 0 always — inserts-only CM
+    never underestimates; the value-hash therefore checks the error,
+    not just the estimates). Completes the mergeable-sketch family
+    (exact bitmap / HLL / Misra-Gries / MinHash / SimHash / CMS): cells
+    are exact BIGINT counts any engine re-derives — portable md5-60
+    item hash, LCG row mixes — so the WHOLE sketch is value-oracled,
+    unlike library sketches. Build is one map-side-combinable shuffle
+    of <= depth*width rows per partition; daily sketches merge by cell
+    addition like the bitmap rollups."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")
+    )
+    sketch = cms_build(tok, "t", depth=4, width=512)
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.col("t"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact.select("t"), "t", depth=4, width=512)
+    return (
+        exact.join(est, "t")
+        .select(
+            F.col("t").alias("token"),
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).cast("bigint").alias(
+                "overestimate"
+            ),
+        )
+    )

@@ -181,3 +181,93 @@ def grouped_heavy_hitters(
         .filter(F.col("item_count") > F.lit(phi) * F.col("group_total"))
         .select(g_name, i_name, "item_count", "group_total")
     )
+
+
+# -- count-min sketch -------------------------------------------------------
+
+#: portable 60-bit item hash: first 15 hex chars of md5, the SimHash trick
+#: (dataops/dedup.py) — any engine re-derives it from the same bytes
+def _portable_h60(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _cms_bucket(h: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket: one LCG round over (h + odd*row), mod width —
+    pure non-overflowing integer arithmetic every engine replays (the
+    contrastive-sampling mix family)."""
+    return (
+        ((h % 999999937 + 389 * row) * 2654435761 + 97531) % 4294967296
+    ) % width
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch of an item stream: ``depth x width`` exact
+    BIGINT cells — ``(row, bucket, cnt)``. The sketch is MERGEABLE
+    (cells add), the property that makes frequency estimation shippable
+    across partitions/days/streams: partials combine map-side, the
+    shuffle carries at most depth*width rows per partition, and daily
+    sketches union+re-aggregate into weekly ones exactly like the
+    bitmap/HLL rollups. Deterministic by construction (portable md5-60
+    item hash + LCG row mixes), so a second engine rebuilds the
+    identical sketch — unlike library sketches, this one is fully
+    value-oracled.
+
+    Error contract (CM standard): estimate >= true count always
+    (inserts-only), and P[over-estimate > eps*N] <= delta with
+    eps = e/width, delta = e^-depth."""
+    h = _portable_h60(F.col(item_col))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_bucket(h, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("__rb")
+    return (
+        df.select(rows)
+        .groupBy(F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point estimates for ``items`` from a built sketch: min over the
+    item's depth cells (absent cell = 0). The probe set is the small
+    side — it explodes to depth rows per item and joins the sketch on
+    (row, bucket); the sketch itself (<= depth*width rows) broadcasts."""
+    h = _portable_h60(F.col(item_col))
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(h, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("__rb"),
+    ).select(item_col, F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_estimate")
+    )

@@ -111,3 +111,50 @@ def test_grouped_heavy_hitters_isolates_groups(spark):
     df = spark.createDataFrame(rows, ["g", "item"]).repartition(4)
     got = {(r.g, r.item) for r in grouped_heavy_hitters(df, "g", "item", 0.5).collect()}
     assert got == {("C", "z")}
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CM contract on a planted Zipf-ish stream: estimate >= exact for
+    EVERY item, exact for the unique heavy item in a wide sketch, and
+    sketch MERGE (cell addition across two halves) == sketch of the
+    whole stream."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = (
+        [("hot",)] * 500
+        + [(f"mid{i}",) for i in range(20) for _ in range(10)]
+        + [(f"tail{i}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, ["t"])
+    sketch = cms_build(df, "t", depth=4, width=256)
+    items = df.select("t").distinct()
+    exact = {r.t: n for r, n in (
+        (r, r.n) for r in df.groupBy("t").agg(F.count("*").alias("n")).collect()
+    )}
+    est = {
+        r.t: r.cms_estimate
+        for r in cms_estimate(sketch, items, "t", depth=4, width=256).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)  # never underestimates
+    assert est["hot"] >= 500
+
+    # mergeability: cells of half1 + cells of half2 == cells of all
+    # (halves split explicitly — df.limit() picks arbitrary rows)
+    h1 = cms_build(spark.createDataFrame(rows[:400], ["t"]), "t", depth=4, width=256)
+    h2 = cms_build(
+        spark.createDataFrame(rows[400:], ["t"]), "t", depth=4, width=256
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, sketch.collect()))
+    assert a == b
