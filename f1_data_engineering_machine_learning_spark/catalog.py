@@ -9405,3 +9405,97 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "doc_token_bloom_fpr",
+    f"""
+    WITH tokA AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ), tokB AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ), bits AS (
+      SELECT DISTINCT
+             {_duck_cms_bucket("CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)", "r.r", 4096)}
+               AS bit
+      FROM tokA CROSS JOIN (SELECT unnest(range(4)) AS r) r
+    ), probes AS (
+      SELECT b.t, r.r,
+             {_duck_cms_bucket("CAST(('0x' || substr(md5(b.t), 1, 15)) AS BIGINT)", "r.r", 4096)}
+               AS bit
+      FROM tokB b CROSS JOIN (SELECT unnest(range(4)) AS r) r
+    ), verdicts AS (
+      SELECT p.t, COUNT(*) = SUM(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)
+               AS maybe_present
+      FROM probes p LEFT JOIN bits USING (bit)
+      GROUP BY p.t
+    ), labeled AS (
+      SELECT v.t, v.maybe_present, a.t IS NOT NULL AS is_member
+      FROM verdicts v LEFT JOIN tokA a USING (t)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives,
+           CAST(SUM(CASE WHEN NOT is_member AND maybe_present THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN NOT is_member AND maybe_present THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS fpr
+    FROM labeled
+    """,
+)
+def doc_token_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership with its error MEASURED in the output
+    (dataops/heavyhitters.py::bloom_build/bloom_probe): the filter is
+    built over even-doc tokens, every odd-doc token probed, and the
+    summary row carries exact member/false-positive counts plus the
+    realized FPR — n_false_negatives is structurally 0 (the Bloom
+    guarantee; it sits in the value hash so a broken filter fails the
+    oracle, not just a unit test). Deterministic portable bits (md5-60
+    + LCG mixes) make the WHOLE filter value-oracled. The set-bit table
+    is the sparse mergeable form: union of bit rows = filter of the
+    union — the ship-the-filter pattern used by runtime semi-join
+    reduction, here as DATA the engine can persist and compose."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def toks(parity: int) -> DataFrame:
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"))
+            .distinct()
+        )
+
+    a, b = toks(0), toks(1)
+    bloom = bloom_build(a, "t", n_bits=4096, n_hashes=4)
+    verdicts = bloom_probe(bloom, b, "t", n_bits=4096, n_hashes=4)
+    labeled = verdicts.join(
+        a.withColumn("__m", F.lit(True)), "t", "left"
+    ).select(
+        "t",
+        "maybe_present",
+        F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_members"),
+        F.sum((F.col("is_member") & ~F.col("maybe_present")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        F.sum((~F.col("is_member") & F.col("maybe_present")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        (
+            F.sum((~F.col("is_member") & F.col("maybe_present")).cast("int"))
+            .cast("double")
+            / F.sum((~F.col("is_member")).cast("int"))
+        ).alias("fpr"),
+    )

@@ -271,3 +271,54 @@ def cms_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_estimate")
     )
+
+
+# -- bloom filter -----------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Deterministic Bloom filter over an item set: the SET-membership
+    sibling of the count-min sketch above (same portable md5-60 hash +
+    LCG row mixes, so a second engine rebuilds identical bits). Returns
+    the SET BITS as rows ``(bit bigint)`` — the sparse representation
+    that stays mergeable (union of set-bit rows = filter of the union;
+    distinct on insert) and shuffles at most ``n_hashes`` small ints
+    per item. Standard contract: probes of inserted items are ALWAYS
+    positive; non-members false-positive at ~(1-e^(-kn/m))^k."""
+    h = _portable_h60(F.col(item_col))
+    bits = F.explode(
+        F.array(*[_cms_bucket(h, r, n_bits) for r in range(n_hashes)])
+    ).alias("bit")
+    return df.select(bits).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: an item is (maybe-)present iff ALL its bits are
+    set — counted via a left join of the item's bit rows against the
+    set-bit table (broadcast — a Bloom filter is small by design).
+    Returns ``(item_col, maybe_present boolean)``."""
+    h = _portable_h60(F.col(item_col))
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(*[_cms_bucket(h, r, n_bits) for r in range(n_hashes)])
+        ).alias("bit"),
+    )
+    joined = probes.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return joined.groupBy(item_col).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0))))
+        .alias("maybe_present")
+    )

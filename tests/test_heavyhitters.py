@@ -158,3 +158,30 @@ def test_cms_never_underestimates_and_merges(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, sketch.collect()))
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], ["t"])
+    others = spark.createDataFrame([(f"x{i}",) for i in range(200)], ["t"])
+    bloom = bloom_build(members, "t", n_bits=4096, n_hashes=4)
+    got_m = bloom_probe(bloom, members, "t", 4096, 4).collect()
+    assert all(r.maybe_present for r in got_m)  # no false negatives, ever
+    got_o = {r.t: r.maybe_present for r in bloom_probe(bloom, others, "t", 4096, 4).collect()}
+    fpr = sum(got_o.values()) / len(got_o)
+    assert fpr < 0.10  # k=4, n=200, m=4096 -> theoretical ~0.0008
+
+    # sparse merge: union of two filters' bit rows == filter of the union
+    b1 = bloom_build(members, "t", 4096, 4)
+    b2 = bloom_build(others, "t", 4096, 4)
+    merged = b1.unionByName(b2).distinct()
+    whole = bloom_build(members.unionByName(others), "t", 4096, 4)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in whole.collect()
+    )
