@@ -96,3 +96,65 @@ def test_maintained_view_composes_with_versioned_history(spark, tmp_path):
     t.commit(state)
     assert {r.k: r.n_rows for r in t.read().collect()} == {1: 2, 2: 1}
     assert {r.k: r.n_rows for r in t.read(0).collect()} == {1: 1, 2: 1}
+
+
+def test_streaming_cms_maintained_in_versioned_table(spark, tmp_path):
+    """Three round-4 systems composed: a token stream maintains a
+    count-min sketch as a versioned materialized view — per-batch
+    sketch partials CELL-ADD into the stored sketch inside foreachBatch,
+    committed with the txn/appId protocol. The maintained sketch must
+    equal the one-shot sketch of the whole corpus, and a full replay
+    under a fresh checkpoint must change nothing (exactly-once
+    maintenance)."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "cms_mv")
+    rows = [(f"tok{i % 37}",) for i in range(3000)]
+    spark.createDataFrame(rows, ["t"]).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run(checkpoint: str) -> None:
+        stream = spark.readStream.schema("t string").parquet(src)
+
+        def _sink(batch_df, batch_id: int) -> None:
+            t = VersionedTable(spark, tbl)
+            partial = cms_build(batch_df, "t", depth=4, width=256)
+            try:
+                state = t.read()
+                merged = (
+                    state.unionByName(partial)
+                    .groupBy("row", "bucket")
+                    .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                )
+            except FileNotFoundError:
+                merged = partial
+            t.commit(merged, mode="overwrite", txn=("cms_mv", batch_id))
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    t = VersionedTable(spark, tbl)
+    maintained = sorted(map(tuple, t.read().collect()))
+    whole = sorted(
+        map(tuple, cms_build(spark.read.parquet(src), "t", 4, 256).collect())
+    )
+    assert maintained == whole
+
+    # full replay, fresh checkpoint: txn high-water suppresses every batch
+    v_before = t._versions()[-1]
+    run(str(tmp_path / "ck2"))
+    assert sorted(map(tuple, t.read().collect())) == whole
+    assert t._versions()[-1] == v_before  # no new version committed
