@@ -105,6 +105,10 @@ HEADLINE = [
     "daily_revenue_cusum",
     "order_price_benford",
     "source_lang_gini_impurity",
+    "customer_revenue_pareto",
+    "orders_maintained_status_rollup",
+    "token_cms_estimates",
+    "doc_token_bloom_fpr",
 ]
 
 #: hard plan invariants, checked on every regeneration: query -> callable
