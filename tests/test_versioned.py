@@ -318,3 +318,47 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
         app_id="job2",
     )
     assert sorted(_ids(t.read())) == sorted(list(range(10)) * 2)
+
+
+def test_real_thread_race_on_cas_commits(spark, tmp_path):
+    """Eight REAL threads each committing five appends concurrently —
+    not the orchestrated interleave above but the actual race: every
+    commit must land (40 versions), every batch's rows appear exactly
+    once, and the manifest chain must be a single unbroken parent
+    lineage."""
+    import threading
+
+    t0 = VersionedTable(spark, str(tmp_path / "tbl"))
+    t0.commit(spark.range(0).select(F.col("id")))
+
+    errs = []
+
+    def worker(w: int) -> None:
+        try:
+            t = VersionedTable(spark, str(tmp_path / "tbl"))
+            for b in range(5):
+                base = 1000 * w + 10 * b
+                t.commit(
+                    spark.range(base, base + 3).select(F.col("id")),
+                    mode="append",
+                )
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    versions = t._versions()
+    assert versions == list(range(41))  # init + 40 contended commits
+    # unbroken parent chain
+    for v in versions[1:]:
+        assert t._manifest(v)["parent"] == v - 1
+    want = sorted(
+        1000 * w + 10 * b + i for w in range(8) for b in range(5) for i in range(3)
+    )
+    assert _ids(t.read()) == want  # nothing lost, nothing duplicated
