@@ -70,6 +70,17 @@ def _jsonable(v):
     return v
 
 
+def _norm_bound(v):
+    """Normalize a caller-supplied prune/replace bound to the manifest's
+    stored stat form so comparisons are well-typed: stats for date /
+    timestamp columns are persisted as isoformat strings (_jsonable),
+    and ISO-8601 orders lexicographically, so mapping a date/datetime
+    bound through .isoformat() preserves the comparison."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -225,6 +236,7 @@ class VersionedTable:
                 "n_rows": total,
                 "stats": all_stats,
                 "txns": txns,
+                "schema": df.schema.json(),
                 "parent": parent,
                 "ts": time.time(),
             }
@@ -264,6 +276,7 @@ class VersionedTable:
         files = m["files"]
         if prune is not None:
             col, lo, hi = prune
+            lo, hi = _norm_bound(lo), _norm_bound(hi)
             stats = m.get("stats", {})
 
             def _keep(name: str) -> bool:
@@ -274,6 +287,19 @@ class VersionedTable:
 
             files = [f for f in files if _keep(f)]
         if not files:
+            # empty result must still carry the TABLE schema so the
+            # caller's documented row-level re-filter resolves columns:
+            # prefer the schema recorded at commit; else derive it from
+            # the full (unpruned) file list with a zero-row limit
+            sj = m.get("schema")
+            if sj is not None:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
+            if m["files"]:
+                return self.spark.read.parquet(
+                    *[os.path.join(self._ddir, f) for f in m["files"]]
+                ).limit(0)
             return self.spark.createDataFrame([], "dummy string").limit(0)
         return self.spark.read.parquet(
             *[os.path.join(self._ddir, f) for f in files]
@@ -288,6 +314,7 @@ class VersionedTable:
         v = versions[-1] if version is None else version
         m = self._manifest(v)
         col, lo, hi = prune
+        lo, hi = _norm_bound(lo), _norm_bound(hi)
         stats = m.get("stats", {})
         kept = [
             f
@@ -331,6 +358,9 @@ class VersionedTable:
             )
         s_cols = stats_cols if stats_cols is not None else [col]
         new_names, new_rows, new_stats = self._write_data_files(df, s_cols)
+        # stats are stored in _jsonable form (dates -> isoformat); the
+        # file-partition comparison must run in that same domain
+        slo, shi = _norm_bound(lo), _norm_bound(hi)
         os.makedirs(self._mdir, exist_ok=True)
         while True:
             versions = self._versions()
@@ -344,9 +374,9 @@ class VersionedTable:
                 s = stats.get(f, {}).get(col)
                 if s is None:
                     rewrite.append(f)  # unknown range -> must inspect
-                elif s["max"] < lo or s["min"] > hi:
+                elif s["max"] < slo or s["min"] > shi:
                     keep.append(f)  # disjoint -> carry over untouched
-                elif s["min"] >= lo and s["max"] <= hi:
+                elif s["min"] >= slo and s["max"] <= shi:
                     pass  # fully inside -> dropped
                 else:
                     rewrite.append(f)
@@ -376,6 +406,12 @@ class VersionedTable:
                 "files": files,
                 "n_rows": kept_rows + rw_rows + new_rows,
                 "stats": all_stats,
+                # carry the parent's per-app streaming high-water marks:
+                # a maintenance op between micro-batches must not reopen
+                # the exactly-once replay window (Delta keeps txn appId
+                # versions across every commit kind)
+                "txns": dict(pm.get("txns", {})),
+                "schema": pm.get("schema", df.schema.json()),
                 "parent": parent,
                 "ts": time.time(),
             }
@@ -417,6 +453,7 @@ class VersionedTable:
         ).first()
         s_cols = stats_cols if stats_cols is not None else [key]
         new_names, new_rows, new_stats = self._write_data_files(batch, s_cols)
+        blo, bhi = _norm_bound(lohi.lo), _norm_bound(lohi.hi)
         os.makedirs(self._mdir, exist_ok=True)
         while True:
             versions = self._versions()
@@ -428,7 +465,7 @@ class VersionedTable:
             keep, rewrite = [], []
             for f in pm["files"]:
                 s = stats.get(f, {}).get(key)
-                if s is not None and (s["max"] < lohi.lo or s["min"] > lohi.hi):
+                if s is not None and (s["max"] < blo or s["min"] > bhi):
                     keep.append(f)
                 else:
                     rewrite.append(f)
@@ -460,6 +497,8 @@ class VersionedTable:
                     **rw_stats,
                     **new_stats,
                 },
+                "txns": dict(pm.get("txns", {})),
+                "schema": pm.get("schema", batch.schema.json()),
                 "parent": parent,
                 "ts": time.time(),
             }
@@ -496,6 +535,7 @@ class VersionedTable:
         while True:
             versions = self._versions()
             parent = versions[-1]
+            pm = self._manifest(parent)
             v = parent + 1
             manifest = {
                 "version": v,
@@ -503,6 +543,11 @@ class VersionedTable:
                 "files": m["files"],
                 "n_rows": m["n_rows"],
                 "stats": m.get("stats", {}),
+                # txns come from the PARENT (current tip), not the
+                # rollback target: the table's data travels back, the
+                # streaming replay-protection high-water marks must not
+                "txns": dict(pm.get("txns", {})),
+                "schema": m.get("schema", pm.get("schema")),
                 "parent": parent,
                 "ts": time.time(),
             }
@@ -515,11 +560,19 @@ class VersionedTable:
             except FileExistsError:
                 continue
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 600.0) -> dict:
         """Drop all but the last ``retain_last`` versions and delete
         data files no retained manifest references. Time travel keeps
         working within the retention window, errors cleanly past it —
-        the VACUUM RETAIN contract. Returns counts."""
+        the VACUUM RETAIN contract. Returns counts.
+
+        ``grace_seconds``: unreferenced data files YOUNGER than this are
+        left alone. Committers promote files into ``data/`` BEFORE the
+        manifest CAS, so a freshly-staged file can be momentarily
+        unreferenced while its commit is in flight; the time margin is
+        what makes vacuum safe to run concurrently with writers (the
+        same role as Delta's retention-hours floor). Tests pass 0 to
+        reclaim immediately."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         versions = self._versions()
@@ -528,10 +581,17 @@ class VersionedTable:
         for v in keep:
             live |= set(self._manifest(v)["files"])
         n_files = 0
+        now = time.time()
         if os.path.isdir(self._ddir):
             for f in os.listdir(self._ddir):
                 if f.endswith(".parquet") and f not in live:
-                    os.remove(os.path.join(self._ddir, f))
+                    p = os.path.join(self._ddir, f)
+                    try:
+                        if now - os.path.getmtime(p) < grace_seconds:
+                            continue  # possibly an in-flight commit's file
+                        os.remove(p)
+                    except OSError:
+                        continue  # already reclaimed by a concurrent vacuum
                     n_files += 1
         n_manifests = 0
         for v in versions:

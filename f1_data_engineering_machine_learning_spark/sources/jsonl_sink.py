@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Iterator
 
@@ -94,18 +95,56 @@ class JsonlShardWriter(DataSourceWriter):
             shards.append({"file": m.filename, "n_rows": m.n_rows})
         # append mode MERGES this job's shard records into the existing
         # manifest so shards/total_rows keep describing the whole
-        # directory, not just the last job's contribution
-        if not self.overwrite and os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = json.load(fh).get("shards", [])
-            shards = prior + shards
-        with open(manifest_path, "w") as fh:
-            json.dump(
-                {"shards": shards, "total_rows": sum(s["n_rows"] for s in shards)},
-                fh,
-            )
+        # directory, not just the last job's contribution. The merge is
+        # a read-modify-write, so it runs under an exclusive-create lock
+        # (the same POSIX CAS primitive versioned.py commits with):
+        # two concurrent append jobs serialize here and neither job's
+        # shard records are lost. Overwrite mode owns the directory and
+        # takes the lock only to serialize the final manifest swap.
+        self._with_manifest_lock(manifest_path, shards)
         shutil.rmtree(self.staging, ignore_errors=True)
         self._prune_staging_root()
+
+    def _with_manifest_lock(self, manifest_path: str, shards: list) -> None:
+        lock = manifest_path + ".lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                # steal locks a crashed committer abandoned
+                try:
+                    if time.time() - os.path.getmtime(lock) > 30.0:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between stat and remove
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"jsonlshards: manifest lock {lock} held > 30s"
+                    )
+                time.sleep(0.02)
+        try:
+            if not self.overwrite and os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    shards = json.load(fh).get("shards", []) + shards
+            tmp = manifest_path + f".{self.job_id}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "shards": shards,
+                        "total_rows": sum(s["n_rows"] for s in shards),
+                    },
+                    fh,
+                )
+            os.replace(tmp, manifest_path)  # atomic swap — no torn reads
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)

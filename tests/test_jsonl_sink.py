@@ -87,3 +87,48 @@ def test_jsonl_sink_failed_job_leaves_no_committed_output(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
     assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == [] \
         if os.path.exists(out) else True
+
+
+def test_concurrent_append_manifest_merge_is_lossless(spark, tmp_path):
+    """Two append jobs' commit() merges racing on _MANIFEST.json: the
+    exclusive-create lock serializes the read-modify-write, so neither
+    job's shard records are lost. Driven at the writer level with real
+    threads (Spark serializes driver-side job submission, so the race
+    is reproduced on the commit path itself, where it lives)."""
+    import threading
+
+    from f1_data_engineering_machine_learning_spark.sources.jsonl_sink import (
+        JsonlShardWriter,
+        ShardCommit,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    errs = []
+
+    def job(j: int) -> None:
+        try:
+            w = JsonlShardWriter({"path": out}, overwrite=False)
+            os.makedirs(w.staging, exist_ok=True)
+            msgs = []
+            for p in range(4):
+                name = f"part-{j:02d}-{p:02d}.jsonl"
+                with open(os.path.join(w.staging, name), "w") as fh:
+                    fh.write('{"id": %d}\n' % (j * 10 + p))
+                msgs.append(ShardCommit(name, 1))
+            w.commit(msgs)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [threading.Thread(target=job, args=(j,)) for j in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert len(man["shards"]) == 32  # 8 jobs x 4 shards, none lost
+    assert man["total_rows"] == 32
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json.lock"))

@@ -72,7 +72,7 @@ def test_vacuum_retains_window_and_deletes_unreachable(spark, tmp_path):
     t.commit(spark.range(3))
     t.commit(spark.range(10, 14), mode="overwrite")
     t.commit(spark.range(20, 22), mode="overwrite")
-    stats = t.vacuum(retain_last=2)
+    stats = t.vacuum(retain_last=2, grace_seconds=0.0)
     assert stats["removed_versions"] == 1
     assert stats["removed_files"] >= 1  # v0's files are unreachable
     # retained window still reads
@@ -362,3 +362,90 @@ def test_real_thread_race_on_cas_commits(spark, tmp_path):
         1000 * w + 10 * b + i for w in range(8) for b in range(5) for i in range(3)
     )
     assert _ids(t.read()) == want  # nothing lost, nothing duplicated
+
+
+def test_maintenance_ops_preserve_txn_high_water(spark, tmp_path):
+    """replace_where / merge_upsert / rollback between streaming
+    micro-batches must carry the parent manifest's txns map forward:
+    otherwise a replayed batch after the maintenance op re-commits and
+    duplicates rows, breaking stream_to_versioned's exactly-once
+    contract (Delta keeps txn appId versions across all commit kinds)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(10).repartitionByRange(2, "id"), stats_cols=["id"])
+    # a streaming batch commits with a txn marker
+    assert t.commit(spark.range(100, 103), mode="append", txn=("app", 0)) >= 0
+
+    # maintenance between micro-batches
+    t.replace_where(spark.range(0, 5), "id", 0, 4)
+    assert t._manifest(t._versions()[-1]).get("txns") == {"app": 0}
+    t.merge_upsert(spark.range(200, 202), "id")
+    assert t._manifest(t._versions()[-1]).get("txns") == {"app": 0}
+    t.rollback(t._versions()[-1] - 1)
+    assert t._manifest(t._versions()[-1]).get("txns") == {"app": 0}
+
+    # the replayed micro-batch is still suppressed after all three
+    n_before = sorted(r.id for r in t.read().collect())
+    assert t.commit(spark.range(100, 103), mode="append", txn=("app", 0)) == -1
+    assert sorted(r.id for r in t.read().collect()) == n_before
+
+
+def test_prune_to_empty_preserves_table_schema(spark, tmp_path):
+    """A prune that eliminates every file must still return a frame
+    with the TABLE schema so the caller's documented row-level
+    re-filter resolves (previously: dummy-string schema ->
+    AnalysisException)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(100).select("id", (F.col("id") * 2).alias("v")),
+        stats_cols=["id"],
+    )
+    out = t.read(prune=("id", 10_000, 20_000)).filter(
+        (F.col("id") >= 10_000) & (F.col("id") <= 20_000)
+    )
+    assert out.columns == ["id", "v"]
+    assert out.count() == 0
+
+
+def test_date_bound_pruning_no_typeerror(spark, tmp_path):
+    """Date/timestamp stats are persisted as isoformat strings; passing
+    datetime.date bounds to read(prune)/replace_where must normalize
+    (not raise TypeError) and still prune correctly — ISO-8601 orders
+    lexicographically."""
+    import datetime as dt
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(365).select(
+        F.date_add(F.lit("2024-01-01"), F.col("id").cast("int")).alias("d"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(4, "d")
+    t.commit(df, stats_cols=["d"])
+
+    lo, hi = dt.date(2024, 12, 1), dt.date(2024, 12, 31)
+    kept, total = t.pruned_file_count(None, ("d", lo, hi))
+    assert total == 4 and kept < total
+    got = t.read(prune=("d", lo, hi)).filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))
+    )
+    assert got.count() == 30  # leap year: 365 days from Jan 1 ends Dec 30
+
+    # replace_where with date bounds: file partition must not TypeError
+    repl = df.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)))
+    t.replace_where(repl, "d", lo, hi)
+    assert t.read().count() == 365
+
+
+def test_vacuum_grace_period_spares_inflight_files(spark, tmp_path):
+    """Committers promote data files BEFORE the manifest CAS; vacuum's
+    grace window must spare young unreferenced files so a concurrent
+    in-flight commit isn't torn."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(3))
+    # emulate an in-flight commit: files promoted, manifest not yet CAS'd
+    names, _rows, _stats = t._write_data_files(spark.range(100, 105))
+    res = t.vacuum(retain_last=1, grace_seconds=600.0)
+    assert res["removed_files"] == 0  # spared: younger than grace
+    for n in names:
+        assert os.path.exists(tmp_path / "tbl" / "data" / n)
+    # with the margin waived they are reclaimed (the test-only path)
+    res2 = t.vacuum(retain_last=1, grace_seconds=0.0)
+    assert res2["removed_files"] == len(names)
