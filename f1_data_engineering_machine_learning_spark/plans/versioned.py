@@ -81,6 +81,16 @@ def _norm_bound(v):
     return v
 
 
+def _schema_fields(schema_json: str) -> list[tuple[str, str]]:
+    """Canonical (name, type) list of a StructType json — the identity
+    append-mode schema enforcement compares (field ORDER is not part of
+    table identity; parquet reads resolve columns by name)."""
+    fields = json.loads(schema_json).get("fields", [])
+    return sorted(
+        (f["name"], json.dumps(f.get("type"), sort_keys=True)) for f in fields
+    )
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -208,6 +218,7 @@ class VersionedTable:
             total = n_rows
             all_stats = dict(stats)
             txns: dict[str, int] = {}
+            schema_json = df.schema.json()
             if parent is not None:
                 pm = self._manifest(parent)
                 txns = dict(pm.get("txns", {}))
@@ -215,6 +226,28 @@ class VersionedTable:
                     files = pm["files"] + files
                     total = pm["n_rows"] + n_rows
                     all_stats = {**pm.get("stats", {}), **all_stats}
+                    # schema enforcement (Delta semantics): an append
+                    # must match the TABLE schema, and the manifest keeps
+                    # carrying the parent's schema — an append never
+                    # silently flips the stored schema that empty-prune
+                    # reads later materialize. Only overwrite may evolve.
+                    parent_schema = pm.get("schema")
+                    if parent_schema is not None:
+                        if _schema_fields(parent_schema) != _schema_fields(
+                            schema_json
+                        ):
+                            for n in names:
+                                try:
+                                    os.remove(os.path.join(self._ddir, n))
+                                except OSError:
+                                    pass
+                            raise ValueError(
+                                "append schema mismatch: table has "
+                                f"{_schema_fields(parent_schema)}, batch has "
+                                f"{_schema_fields(schema_json)}; use "
+                                "mode='overwrite' to evolve the schema"
+                            )
+                        schema_json = parent_schema
             if txn is not None:
                 app_id, batch_id = txn
                 if txns.get(app_id, -1) >= batch_id:
@@ -236,7 +269,7 @@ class VersionedTable:
                 "n_rows": total,
                 "stats": all_stats,
                 "txns": txns,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "parent": parent,
                 "ts": time.time(),
             }

@@ -79,54 +79,50 @@ class JsonlShardWriter(DataSourceWriter):
                 n += 1
         return ShardCommit(name, n)
 
+    #: a lock is only STOLEN once it is this stale — far above any
+    #: plausible promote+merge critical section, so a live-but-slow
+    #: holder (large manifest on NFS) is never displaced; the holder
+    #: additionally refreshes the lock mtime mid-critical-section
+    STEAL_AFTER = 300.0
+    #: waiters give up after this long. Strictly GREATER than
+    #: STEAL_AFTER so crash recovery (stealing a dead committer's lock)
+    #: fires before the waiter times out.
+    WAIT_DEADLINE = 330.0
+
     def commit(self, messages) -> None:
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f != "_staging":
-                    p = os.path.join(self.path, f)
-                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-        shards = []
-        for m in messages:
-            os.replace(
-                os.path.join(self.staging, m.filename),
-                os.path.join(self.path, m.filename),
-            )
-            shards.append({"file": m.filename, "n_rows": m.n_rows})
-        # append mode MERGES this job's shard records into the existing
-        # manifest so shards/total_rows keep describing the whole
-        # directory, not just the last job's contribution. The merge is
-        # a read-modify-write, so it runs under an exclusive-create lock
-        # (the same POSIX CAS primitive versioned.py commits with):
-        # two concurrent append jobs serialize here and neither job's
-        # shard records are lost. Overwrite mode owns the directory and
-        # takes the lock only to serialize the final manifest swap.
-        self._with_manifest_lock(manifest_path, shards)
-        shutil.rmtree(self.staging, ignore_errors=True)
-        self._prune_staging_root()
-
-    def _with_manifest_lock(self, manifest_path: str, shards: list) -> None:
         lock = manifest_path + ".lock"
-        deadline = time.time() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                # steal locks a crashed committer abandoned
-                try:
-                    if time.time() - os.path.getmtime(lock) > 30.0:
-                        os.remove(lock)
-                        continue
-                except OSError:
-                    continue  # holder released between stat and remove
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"jsonlshards: manifest lock {lock} held > 30s"
-                    )
-                time.sleep(0.02)
+        # Promotion AND the manifest read-modify-write both happen under
+        # the exclusive-create lock (the same POSIX CAS primitive
+        # versioned.py commits with). Two consequences:
+        #   1. concurrent append jobs serialize, so neither job's shard
+        #      records are lost in the manifest merge;
+        #   2. if the lock cannot be acquired, NOTHING has been promoted
+        #      yet — the all-or-nothing contract holds (no
+        #      committed-looking .jsonl files that no manifest records).
+        self._acquire_lock(lock)
         try:
+            if self.overwrite:
+                for f in os.listdir(self.path):
+                    if f != "_staging" and not f.startswith(
+                        "_MANIFEST.json.lock"
+                    ):
+                        p = os.path.join(self.path, f)
+                        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            shards = []
+            for m in messages:
+                os.replace(
+                    os.path.join(self.staging, m.filename),
+                    os.path.join(self.path, m.filename),
+                )
+                shards.append({"file": m.filename, "n_rows": m.n_rows})
+            # heartbeat: promoting many shards can be slow — refresh the
+            # lock mtime so a waiter never mistakes us for a crashed
+            # committer mid-critical-section
+            try:
+                os.utime(lock)
+            except OSError:
+                pass
             if not self.overwrite and os.path.exists(manifest_path):
                 with open(manifest_path) as fh:
                     shards = json.load(fh).get("shards", []) + shards
@@ -141,10 +137,72 @@ class JsonlShardWriter(DataSourceWriter):
                 )
             os.replace(tmp, manifest_path)  # atomic swap — no torn reads
         finally:
+            self._release_lock(lock)
+        shutil.rmtree(self.staging, ignore_errors=True)
+        self._prune_staging_root()
+
+    def _acquire_lock(self, lock: str) -> None:
+        """Exclusive-create lock with crash recovery.
+
+        Stealing is ATOMIC per lock incarnation: a stale lock is claimed
+        by ``os.replace``-ing it to a stealer-unique name, so of N racing
+        stealers exactly one wins (the rest get FileNotFoundError and
+        re-loop). The winner verifies by inode that what it displaced is
+        the same stale file it statted; if a release+re-acquire slipped
+        into that window (ABA), the displaced FRESH lock is restored via
+        ``os.link`` (which itself fails harmlessly if an even newer lock
+        already exists). This closes the unlink race where two waiters
+        could both enter the critical section."""
+        deadline = time.monotonic() + self.WAIT_DEADLINE
+        while True:
             try:
-                os.remove(lock)
-            except OSError:
-                pass
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, self.job_id.encode())
+                finally:
+                    os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    st = os.stat(lock)
+                    if time.time() - st.st_mtime > self.STEAL_AFTER:
+                        stolen = lock + f".stale.{uuid.uuid4().hex}"
+                        try:
+                            os.replace(lock, stolen)
+                        except FileNotFoundError:
+                            continue  # another stealer won — re-loop
+                        st2 = os.stat(stolen)
+                        if (
+                            st2.st_ino != st.st_ino
+                            and time.time() - st2.st_mtime <= self.STEAL_AFTER
+                        ):
+                            # ABA: we displaced a fresh lock — put it back
+                            try:
+                                os.link(stolen, lock)
+                            except OSError:
+                                pass
+                        os.remove(stolen)
+                        continue
+                except OSError:
+                    continue  # lock released between stat and steal
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"jsonlshards: manifest lock {lock} held > "
+                        f"{self.WAIT_DEADLINE:.0f}s"
+                    )
+                time.sleep(0.02)
+
+    def _release_lock(self, lock: str) -> None:
+        """Remove the lock only if WE still own it (owner id re-verified)
+        — a holder whose lock was stolen after a long stall must not
+        unlink the thief's fresh lock."""
+        try:
+            with open(lock) as fh:
+                if fh.read() != self.job_id:
+                    return
+            os.remove(lock)
+        except OSError:
+            pass
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)

@@ -132,3 +132,95 @@ def test_concurrent_append_manifest_merge_is_lossless(spark, tmp_path):
     assert len(man["shards"]) == 32  # 8 jobs x 4 shards, none lost
     assert man["total_rows"] == 32
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json.lock"))
+
+
+def _mk_writer_with_staged(out, j=0, n=2):
+    from f1_data_engineering_machine_learning_spark.sources.jsonl_sink import (
+        JsonlShardWriter,
+        ShardCommit,
+    )
+
+    w = JsonlShardWriter({"path": out}, overwrite=False)
+    os.makedirs(w.staging, exist_ok=True)
+    msgs = []
+    for p in range(n):
+        name = f"part-{j:02d}-{p:02d}.jsonl"
+        with open(os.path.join(w.staging, name), "w") as fh:
+            fh.write('{"id": %d}\n' % (j * 10 + p))
+        msgs.append(ShardCommit(name, 1))
+    return w, msgs
+
+
+def test_lock_timeout_promotes_nothing(tmp_path):
+    """ADVICE r5: all-or-nothing under lock contention. A commit that
+    cannot take the manifest lock must raise BEFORE promoting any shard
+    — no committed-looking .jsonl files that no manifest records."""
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    lock = os.path.join(out, "_MANIFEST.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("someone-else")  # live foreign holder
+
+    w, msgs = _mk_writer_with_staged(out)
+    w.WAIT_DEADLINE = 0.3  # fast test; steal threshold stays huge
+    with pytest.raises(TimeoutError):
+        w.commit(msgs)
+    assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    # shards are still intact in staging (abort() can sweep them)
+    assert len(os.listdir(w.staging)) == 2
+    # the foreign lock was NOT stolen (it is fresh)
+    assert open(lock).read() == "someone-else"
+
+
+def test_stale_lock_is_stolen_and_commit_proceeds(tmp_path):
+    """A lock abandoned by a crashed committer (mtime past STEAL_AFTER)
+    is stolen atomically and the commit completes."""
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    lock = os.path.join(out, "_MANIFEST.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("crashed-job")
+    old = 1_000_000_000.0
+    os.utime(lock, (old, old))  # ancient mtime => stale
+
+    w, msgs = _mk_writer_with_staged(out)
+    w.commit(msgs)
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == 2
+    assert not os.path.exists(lock)
+    # no stray stolen-lock debris left behind
+    assert [f for f in os.listdir(out) if ".lock" in f] == []
+
+
+def test_release_only_removes_own_lock(tmp_path):
+    """ADVICE r5: a displaced holder must not unlink a thief's fresh
+    lock — release re-verifies the owner id before removing."""
+    from f1_data_engineering_machine_learning_spark.sources.jsonl_sink import (
+        JsonlShardWriter,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    lock = os.path.join(out, "_MANIFEST.json.lock")
+    w = JsonlShardWriter({"path": out}, overwrite=False)
+    with open(lock, "w") as fh:
+        fh.write("other-owner")
+    w._release_lock(lock)
+    assert os.path.exists(lock)  # not ours -> untouched
+    with open(lock, "w") as fh:
+        fh.write(w.job_id)
+    w._release_lock(lock)
+    assert not os.path.exists(lock)  # ours -> removed
+
+
+def test_steal_threshold_exceeds_waiter_deadline_is_false():
+    """ADVICE r5: the steal threshold must be substantially below the
+    waiter deadline so crash recovery fires before waiters give up, and
+    far above any plausible critical-section duration."""
+    from f1_data_engineering_machine_learning_spark.sources.jsonl_sink import (
+        JsonlShardWriter,
+    )
+
+    assert JsonlShardWriter.STEAL_AFTER >= 300.0
+    assert JsonlShardWriter.WAIT_DEADLINE > JsonlShardWriter.STEAL_AFTER

@@ -449,3 +449,42 @@ def test_vacuum_grace_period_spares_inflight_files(spark, tmp_path):
     # with the margin waived they are reclaimed (the test-only path)
     res2 = t.vacuum(retain_last=1, grace_seconds=0.0)
     assert res2["removed_files"] == len(names)
+
+
+def test_append_schema_enforced_and_carried_forward(spark, tmp_path):
+    """ADVICE r5: append must NOT flip the manifest's stored table
+    schema. A matching append (even with reordered columns) carries the
+    parent schema forward; a mismatched append is rejected (Delta-style
+    schema enforcement) and leaves the table untouched."""
+    import json as _json
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    t.commit(base, stats_cols=["id"])
+    # reordered columns: same table schema, append accepted, manifest
+    # keeps the PARENT's schema json verbatim
+    t.commit(
+        spark.range(5, 8).select((F.col("id") * 2).alias("v"), F.col("id")),
+        mode="append",
+    )
+    mdir = tmp_path / "tbl" / "_manifests"
+    manifests = sorted(os.listdir(mdir))
+    m0 = _json.load(open(mdir / manifests[0]))
+    m1 = _json.load(open(mdir / manifests[-1]))
+    assert m1["schema"] == m0["schema"]
+    # prune-to-empty read still materializes the TABLE schema
+    empty = t.read(prune=("id", 10_000, 20_000)).filter(F.col("id") > 10_000)
+    assert set(empty.columns) == {"id", "v"}
+
+    # mismatched append: rejected, no new version, no orphan data files
+    files_before = set(os.listdir(tmp_path / "tbl" / "data"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.commit(
+            spark.range(3).select(F.col("id"), F.lit("x").alias("other")),
+            mode="append",
+        )
+    assert t._versions()[-1] == 1
+    assert set(os.listdir(tmp_path / "tbl" / "data")) == files_before
+    assert _ids(t.read()) == list(range(8))
