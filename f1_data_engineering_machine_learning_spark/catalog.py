@@ -95,73 +95,33 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Queries surfaced FIRST by ``queries()``. The external correctness
-#: gate snapshots the first 50 entries in iteration order; rounds 1-3
-#: hard-verified 101 distinct queries, so round 4 rotates the gate a
-#: third time to the 73 entries that have never had a driver row.
-#: The first 50 lead with the architecturally interesting operators
-#: (ANN indexes, SCD2, incremental dedup, throttling, fuzzy join,
-#: sequence mining, BPE application, TPC-H shapes); the remaining 23
-#: follow immediately and queue for the round-5 rotation. Everything
-#: not listed keeps registration (file) order behind these; total
-#: content is identical.
+#: gate snapshots the first 50 entries in iteration order; rounds 1-5
+#: hard-verified 151 distinct queries. Round 6 rotates the gate a
+#: fourth time: the first 35 slots are the LAST queries that have never
+#: had a driver row (completing hard driver verification of the entire
+#: catalog), led by the new end-to-end F1 ABT pipeline query; the
+#: remaining 15 slots re-verify the queries whose newest driver
+#: evidence is the oldest (r1/r2). Everything not listed keeps
+#: registration (file) order behind these; total content is identical.
+#: (embedding_lsh_topk stays out of the first 50 — it is the catalog's
+#: one rows-only entry: MLlib BucketedRandomProjectionLSH hyperplanes
+#: aren't reproducible in SQL, its recall contract is pytest-oracled —
+#: keeping every gated row a full value oracle.)
 _GATE_PRIORITY = [
-    # -- round-4 gate: flagship never-gated operators (first 50) --
-    "embedding_ivf_topk",
-    "user_state_scd2",
-    "incremental_minhash_pairs_docs",
-    "incremental_exact_dedup_docs",
-    "throttled_user_events",
-    "similar_customer_names",
-    "frequent_session_sequences",
-    "part_association_rules",
-    "doc_bpe_segmentation",
-    "orders_in_quarter_ranges",
-    "signup_purchase_funnel",
-    "signup_conversion_lag_quantiles",
-    "benchmark_contamination_docs",
-    "doc_repetition_profile",
-    "corpus_mixture_sample",
-    "daily_user_value_gapfill",
-    "daily_user_value_interpolated",
-    "user_daily_value_ewma",
-    "doc_chunks_overlap",
-    "customer_cohort_retention",
-    "sole_returning_supplier",
-    "nation_year_profit",
-    "nation_market_share",
-    "top_supplier_by_revenue",
-    "disjunctive_part_revenue",
-    "small_lot_part_revenue",
-    "big_quantity_orders",
-    "idle_high_balance_by_nation",
-    "excess_shipper_suppliers",
-    "unshipped_order_revenue",
-    "returned_revenue_customers",
-    "promo_revenue_share",
-    "late_shipment_priority_counts",
-    "customer_order_gaps",
-    "weekly_revenue_growth",
-    "sliding_event_counts",
-    "click_next_purchase",
-    "preferred_daily_event",
-    "customer_time_weighted_balance",
-    "kanonymity_customer_segments",
-    "ldiversity_customer_segments",
-    "term_posting_lists",
-    "bigram_collocations",
-    "trending_daily_terms",
-    "segment_priority_chisq",
-    "lineitem_correlation_matrix",
-    "brand_price_size_slope",
-    "order_price_equidepth_hist",
-    "embedding_int8_quantized",
-    "top_parts_per_brand_ranked",
-    # -- remaining never-gated: queued for the round-5 rotation --
-    # (embedding_lsh_topk is the catalog's one rows-only entry — MLlib
-    # BucketedRandomProjectionLSH hyperplanes aren't reproducible in SQL,
-    # its recall contract is pytest-oracled instead — so it sits just past
-    # the 50-slot cutoff to keep every gated row a full value oracle.)
-    "embedding_lsh_topk",
+    # -- round-6 gate: the 35 never-driver-gated queries --
+    "f1_abt_fixture",
+    "token_cms_estimates",
+    "doc_token_bloom_fpr",
+    "orders_maintained_status_rollup",
+    "embedding_kmeans_lloyd",
+    "customer_revenue_pareto",
+    "daily_revenue_cusum",
+    "doc_pii_scan",
+    "doc_top_terms_tfidf",
+    "order_price_benford",
+    "part_price_size_skyline",
+    "session_step_transitions",
+    "source_lang_gini_impurity",
     "lineitem_measures_unpivot",
     "order_price_histogram",
     "corpus_shuffle_assignment",
@@ -184,6 +144,24 @@ _GATE_PRIORITY = [
     "weekday_revenue_seasonality",
     "order_lineitem_date_audit",
     "nation_share_of_region_revenue",
+    # -- slots 36-50: stalest driver evidence (r1/r2) re-verified --
+    "daily_event_rollup_cascade",
+    "approx_stats_scale_mode",
+    "asof_order_snapshot",
+    "brand_share_of_revenue",
+    "churned_customers_except",
+    "conditional_supplier_stats",
+    "cube_order_counts",
+    "current_year_orders",
+    "customer_name_strings",
+    "customer_order_sequence",
+    "customer_scope_fanout",
+    "dedup_keep_last_events",
+    "distinct_event_days",
+    "doc_constraint_report",
+    "doc_salient_terms",
+    # -- rows-only entry, intentionally just past the 50-slot cutoff --
+    "embedding_lsh_topk",
 ]
 
 
@@ -9499,3 +9477,61 @@ def doc_token_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum((~F.col("is_member")).cast("int"))
         ).alias("fpr"),
     )
+
+
+def _f1_abt_oracle() -> str:
+    from f1_data_engineering_machine_learning_spark.pipeline.oracle import (
+        f1_abt_oracle_sql,
+    )
+
+    return f1_abt_oracle_sql(_F1_ABT_DATES, oot_bound=2025)
+
+
+#: four committed-fixture event dates (round-10 finales of each season +
+#: the 2023 round-5 sprint weekend) — snapshots with a non-null
+#: tempRoundNumber and both race+sprint form in scope
+_F1_ABT_DATES = ["2021-07-05", "2022-07-05", "2023-04-26", "2023-07-05"]
+
+
+@query("f1_abt_fixture")
+def f1_abt_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END-TO-END pipeline as ONE composed gate query:
+    bronze all-string results (committed deterministic fixture,
+    pipeline/fixtures.py) -> champions (champions.sql:1-25) ->
+    point-in-time feature-store snapshots over four event dates
+    (feature_store_drivers.sql:1-171, single-pass scale mode) -> ABT
+    label join (abt_champions.sql:1-28). The DuckDB oracle replays the
+    three reference SQL files verbatim over the same fixture rendered as
+    an inline VALUES relation (pipeline/oracle.py) — the whole-pipeline
+    parity check, not just per-stage goldens. Output types normalized
+    through the shared abt_type_map so both engines' pandas dtypes
+    compare bitwise."""
+    from f1_data_engineering_machine_learning_spark.pipeline import (
+        abt_champions,
+        champions,
+        driver_feature_store,
+    )
+    from f1_data_engineering_machine_learning_spark.pipeline.feature_store import (
+        driver_snapshot_columns,
+    )
+    from f1_data_engineering_machine_learning_spark.pipeline.fixtures import (
+        results_fixture,
+    )
+    from f1_data_engineering_machine_learning_spark.pipeline.oracle import (
+        abt_type_map,
+    )
+
+    df = results_fixture(spark)
+    fs = driver_feature_store(df, _F1_ABT_DATES, mode="single_pass")
+    abt = abt_champions(fs, champions(df), oot_bound=2025)
+    spark_types = {"INTEGER": "int", "BIGINT": "bigint", "DOUBLE": "double"}
+    tm = abt_type_map()
+    return abt.select(
+        *[
+            F.col(c).cast(spark_types[tm[c]]).alias(c) if c in tm else F.col(c)
+            for c in driver_snapshot_columns() + ["flChamp"]
+        ]
+    )
+
+
+_ORACLES["f1_abt_fixture"] = _f1_abt_oracle()

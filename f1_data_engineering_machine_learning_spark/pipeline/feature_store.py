@@ -120,14 +120,43 @@ def _spec() -> SnapshotSpec:
     )
 
 
+_METRIC_BASES = [
+    "Position",
+    "PositionRace",
+    "PositionSprint",
+    "GridPosition",
+    "GridPositionRace",
+    "GridPositionSprint",
+    "PositionGain",
+    "PositionRaceGain",
+    "PositionSprintGain",
+]
+
+
+def _block_names(scope: str, suffix: str) -> list[str]:
+    """Column NAMES of one scope's block — pure strings, no SparkContext
+    needed (the oracle generator renders these at import time)."""
+    names: list[str] = []
+    if scope == "life":
+        names += ["qtdRuns", "qtdRace", "qtdSprint"]
+    for base in _METRIC_BASES:
+        names.append(_AVG_NAME_OVERRIDES.get((base, suffix), f"avg{base}{suffix}"))
+    for base in _METRIC_BASES:
+        names.append(f"median{base}{suffix}")
+    names += [f"qtdeWins{suffix}", f"qtdePodiums{suffix}", f"qtdePoles{suffix}"]
+    if scope == "current":
+        names.append(f"totalPoints{suffix}")
+    return names
+
+
 def driver_snapshot_columns() -> list[str]:
     """Full output column order
     (/root/reference/sql/feature_store_drivers.sql:122-167)."""
     return (
         ["tempRoundNumber", "DriverId", "dtRef", "dtYear"]
-        + [name for name, _, _ in _block("life", "")]
-        + [name for name, _, _ in _block("year1", "1Year")]
-        + [name for name, _, _ in _block("current", "CurrentTemp")]
+        + _block_names("life", "")
+        + _block_names("year1", "1Year")
+        + _block_names("current", "CurrentTemp")
     )
 
 
