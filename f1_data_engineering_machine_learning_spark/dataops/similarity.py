@@ -745,10 +745,15 @@ def ivf_probe_indexed(
 ) -> DataFrame:
     """Top-k probe against a persisted IVF index (``build_ivf_index``).
 
-    The union of all queries' probed centroids becomes a STATIC ``isin``
-    predicate on the partition column, so the vectors scan lists and reads
-    only those directories (centroid sets are tiny: n_queries x n_probe
-    ids collected driver-side). Within the probed partitions, exact cosine
+    The union of all queries' probed centroids prunes the vectors scan
+    via a BROADCAST SEMI-JOIN on the partition column: Spark's dynamic
+    partition pruning turns the broadcasted probe-centroid set into a
+    runtime PartitionFilter (``dynamicpruning`` subquery in the scan,
+    plan-asserted), so only the probed centroid directories are listed
+    and read — with a CONSTANT-SIZE plan. Nothing is collected to the
+    driver and no literal In-list grows with n_queries x n_probe, unlike
+    a collect()+isin formulation whose predicate (and plan) balloons at
+    production probe volume. Within the probed partitions, exact cosine
     re-rank as usual."""
     spark = queries.sparkSession
     cent = spark.read.parquet(f"{index_path}/centroids")
@@ -764,12 +769,12 @@ def ivf_probe_indexed(
         rn_col="__pr",
     ).select("query_id", "centroid", "__qvec")
 
-    probed_ids = sorted(
-        {r.centroid for r in probes.select("centroid").distinct().collect()}
-    )
+    # bounded by n_centroids rows; the rn<=n_probe filter upstream is the
+    # selective predicate Spark's DPP rule requires to rewrite the scan
+    probed = probes.select("centroid").distinct()
     vectors = (
         spark.read.parquet(f"{index_path}/vectors")
-        .filter(F.col("centroid").isin(probed_ids))
+        .join(F.broadcast(probed), "centroid", "leftsemi")
         .select(
             "centroid",
             F.col("vec_id").alias("neighbor_id"),

@@ -49,16 +49,25 @@ def throttle_events(
         raise ValueError("min_gap_seconds must be positive")
     order = [ts_col, *tiebreak_cols]
 
+    gap_ns = int(round(min_gap_seconds * 1_000_000_000))
+
     def _scan(pdf):
+        import numpy as np
+
         pdf = pdf.sort_values(order, kind="mergesort")
-        keep = []
-        last = None
-        for t in pdf[ts_col]:
-            if last is None or (t - last).total_seconds() >= min_gap_seconds:
-                keep.append(True)
+        # the sequential walk runs over RAW epoch-ns ints (.tolist()
+        # yields native Python ints in one C pass) — exactness is
+        # unchanged vs Timestamp arithmetic, but each step is integer
+        # subtract/compare instead of materializing a pandas Timestamp
+        # and calling .total_seconds(): ~20x less Python overhead per
+        # event at 100 TB event density (PERF.md micro-bench)
+        ts_ns = pdf[ts_col].to_numpy(dtype="datetime64[ns]").view("int64")
+        keep = np.zeros(len(ts_ns), dtype=bool)
+        last = -(1 << 62)  # sentinel: first event is always kept
+        for i, t in enumerate(ts_ns.tolist()):
+            if t - last >= gap_ns:
+                keep[i] = True
                 last = t
-            else:
-                keep.append(False)
         return pdf[keep]
 
     return df.groupBy(*entity_cols).applyInPandas(_scan, df.schema)

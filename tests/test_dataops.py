@@ -349,9 +349,12 @@ def test_rp_lsh_topk_deterministic_and_high_recall(spark, sf_dir):
 
 def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     """The at-rest IVF layout: corpus partitioned by centroid id on disk,
-    probes carry a static partition predicate — the scan must show
-    PartitionFilters (files of unprobed centroids are never listed/read)
-    and results must match the in-memory IVF at the same parameters."""
+    probes prune the scan via broadcast-semi-join dynamic partition
+    pruning — the vectors scan must carry a ``dynamicpruning`` runtime
+    PartitionFilter (files of unprobed centroids are never listed/read),
+    the plan must be CONSTANT-SIZE (no literal In-list of collected
+    centroid ids that grows with n_queries x n_probe), and results must
+    match the in-memory IVF at the same parameters."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = str(tmp_path / "ivf")
     similarity.build_ivf_index(emb, idx, n_centroids=8)
@@ -360,7 +363,20 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     import re
 
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"PartitionFilters: \[centroid#\d+ IN \(", plan), plan
+    # the vectors scan is the only FileScan whose projected columns
+    # include the partition column (Location paths can be truncated in
+    # toString, so identify it by its column list)
+    vec_scans = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"FileScan parquet \[[^\]]*centroid#\d+\]", line)
+    ]
+    assert vec_scans, plan
+    assert all(
+        "dynamicpruningexpression" in line for line in vec_scans
+    ), vec_scans
+    # k/n_probe-independence: no driver-collected In-list on the scan
+    assert not re.search(r"PartitionFilters: \[centroid#\d+ IN \(", plan)
     got = {(r.query_id, r.neighbor_id) for r in out.collect()}
     mem = {
         (r.query_id, r.neighbor_id)
