@@ -206,6 +206,32 @@ trick when the skewed side feeds an aggregation AQE cannot split.
 """
 
 
+def _global_invariants(name: str, plan: str) -> list[str]:
+    """Mechanical invariants asserted on EVERY catalog plan (the same
+    contract tests/test_plans.py sweeps): no cartesian pair explosion
+    and no row-at-a-time Python UDF in any plan. Returns violations."""
+    bad = []
+    if "CartesianProduct" in plan:
+        bad.append(f"{name}: CartesianProduct in plan")
+    if "BatchEvalPython" in plan:
+        bad.append(f"{name}: row-wise BatchEvalPython UDF in plan")
+    return bad
+
+
+def _plan_stats(plan: str) -> dict:
+    return {
+        "bhj": len(re.findall(r"BroadcastHashJoin", plan)),
+        "smj": len(re.findall(r"SortMergeJoin", plan)),
+        "ex": len(re.findall(r"\bExchange\b", plan)),
+        "pushed": sum(
+            1
+            for line in plan.splitlines()
+            if "PushedFilters" in line and "[]" not in line
+        ),
+        "arrow": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -216,26 +242,55 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
 
-    out = [
-        "# PLANS — physical-plan audit of headline queries",
-        "",
-        f"Generated by `tools/plan_audit.py` over `{sf_dir}`. Reviewed",
-        "properties: minimal ReadSchema (column pruning), PushedFilters",
-        "(predicate pushdown to the scan), broadcast vs sort-merge joins,",
-        "exchange count (shuffles).",
-        "",
-    ]
-    for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+    plans: dict[str, str] = {}
+    violations: list[str] = []
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        plans[name] = plan
+        violations += _global_invariants(name, plan)
         if name in PLAN_ASSERTS:
             PLAN_ASSERTS[name](plan)
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_ex = len(re.findall(r"\bExchange\b", plan))
+    assert not violations, "\n".join(violations)
+
+    out = [
+        "# PLANS — physical-plan audit of ALL catalog queries",
+        "",
+        f"Generated by `tools/plan_audit.py` over `{sf_dir}`:",
+        f"**{len(plans)} queries audited** — every plan mechanically",
+        "checked for the global invariants (no CartesianProduct, no",
+        "row-wise BatchEvalPython UDF) plus the per-query contracts in",
+        "`PLAN_ASSERTS` (checkpointed graph reuse, broadcast quantizers,",
+        "partitioned windows, PQ broadcast codebooks). Headline queries",
+        "get full formatted trees; the full-catalog table summarizes",
+        "joins / exchanges / pushdown / Arrow stages per plan.",
+        "",
+        "## Full-catalog summary",
+        "",
+        "| query | broadcast | sort-merge | exchanges | scans w/ pushdown | Arrow stages |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in plans:
+        s = _plan_stats(plans[name])
+        out.append(
+            f"| {name} | {s['bhj']} | {s['smj']} | {s['ex']} | "
+            f"{s['pushed']} | {s['arrow']} |"
+        )
+    out += [
+        "",
+        "# Headline query trees",
+        "",
+        "Reviewed properties: minimal ReadSchema (column pruning),",
+        "PushedFilters (predicate pushdown to the scan), broadcast vs",
+        "sort-merge joins, exchange count (shuffles).",
+        "",
+    ]
+    for name in HEADLINE:
+        plan = plans[name]
+        s = _plan_stats(plan)
         pushed = [
             line.strip()
             for line in plan.splitlines()
@@ -247,11 +302,11 @@ def main() -> None:
         out += [
             f"## {name}",
             "",
-            f"- broadcast joins: {n_bhj}, sort-merge joins: {n_smj}, "
-            f"exchanges: {n_ex}",
+            f"- broadcast joins: {s['bhj']}, sort-merge joins: {s['smj']}, "
+            f"exchanges: {s['ex']}",
         ]
         out += [f"- `{p}`" for p in pushed[:4]]
-        out += [f"- `{s}`" for s in schemas[:4]]
+        out += [f"- `{sch}`" for sch in schemas[:4]]
         # keep the tree only (first block) to stay reviewable
         tree = plan.split("\n\n")[0]
         out += ["", "```", tree, "```", ""]
@@ -261,7 +316,10 @@ def main() -> None:
     for extra in sorted((REPO / "tools" / "plan_notes").glob("*.md")):
         out.append(extra.read_text())
     Path(REPO / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE)} queries)")
+    print(
+        f"wrote PLANS.md ({len(plans)} queries audited, "
+        f"{len(HEADLINE)} headline trees)"
+    )
 
 
 if __name__ == "__main__":
