@@ -76,12 +76,14 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 4 rotates the gate to the 73 entries with no
-    prior driver row: every _GATE_PRIORITY entry must be registered and
-    lead the iteration order (gated 50 first, the rest queued next for
-    round 5), and the gated 50 must all be value-oracle-paired (the one
-    rows-only entry, embedding_lsh_topk, sits past the cutoff)."""
+    iteration order. Round 6 completes hard driver verification of the
+    whole catalog: slots 1-35 are exactly the queries with NO driver row
+    in rounds 1-5 (plus the new end-to-end f1_abt_fixture), slots 36-50
+    re-verify stale r1/r2 evidence, every gated entry is
+    value-oracle-paired, and the one rows-only entry
+    (embedding_lsh_topk) sits past the cutoff."""
     import json
+    import os
 
     from f1_data_engineering_machine_learning_spark import catalog
 
@@ -91,11 +93,19 @@ def test_gate_priority_queries_in_first_50():
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
     gated = set()
-    for r in (1, 2, 3):
-        gated |= set(json.load(open(f"CORRECTNESS_r0{r}.json")))
+    for r in (1, 2, 3, 4, 5):
+        p = f"CORRECTNESS_r0{r}.json"
+        if os.path.exists(p):
+            gated |= set(json.load(open(p)))
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-        assert n not in gated, f"{n} already driver-gated in rounds 1-3"
+    for n in names[:35]:
+        assert n not in gated, f"{n} already driver-gated in rounds 1-5"
+    # with the first 35 gated, every catalog query has (or will have
+    # after this round) at least one hard driver correctness row
+    never = set(catalog._QUERIES) - gated - set(names[:35])
+    assert never == {"embedding_lsh_topk"}, never
+    assert "embedding_lsh_topk" not in names[:50]
 
 
 def test_variant_nested_typed_extraction(spark):

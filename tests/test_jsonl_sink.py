@@ -224,3 +224,38 @@ def test_steal_threshold_exceeds_waiter_deadline_is_false():
 
     assert JsonlShardWriter.STEAL_AFTER >= 300.0
     assert JsonlShardWriter.WAIT_DEADLINE > JsonlShardWriter.STEAL_AFTER
+
+
+def test_racing_stealers_one_winner_lossless(tmp_path):
+    """8 committers race on a PLANTED STALE lock: the rename-to-unique
+    steal admits exactly one stealer per lock incarnation, the rest
+    re-queue — every job's shards land in the manifest, no lock debris
+    survives."""
+    import threading
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    lock = os.path.join(out, "_MANIFEST.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("crashed-job")
+    old = 1_000_000_000.0
+    os.utime(lock, (old, old))
+
+    errs = []
+
+    def job(j: int) -> None:
+        try:
+            w, msgs = _mk_writer_with_staged(out, j=j, n=2)
+            w.commit(msgs)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    threads = [threading.Thread(target=job, args=(j,)) for j in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(man["shards"]) == 16 and man["total_rows"] == 16
+    assert [f for f in os.listdir(out) if ".lock" in f] == []
