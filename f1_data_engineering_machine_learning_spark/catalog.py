@@ -9535,3 +9535,60 @@ def f1_abt_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["f1_abt_fixture"] = _f1_abt_oracle()
+
+
+@query(
+    "doc_bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text),
+                                        '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), stream AS (
+      SELECT unnest(t) AS w FROM toks
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM stream WHERE w <> ''
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+    ), model AS (
+      SELECT c2.w1, c2.w2,
+             (CAST(c2.c2 + 1 AS BIGINT) * 1048576)
+               // CAST(c1.c1 + vocab.v AS BIGINT) AS q
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(model.q) AS BIGINT) AS lm_q_sum,
+           CAST(SUM(model.q) AS DOUBLE)
+             / CAST(COUNT(*) * 1048576 AS DOUBLE) AS lm_mean_prob
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY big.doc_id
+    """,
+)
+def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fit score per document
+    (dataops/text.py::bigram_lm_scores) — the KenLM/CCNet-style quality
+    filter of LLM data pipelines (beyond-reference §2 extension, same
+    family as quality_score / token_familiarity). Add-one-smoothed
+    ``p(w2|w1)`` per transition, aggregated as a fixed-point
+    mean probability: every per-bigram contribution is an exact BIGINT
+    floor division (``(c2+1)*2^20 DIV (c1+V)`` — Spark ``DIV`` and
+    DuckDB ``//`` agree on positive ints), summed order-independently
+    in BIGINT, with ONE IEEE double division at the end — bitwise
+    engine-portable, no libm. The model stays distributed (bigram-keyed
+    frame, equi-join scoring; Zipf-hot contexts are AQE skew-split);
+    only the 1-row vocabulary size broadcasts."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")

@@ -494,3 +494,94 @@ def top_terms_tfidf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Per-document language-model fit score from a corpus-trained
+    add-one-smoothed bigram model — the KenLM/CCNet-style quality
+    filter of LLM data pipelines (documents whose word transitions are
+    atypical for the corpus score low), kept transcendental-free so the
+    score is BITWISE reproducible in any engine.
+
+    Model: ``p(w2 | w1) = (c2(w1,w2) + 1) / (c1(w1) + V)`` where ``c2``
+    is the corpus bigram count, ``c1(w1) = sum_w2 c2(w1,w2)`` the
+    context count, and ``V`` the corpus vocabulary size. Instead of the
+    log-domain cross-entropy (libm ``ln`` ulps differ across engines and
+    summation order — the repo-wide oracle discipline forbids it), each
+    bigram contributes the FIXED-POINT integer
+    ``q = (c2 + 1) * scale  DIV  (c1 + V)`` (exact BIGINT floor
+    division), and the document score is the arithmetic mean
+    probability ``sum(q) / (n_bigrams * scale)`` — one IEEE division of
+    two exact integers at the very end. Mean-probability ranks "how
+    typical are this document's transitions" exactly like
+    mean-perplexity does in spirit (it is the L1 rather than geometric
+    aggregate — the same deliberate-variant tradeoff as
+    ``top_terms_tfidf``'s raw idf).
+
+    Output: ``(id_col, n_bigrams, lm_q_sum, lm_mean_prob)``, one row per
+    document with >= 2 tokens.
+
+    Scale: the model is never collected — bigram counts live as a
+    distributed frame keyed by (w1, w2); scoring is an equi-join of the
+    document bigram stream against it (Zipf-hot contexts are the AQE
+    skew-split case, payload one BIGINT). ``V`` broadcasts as a 1-row
+    frame. Overflow headroom: ``(c2+1) * 2^20`` stays under 2^63 until
+    a single bigram repeats ~8.8e12 times — beyond a 100 TB corpus's
+    hottest pair; drop ``scale`` a few bits if that ceiling nears.
+    ``lm_q_sum <= n_tokens * 2^20`` stays double-exact (< 2^53) for
+    documents under ~8e9 tokens."""
+    t = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+    toks = base.select("__id", F.explode("__t").alias("__w")).filter(
+        F.col("__w") != ""
+    )
+    vocab = toks.select(F.count_distinct("__w").alias("__v"))
+    n = F.size("__t")
+    big = (
+        base.filter(n >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, n - 1).alias("w2"),
+                )
+            ).alias("__b"),
+        )
+        .select("__id", F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2"))
+    )
+    c2 = big.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    model = (
+        c2.join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__w1",
+            "__w2",
+            F.expr(f"(__c2 + 1) * {scale} DIV (__c1 + __v)").alias("__q"),
+        )
+    )
+    return (
+        big.join(model, ["__w1", "__w2"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__q").alias("lm_q_sum"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("lm_q_sum").cast("bigint").alias("lm_q_sum"),
+            (
+                F.col("lm_q_sum").cast("double")
+                / (F.col("n_bigrams") * F.lit(scale)).cast("double")
+            ).alias("lm_mean_prob"),
+        )
+    )

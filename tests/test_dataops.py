@@ -1056,3 +1056,66 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
     clusters = {r.vec_id: r.cluster for r in got}
     assert clusters[0] == 1 and clusters[1] == 1  # captured by the kept centroid
     assert all(clusters[10 + i] == 0 for i in range(5))
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Corpus: doc1 'a b a', doc2 'a b', doc3 'c'.
+    Tokens stream: a,b,a,a,b,c -> V = 3 (a,b,c).
+    Bigrams: doc1 (a,b),(b,a); doc2 (a,b). c2: (a,b)=2, (b,a)=1.
+    c1: a=2, b=1.  q(a,b) = 3*S DIV (2+3); q(b,a) = 2*S DIV (1+3).
+    doc3 has one token -> no row."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        bigram_lm_scores,
+    )
+
+    S = 1 << 20
+    df = spark.createDataFrame(
+        [(1, "a  b a"), (2, "A b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {1, 2}
+    q_ab = (2 + 1) * S // (2 + 3)
+    q_ba = (1 + 1) * S // (1 + 3)
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["lm_q_sum"] == q_ab + q_ba
+    assert rows[1]["lm_mean_prob"] == (q_ab + q_ba) / (2 * S)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_q_sum"] == q_ab
+    assert rows[2]["lm_mean_prob"] == q_ab / S
+
+
+def test_bigram_lm_scores_partition_invariant(spark):
+    """Same corpus on 1 vs 7 input partitions -> identical rows (the
+    BIGINT fixed-point sum is order-independent; a float log-sum would
+    not be)."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        bigram_lm_scores,
+    )
+
+    data = [
+        (i, f"tok{i % 5} tok{(i * 3) % 7} tok{i % 5} tok{(i + 1) % 11}")
+        for i in range(60)
+    ]
+    df1 = spark.createDataFrame(data, "doc_id long, text string").coalesce(1)
+    df7 = spark.createDataFrame(data, "doc_id long, text string").repartition(7)
+    a = sorted(map(tuple, bigram_lm_scores(df1).collect()))
+    b = sorted(map(tuple, bigram_lm_scores(df7).collect()))
+    assert a == b
+
+
+def test_bigram_lm_scores_model_stays_distributed(spark):
+    """Plan contract: no CartesianProduct, no row-wise Python eval; the
+    only broadcast is the 1-row vocab frame."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        bigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
