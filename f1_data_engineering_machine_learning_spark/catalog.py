@@ -3994,6 +3994,15 @@ def _embeddings_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFram
     so DuckDB re-derives the identical twin (planted cosine ~0.9997).
     The natural corpus has no embedding dups (max pairwise cosine ~0.6),
     so the dedup-family queries share this fixture. Columns: (vec_id, v)."""
+    base, twins = _twin_frames(spark, sf_dir)
+    return base.unionByName(twins)
+
+
+def _twin_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base corpus, planted twins) as SEPARATE frames — the incremental
+    queries use twins as the arriving batch against the base corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -4008,7 +4017,7 @@ def _embeddings_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFram
             * (((F.col("vec_id") + i) % 5) - 2).cast("double"),
         ).alias("v"),
     )
-    return base.unionByName(twins)
+    return base, twins
 
 
 #: the same planted-twin fixture as DuckDB CTEs (text shared by every
@@ -9592,3 +9601,57 @@ def doc_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "doc_id", "text")
+
+
+@query(
+    "incremental_semantic_dedup_embeddings",
+    f"""
+    WITH {_DUCK_TWINS_CTES},
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT 16
+    ), ab AS (
+      SELECT vec_id, v, cid AS centroid FROM (
+        SELECT t.vec_id, t.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {_DUCK_COS.format(a="t.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM twins t CROSS JOIN cent)
+      WHERE rn = 1
+    ), ac AS (
+      SELECT vec_id, v, cid AS centroid FROM (
+        SELECT c.vec_id, c.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_DUCK_COS.format(a="c.v", b="cent.cv")} DESC,
+                          cent.cid) AS rn
+        FROM base c CROSS JOIN cent)
+      WHERE rn = 1
+    )
+    SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+           CAST(b.centroid AS INTEGER) AS centroid,
+           CAST({_DUCK_COS.format(a="b.v", b="c.v")} AS DOUBLE) AS cosine_sim
+    FROM ab b JOIN ac c ON b.centroid = c.centroid
+    WHERE CAST({_DUCK_COS.format(a="b.v", b="c.v")} AS DOUBLE) >= 0.95
+    """,
+)
+def incremental_semantic_dedup_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingest SemDeDup (dataops/similarity.py::
+    incremental_semantic_dedup): the planted twins arrive as a NEW batch
+    against the base corpus; each twin must be flagged as a semantic
+    near-dup of exactly its base vector (cosine ~0.9997 >= 0.95) with no
+    corpus x corpus rescan — completing the incremental family triple
+    (exact / MinHash-LSH / semantic). The quantizer derives from the
+    CORPUS ONLY, so existing assignments are stable under ingest (the
+    IVF-upsert contract). Oracle replays quantizer, both assignments,
+    and the in-cluster batch-vs-corpus cosine scan exactly; the cosine
+    VALUE is in the hash, so the float fold is checked bitwise."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    base, twins = _twin_frames(spark, sf_dir)
+    return incremental_semantic_dedup(
+        twins, base, id_col="vec_id", vec_col="v",
+        threshold=0.95, n_centroids=16, dim=64,
+    )

@@ -1574,3 +1574,95 @@ def kmeans_lloyd_deterministic(
         F.col("__c").cast("int").alias("cluster"),
         F.col("__d2").cast("double").alias("dist2"),
     )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    max_cluster: int = 100_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest SemDeDup: flag NEW batch vectors that are
+    semantic near-duplicates of an EXISTING corpus — the incremental
+    complement of :func:`semantic_dedup_deterministic`, completing the
+    incremental-dedup family triple (exact / MinHash-LSH / semantic,
+    dataops/dedup.py:307,334). Returns every (batch, corpus) match:
+    ``(batch_id, corpus_id, centroid, cosine_sim)``.
+
+    The quantizer derives from the CORPUS ONLY (the
+    ``n_centroids``-smallest-id corpus vectors — the stable, already-
+    built index): assignments of existing corpus vectors never move
+    when a batch arrives, exactly like the IVF upsert contract
+    (`ivf_index_upsert`). Both sides assign by the same deterministic
+    argmax fold, then candidates are batch x corpus WITHIN a cluster
+    only — the one-sided join shape of every incremental entry: no
+    corpus x corpus rescan, no batch x batch pairs (an intra-batch pass
+    is :func:`semantic_dedup_deterministic` on the batch alone).
+
+    Scale: corpus side shuffles once on the cluster key (at production
+    k ~ n/1000, clusters are ~1000 rows); the batch side is typically
+    orders of magnitude smaller; ``max_cluster`` guards degenerate
+    clusters on the CORPUS side (skip -> no pairs -> conservative
+    keep-all, same direction as the full pass). Assignment itself is
+    map-only (1-row broadcast centroid frame, k-independent plan)."""
+    wanted = ("__id", "__v", "__nv", "__c")
+
+    def _assigned(df: DataFrame, tag: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        nv = (
+            F.expr(_l2_fixed_sql("__v", dim))
+            if dim is not None
+            else l2_norm(F.col("__v"))
+        )
+        dot_c = (
+            "aggregate(zip_with(__v, c.cv, (x, y) -> x * y), "
+            "0.0D, (a, x) -> a + x)"
+        )
+        argmax = F.expr(
+            f"array_min(transform(__cents, c -> named_struct("
+            f"'negs', -({dot_c} / (__nv * c.cn)), 'cid', c.cid))).cid"
+        )
+        # fresh centroid frame per side: self-join-safe lineages (the
+        # Spark 4.1 DeduplicateRelations lambda re-alias bug — see
+        # semantic_dedup_deterministic)
+        out = (
+            out.withColumn("__nv", nv)
+            .join(F.broadcast(_centroid_frame(corpus, id_col, vec_col, n_centroids)))
+            .withColumn("__c", argmax)
+            .select(*wanted)
+        )
+        return out.select(*[F.col(c).alias(f"{c}{tag}") for c in out.columns])
+
+    from pyspark.sql import Window
+
+    b, c = _assigned(batch, "b"), _assigned(corpus, "c")
+    wc = Window.partitionBy("__cc")
+    c = (
+        c.withColumn("__csz", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__csz") <= max_cluster)
+        .drop("__csz")
+    )
+    if dim is not None:
+        sim = F.expr(
+            f"CAST({_dot_fixed_sql('__vb', '__vc', dim)}"
+            f" / (__nvb * __nvc) AS DOUBLE)"
+        )
+    else:
+        sim = cosine(F.col("__vb"), F.col("__vc"))
+    return (
+        b.join(c, F.col("__cb") == F.col("__cc"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select(
+            F.col("__idb").alias("batch_id"),
+            F.col("__idc").alias("corpus_id"),
+            F.col("__cb").cast("int").alias("centroid"),
+            F.col("__sim").alias("cosine_sim"),
+        )
+    )

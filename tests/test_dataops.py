@@ -1119,3 +1119,70 @@ def test_bigram_lm_scores_model_stays_distributed(spark):
     plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_semantic_dedup_flags_planted_twins(spark):
+    """Batch = perturbed copies of corpus vectors 0 and 3 plus one
+    orthogonal newcomer. Each twin must match exactly its base vector;
+    the newcomer must produce no row (kept). Quantizer derives from the
+    corpus only."""
+    import math
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    dim = 8
+
+    def unit(i):
+        # distinct well-separated unit vectors: one-hot
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(i, unit(i)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    eps = 0.01
+    twin0 = [x + (eps if k == 1 else 0.0) for k, x in enumerate(unit(0))]
+    twin3 = [x + (eps if k == 4 else 0.0) for k, x in enumerate(unit(3))]
+    ortho = [0.0] * dim
+    ortho[7] = -1.0  # cosine <= 0 to every corpus vector
+    batch = spark.createDataFrame(
+        [(100, twin0), (103, twin3), (999, ortho)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = incremental_semantic_dedup(
+        batch, corpus, threshold=0.95, n_centroids=6, dim=dim
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in rows}
+    assert got == {(100, 0), (103, 3)}
+    for r in rows:
+        assert r["cosine_sim"] >= 0.95
+        assert math.isclose(r["cosine_sim"], 1 / math.sqrt(1 + eps * eps), rel_tol=1e-9)
+
+
+def test_incremental_semantic_dedup_plan_is_one_sided(spark):
+    """Plan contract: cluster-keyed equi-join between batch and corpus
+    (no CartesianProduct beyond the 1-row centroid broadcast, no Python
+    row path)."""
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        incremental_semantic_dedup(batch, corpus, n_centroids=4, dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
