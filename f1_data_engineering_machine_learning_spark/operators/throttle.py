@@ -8,15 +8,19 @@ is then too close to 5). No composition of lag/window/sessionize computes
 it: a plain ``lag >= gap`` filter checks distance to the previous RAW
 event (would keep {0,9}), and gap-sessionization groups by raw-gap breaks
 (would keep {0}). It is the textbook case for Spark's custom-operator
-tier: ``applyInPandas`` with a per-entity linear scan.
-
-Scale shape: ONE shuffle co-locates each entity's events; the scan is
-O(events-per-entity) per group, Arrow-batched, embarrassingly parallel
-across entities — the Python cost is a single pass over values the group
-already holds in memory. State is one timestamp per group. Entities are
-independent, so skewed group sizes are the only hazard (same as any
-groupBy; an entity's history must fit a worker, true of every per-entity
-sequential semantic).
+tier — but NOT for grouped-map: ``applyInPandas`` pays a pandas
+frame-construction + sort per GROUP (~2.5 ms each, measured), which at
+1,500 entities was 90% of the query's runtime. Instead: one shuffle
+co-locates and orders each entity's events (``repartition`` +
+``sortWithinPartitions`` — a JVM sort, not 1,500 Python sorts), then a
+single ``mapInPandas`` pass walks each partition's Arrow batches
+carrying a ``{entity: last_kept_ns}`` dict across batch boundaries.
+Per-partition Python work is one C-speed int loop over raw epoch-ns;
+per-entity state is one integer. Entities are hash-partitioned and
+independent, so skewed entity history is the only hazard (same as any
+groupBy; an entity's history must fit a worker, true of every
+per-entity sequential semantic) — and unlike grouped-map, a partition's
+MEMORY need is one Arrow batch, not the largest group.
 
 Verified against a DuckDB RECURSIVE CTE replay of the same walk
 (catalog ``throttled_user_events``).
@@ -50,24 +54,42 @@ def throttle_events(
     order = [ts_col, *tiebreak_cols]
 
     gap_ns = int(round(min_gap_seconds * 1_000_000_000))
+    n_entity = len(entity_cols)
 
-    def _scan(pdf):
+    def _scan(batches):
         import numpy as np
 
-        pdf = pdf.sort_values(order, kind="mergesort")
-        # the sequential walk runs over RAW epoch-ns ints (.tolist()
-        # yields native Python ints in one C pass) — exactness is
-        # unchanged vs Timestamp arithmetic, but each step is integer
-        # subtract/compare instead of materializing a pandas Timestamp
-        # and calling .total_seconds(): ~20x less Python overhead per
-        # event at 100 TB event density (PERF.md micro-bench)
-        ts_ns = pdf[ts_col].to_numpy(dtype="datetime64[ns]").view("int64")
-        keep = np.zeros(len(ts_ns), dtype=bool)
-        last = -(1 << 62)  # sentinel: first event is always kept
-        for i, t in enumerate(ts_ns.tolist()):
-            if t - last >= gap_ns:
-                keep[i] = True
-                last = t
-        return pdf[keep]
+        # per-entity walk state survives Arrow batch boundaries: the
+        # partition iterator yields batches in the partition's sorted
+        # order, so an entity split across batches resumes from its
+        # recorded last-kept timestamp
+        last: dict = {}
+        get = last.get
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # raw epoch-ns ints (.tolist() converts in one C pass):
+            # exactness unchanged vs Timestamp arithmetic, each step an
+            # integer subtract/compare — no pandas object materialization
+            ts_ns = (
+                pdf[ts_col].to_numpy(dtype="datetime64[ns]").view("int64").tolist()
+            )
+            if n_entity == 1:
+                keys = pdf[entity_cols[0]].tolist()
+            else:
+                keys = list(zip(*(pdf[c].tolist() for c in entity_cols)))
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                t = ts_ns[i]
+                k = keys[i]
+                lk = get(k)
+                if lk is None or t - lk >= gap_ns:
+                    keep[i] = True
+                    last[k] = t
+            yield pdf[keep]
 
-    return df.groupBy(*entity_cols).applyInPandas(_scan, df.schema)
+    ordered = df.repartition(*entity_cols).sortWithinPartitions(
+        *entity_cols, *order
+    )
+    return ordered.mapInPandas(_scan, df.schema)
