@@ -384,3 +384,149 @@ def test_fuzz_kmeans_lloyd_matches_python_replay(spark, seed):
         ).collect()
     }
     assert got == want, f"seed={seed} n={n} dim={dim} k={k} iters={iters}"
+
+
+def test_fuzz_bigram_lm_matches_python_reference(spark):
+    """Random mini-corpora vs a pure-Python replay of the exact fixed-point
+    bigram-LM arithmetic (add-one smoothing, BIGINT floor-division q per
+    transition, one trailing IEEE division) — exact equality of counts,
+    q-sums, and the final double. The model is corpus-global (V and the
+    counts), so each random corpus is its own operator call."""
+    import re
+    from collections import Counter
+
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        bigram_lm_scores,
+    )
+
+    rng = random.Random(6006)
+    words = ["the", "cat", "SAT", "on", "a", "Mat", "dog", "ran"]
+    scale = 1 << 20
+    for corpus_i in range(5):
+        docs = []
+        for did in range(rng.randint(3, 8)):
+            n = rng.choice([0, 1, 2, 3, 5, 9])
+            txt = (" " * rng.randint(0, 2)).join(
+                rng.choice(words) + ("\t" if rng.random() < 0.2 else " ")
+                for _ in range(n)
+            )
+            docs.append((did, txt))
+        docs.append((99, ""))  # empty doc: no tokens, no output row
+        docs.append((98, "   \t "))  # whitespace-only: ditto
+
+        # --- pure-Python replay ---
+        toks = {
+            did: re.sub(r"\s+", " ", txt.lower()).strip(" ").split(" ")
+            for did, txt in docs
+        }
+        c2: Counter = Counter()
+        vocab = set()
+        doc_bigrams = {}
+        for did, ts in toks.items():
+            vocab.update(w for w in ts if w != "")
+            if len(ts) >= 2:
+                doc_bigrams[did] = list(zip(ts, ts[1:]))
+                c2.update(doc_bigrams[did])
+        c1: Counter = Counter()
+        for (w1, _), c in c2.items():
+            c1[w1] += c
+        v = len(vocab)
+        q = {bg: (c + 1) * scale // (c1[bg[0]] + v) for bg, c in c2.items()}
+        want = {}
+        for did, bgs in doc_bigrams.items():
+            if not bgs:
+                continue
+            qs = sum(q[bg] for bg in bgs)
+            want[did] = (len(bgs), qs, qs / (len(bgs) * scale))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.lm_q_sum, r.lm_mean_prob)
+            for r in bigram_lm_scores(df).collect()
+        }
+        assert got == want, f"corpus={corpus_i} docs={docs}"
+
+
+def test_fuzz_incremental_semantic_dedup_matches_python_replay(spark):
+    """Random corpus+batch vector sets vs a pure-Python replay of the
+    exact quantizer (smallest-id corpus centroids), argmin struct fold
+    (max cosine, smallest-cid ties), max_cluster guard, and the
+    sequential-fold cosine — EXACT float equality of every emitted
+    (batch_id, corpus_id, centroid, cosine_sim)."""
+    import math
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    rng = random.Random(8008)
+    for trial in range(5):
+        dim = rng.choice([3, 4, 6])
+        k = rng.randint(2, 4)
+        thr = rng.choice([0.8, 0.9, 0.95])
+        max_cluster = rng.choice([100_000, 8])
+        corpus_rows = [
+            (i * 10, [rng.gauss(0, 1) for _ in range(dim)])
+            for i in range(rng.randint(12, 25))
+        ]
+        batch_rows = [
+            (1000 + i, [rng.gauss(0, 1) for _ in range(dim)])
+            for i in range(rng.randint(3, 8))
+        ]
+        # plant a near-duplicate so matches exist at high thresholds
+        batch_rows.append((2000, list(corpus_rows[3][1])))
+
+        cents = [
+            (cid, cv, _norm(cv))
+            for cid, cv in sorted(corpus_rows)[:k]
+        ]
+
+        def assign(v):
+            nv = _norm(v)
+            return min(
+                (-(_dot(v, cv) / (nv * cn)), cid) for cid, cv, cn in cents
+            )[1]
+
+        c_assign = {cid: assign(v) for cid, v in corpus_rows}
+        sizes: dict = {}
+        for cl in c_assign.values():
+            sizes[cl] = sizes.get(cl, 0) + 1
+        want = set()
+        for bid, bv in batch_rows:
+            bc = assign(bv)
+            for cid, cv in corpus_rows:
+                if c_assign[cid] != bc or sizes[bc] > max_cluster:
+                    continue
+                sim = _dot(bv, cv) / (_norm(bv) * _norm(cv))
+                if sim >= thr:
+                    want.add((bid, cid, bc, sim))
+
+        corpus = spark.createDataFrame(
+            corpus_rows, "vec_id long, embedding array<double>"
+        )
+        batch = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<double>"
+        )
+        got = {
+            (r.batch_id, r.corpus_id, r.centroid, r.cosine_sim)
+            for r in incremental_semantic_dedup(
+                batch,
+                corpus,
+                threshold=thr,
+                n_centroids=k,
+                max_cluster=max_cluster,
+            ).collect()
+        }
+        assert got == want, f"trial={trial} k={k} thr={thr} mc={max_cluster}"
