@@ -77,8 +77,9 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
     iteration order. Round 6 completes hard driver verification of the
-    whole catalog: slots 1-35 are exactly the queries with NO driver row
-    in rounds 1-5 (plus the new end-to-end f1_abt_fixture), slots 36-50
+    whole catalog: slots 1-37 are exactly the queries with NO driver row
+    in rounds 1-5 (the round-4 backlog, the new end-to-end f1_abt_fixture,
+    and the two operators added mid-round-6), slots 38-50
     re-verify stale r1/r2 evidence, every gated entry is
     value-oracle-paired, and the one rows-only entry
     (embedding_lsh_topk) sits past the cutoff."""
@@ -99,11 +100,11 @@ def test_gate_priority_queries_in_first_50():
             gated |= set(json.load(open(p)))
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    for n in names[:35]:
+    for n in names[:37]:
         assert n not in gated, f"{n} already driver-gated in rounds 1-5"
-    # with the first 35 gated, every catalog query has (or will have
+    # with the first 37 gated, every catalog query has (or will have
     # after this round) at least one hard driver correctness row
-    never = set(catalog._QUERIES) - gated - set(names[:35])
+    never = set(catalog._QUERIES) - gated - set(names[:37])
     assert never == {"embedding_lsh_topk"}, never
     assert "embedding_lsh_topk" not in names[:50]
 
