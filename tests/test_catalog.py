@@ -77,9 +77,9 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
     iteration order. Round 6 completes hard driver verification of the
-    whole catalog: slots 1-37 are exactly the queries with NO driver row
+    whole catalog: slots 1-38 are exactly the queries with NO driver row
     in rounds 1-5 (the round-4 backlog, the new end-to-end f1_abt_fixture,
-    and the two operators added mid-round-6), slots 38-50
+    and the three operators added mid-round-6), slots 39-50
     re-verify stale r1/r2 evidence, every gated entry is
     value-oracle-paired, and the one rows-only entry
     (embedding_lsh_topk) sits past the cutoff."""
@@ -100,11 +100,11 @@ def test_gate_priority_queries_in_first_50():
             gated |= set(json.load(open(p)))
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    for n in names[:37]:
+    for n in names[:38]:
         assert n not in gated, f"{n} already driver-gated in rounds 1-5"
-    # with the first 37 gated, every catalog query has (or will have
+    # with the first 38 gated, every catalog query has (or will have
     # after this round) at least one hard driver correctness row
-    never = set(catalog._QUERIES) - gated - set(names[:37])
+    never = set(catalog._QUERIES) - gated - set(names[:38])
     assert never == {"embedding_lsh_topk"}, never
     assert "embedding_lsh_topk" not in names[:50]
 
