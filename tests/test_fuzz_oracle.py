@@ -530,3 +530,60 @@ def test_fuzz_incremental_semantic_dedup_matches_python_replay(spark):
             ).collect()
         }
         assert got == want, f"trial={trial} k={k} thr={thr} mc={max_cluster}"
+
+
+def test_fuzz_multimodal_pipeline_matches_python_replay(spark):
+    """Random id sets x payload sizes x Arrow batch caps x partition
+    counts vs a pure-Python replay of the full multimodal pipeline
+    (attach_fake_media -> decode_media -> media_features): sha256-hex
+    payload repeat/truncate, byte-cycle pseudo-decode, and the
+    sequential-fold mean / min / max / 13 histogram bins — EXACT float
+    equality of all 16 features. batch_rows and repartition vary while
+    the expected values don't, pinning the Arrow-batch-shape and
+    partitioning invariance the 100 TB contract relies on (results are a
+    function of the row, never of how rows are batched)."""
+    import hashlib
+
+    from f1_data_engineering_machine_learning_spark.dataops.multimodal import (
+        FEATURE_DIM,
+        attach_fake_media,
+        decode_media,
+        media_features,
+    )
+
+    def replay(doc_id: int, payload_bytes: int) -> list[float]:
+        hexs = hashlib.sha256(str(doc_id).encode()).hexdigest()
+        payload = (hexs * (payload_bytes // 64 + 1))[:payload_bytes].encode()
+        n = 16  # width * height of the fake meta
+        if payload:
+            px = [payload[i % len(payload)] / 255.0 for i in range(n)]
+        else:
+            px = [0.0] * n
+        acc = 0.0
+        for x in px:  # left fold, same order as F.aggregate
+            acc = acc + x
+        feats = [acc / n, min(px), max(px)]
+        for i in range(FEATURE_DIM - 3):
+            lo, hi = i / 13.0, (i + 1) / 13.0
+            feats.append(sum(1 for x in px if lo <= x < hi) / n)
+        return feats
+
+    rng = random.Random(6060)
+    for trial in range(5):
+        ids = rng.sample(range(10**9), rng.randint(1, 12))
+        payload_bytes = rng.choice([0, 1, 5, 64, 100, 256, 300])
+        batch_rows = rng.choice([1, 2, 7, 64])
+        parts = rng.choice([1, 3, 8])
+        df = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        ).repartition(parts)
+        media = attach_fake_media(df, "doc_id", payload_bytes=payload_bytes)
+        out = media_features(
+            decode_media(media, decoder="fake", batch_rows=batch_rows)
+        )
+        got = {r.doc_id: list(r.media_features) for r in out.collect()}
+        want = {i: replay(i, payload_bytes) for i in ids}
+        assert got == want, (
+            f"trial={trial} payload_bytes={payload_bytes} "
+            f"batch_rows={batch_rows} parts={parts}"
+        )
