@@ -9481,10 +9481,13 @@ def doc_token_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("is_member") & F.col("maybe_present")).cast("int"))
         .cast("bigint")
         .alias("n_false_positives"),
-        (
+        # try_divide: all probes can be members (dense corpora), making
+        # the divisor 0 — NULL fpr under ANSI (the driver's session) and
+        # non-ANSI alike, matching the SQL oracle's NULL
+        F.try_divide(
             F.sum((~F.col("is_member") & F.col("maybe_present")).cast("int"))
-            .cast("double")
-            / F.sum((~F.col("is_member")).cast("int"))
+            .cast("double"),
+            F.sum((~F.col("is_member")).cast("int")),
         ).alias("fpr"),
     )
 
