@@ -133,3 +133,30 @@ def test_variant_nested_typed_extraction(spark):
     assert rows[1].uid == 9 and rows[1].tag1 is None and rows[1].score is None
     # malformed input -> NULL variant -> NULL extractions, no exception
     assert rows[2].uid is None and rows[2].absent is None
+
+
+def test_all_queries_execute_under_ansi_session(spark, sf_dir):
+    """The external correctness gate runs every query with a STOCK
+    SparkSession — Spark 4 defaults, so ANSI mode ON — while
+    build_session (tests, bench, selfcheck) turns ANSI off for the
+    reference's permissive-cast semantics. Any expression that only
+    works permissively (runtime divide-by-zero, failing cast, bad array
+    index) passes every local check and then throws its first driver
+    row. Flip the session to ANSI and execute the ENTIRE catalog, so the
+    gap between local evidence and the driver's session stays closed
+    (caught live: doc_token_bloom_fpr's fpr division, NULL-divisor under
+    non-ANSI, DIVIDE_BY_ZERO under the driver's ANSI)."""
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        failures = []
+        for name, fn in catalog.queries().items():
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{name}: {str(exc).splitlines()[0][:160]}")
+        assert not failures, "\n".join(failures)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
