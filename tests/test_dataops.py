@@ -1186,3 +1186,33 @@ def test_incremental_semantic_dedup_plan_is_one_sided(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dot_hof_sql_bitwise_equals_unrolled_chain(spark):
+    """_dot_hof_sql (the single-traversal pair-scan form) must stay
+    bitwise-equal to _dot_fixed_sql (the unrolled chain the DuckDB
+    oracles replay): same left fold, same 0.0 seed, term for term. Any
+    reordering would silently shift oracle hashes on every cosine
+    query."""
+    import random as _r
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        _dot_fixed_sql,
+        _dot_hof_sql,
+    )
+
+    rng = _r.Random(77)
+    rows = [
+        (
+            [rng.uniform(-10, 10) for _ in range(17)],
+            [rng.uniform(-10, 10) for _ in range(17)],
+        )
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    n = df.filter(
+        ~F.expr(_dot_hof_sql("a", "b")).eqNullSafe(
+            F.expr(_dot_fixed_sql("a", "b", 17))
+        )
+    ).count()
+    assert n == 0
