@@ -42,7 +42,19 @@ def frequent_itemsets(
     partition-layout invariant."""
     from pyspark.ml.fpm import FPGrowth
 
-    n = transactions.select(basket_col).distinct().count()
+    # Eager localCheckpoint, then count the checkpointed blocks: FPGrowth
+    # scans its input several times (item-frequency pass inside fit, the
+    # conditional-tree pass, the caller's final action) and an uncached
+    # lineage recomputes the groupBy/collect_set each time; the basket
+    # count for the support fraction then comes free from the same blocks
+    # instead of a separate distinct-count job over the source. Blocks
+    # are GC-managed with the DataFrame (the curate.py CC pattern).
+    baskets = (
+        transactions.groupBy(basket_col)
+        .agg(F.collect_set(F.col(item_col)).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    n = baskets.count()
     if n == 0:
         raise ValueError("no baskets")
     if min_count > n:
@@ -51,9 +63,6 @@ def frequent_itemsets(
         return transactions.sparkSession.createDataFrame(
             [], "itemset string, size int, freq long"
         )
-    baskets = transactions.groupBy(basket_col).agg(
-        F.collect_set(F.col(item_col)).alias("items")
-    )
     fp = FPGrowth(
         itemsCol="items",
         minSupport=(min_count - 0.5) / n,
@@ -110,11 +119,19 @@ def frequent_sequences(
         *[F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)],
         F.col(step_col).cast("string").alias("__step"),
     )
-    seqs = sessions.groupBy(*[F.col(c) for c in session_cols]).agg(
-        F.transform(
-            F.array_sort(F.collect_list(item)),
-            lambda x: F.array(x["__step"]),
-        ).alias("sequence")
+    # same localCheckpoint rationale as frequent_itemsets: PrefixSpan's
+    # projected-database iterations re-scan the input per prefix length
+    # (MLlib warns "Input data is not cached" otherwise), and the session
+    # count reads the checkpointed blocks instead of re-grouping
+    seqs = (
+        sessions.groupBy(*[F.col(c) for c in session_cols])
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(item)),
+                lambda x: F.array(x["__step"]),
+            ).alias("sequence")
+        )
+        .localCheckpoint(eager=True)
     )
     n = seqs.count()
     if n == 0:
