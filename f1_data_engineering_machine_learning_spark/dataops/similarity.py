@@ -1373,11 +1373,15 @@ def pq_encode_deterministic(
     for j in range(m):
         sub = f"slice(__cvec, {j * dsub + 1}, {dsub})"
         d = _l2sq_sql(sub, "e.cv")
+        # array_min over (dist, code) structs == the CASE-fold's
+        # "strict < keeps the earliest code" (min dist, then smallest
+        # code on exact ties), but evaluates each codeword's distance
+        # ONCE instead of twice (test + take) — the same swap the
+        # centroid argmax got. Squared-L2 is NaN-free on real inputs,
+        # so struct ordering has no NaN edge here.
         code_exprs.append(
-            f"aggregate({_pq_cb_sql(codebooks, j)}, "
-            f"named_struct('s', CAST(NULL AS DOUBLE), 'code', -1), "
-            f"(acc, e) -> CASE WHEN acc.s IS NULL OR {d} < acc.s "
-            f"THEN named_struct('s', {d}, 'code', e.code) ELSE acc END).code"
+            f"array_min(transform({_pq_cb_sql(codebooks, j)}, "
+            f"e -> named_struct('s', {d}, 'code', e.code))).code"
         )
     codes = F.array(*[F.expr(e) for e in code_exprs]).alias("__codes")
     return c.select("neighbor_id", codes)
