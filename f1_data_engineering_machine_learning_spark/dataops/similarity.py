@@ -605,17 +605,35 @@ def ivf_topk_deterministic(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
+    # per-row argmax over the broadcast centroid frame (still map-only —
+    # a 1-row broadcast adds no shuffle): the row norm is hoisted to a
+    # column and each centroid's norm comes precomputed from the frame,
+    # so assignment costs ONE dot traversal per centroid instead of the
+    # literal CASE-fold's (dot + both norms) x (test + take). Same
+    # cos = dot/(nv*nc) grouping and same "max cosine, smallest cid"
+    # tie rule (array_min over (negs, cid)) — values bitwise-unchanged,
+    # which the value-hash oracle checks.
+    dot_c = (
+        "aggregate(zip_with(__cvec, c.cv, (x, y) -> x * y), "
+        "0.0D, (a, x) -> a + x)"
     )
-    # per-row argmax over the literal centroid array (map-only, no shuffle)
-    assigned = c.withColumn(
-        "centroid", F.expr(_argmax_centroid_expr("__cvec", cent_arr))
+    argmax = F.expr(
+        f"array_min(transform(__cents, c -> named_struct("
+        f"'negs', -({dot_c} / (__cn * c.cn)), 'cid', c.cid))).cid"
+    )
+    assigned = (
+        c.join(F.broadcast(_centroid_frame(corpus, id_col, vec_col, n_centroids)))
+        .withColumn("centroid", argmax)
+        .drop("__cents")
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
     # per-query centroid ranking: sort structs (neg-cosine asc, cid asc),
     # keep the first n_probe, explode into probe rows — all map-side
+    # (query side is small; the literal-array form replays verbatim)
     cos_q = _cos_sql("__qvec", "c.cv")
     probe_expr = (
         f"slice(array_sort(transform({cent_arr}, "
@@ -624,13 +642,21 @@ def ivf_topk_deterministic(
     probes = q.select(
         "query_id",
         "__qvec",
+        "__qn",
         F.explode(F.expr(probe_expr)).alias("__p"),
-    ).select("query_id", "__qvec", F.col("__p.cid").alias("centroid"))
+    ).select("query_id", "__qvec", "__qn", F.col("__p.cid").alias("centroid"))
 
+    # pair similarity over hoisted per-row norms: one traversal per pair
+    # (cosine() recomputes both norms per pair — 3x the array walks);
+    # dot/(qn*cn) keeps cosine()'s exact grouping, values unchanged
+    pair_sim = F.expr(
+        "CAST(aggregate(zip_with(__qvec, __cvec, (x, y) -> x * y), "
+        "0.0D, (a, x) -> a + x) / (__qn * __cn) AS DOUBLE)"
+    )
     scored = (
         assigned.join(F.broadcast(probes), "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", pair_sim)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(
