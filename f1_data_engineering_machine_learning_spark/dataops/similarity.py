@@ -54,6 +54,20 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))).cast("double")
 
 
+def _pair_cos_hoisted() -> Column:
+    """Candidate-pair cosine over the conventional hoisted columns
+    (``__qvec``/``__cvec`` with per-ROW norms ``__qn``/``__cn``): one
+    array traversal per pair where :func:`cosine` walks both vectors
+    three times (dot + both norms). Same fold, same ``dot/(nv*nc)``
+    grouping — bitwise-equal to :func:`cosine` of the same arrays, so
+    value-hash oracles are unaffected (norm hoisting only changes HOW
+    OFTEN the identical folds run)."""
+    return F.expr(
+        "CAST(aggregate(zip_with(__qvec, __cvec, (x, y) -> x * y), "
+        "0.0D, (a, x) -> a + x) / (__qn * __cn) AS DOUBLE)"
+    )
+
+
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     """Dot product unrolled for a KNOWN dimension: a left-to-right chain of
     ``+`` over ``a[i]*b[i]`` — the SAME accumulation order as the
@@ -205,13 +219,13 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         array_to_vector(_as_double(F.col(vec_col))).alias("features"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter)
     model = km.fit(c)
     assigned = model.transform(c).select(
-        "neighbor_id", "__cvec", F.col("prediction").alias("centroid")
+        "neighbor_id", "__cvec", "__cn", F.col("prediction").alias("centroid")
     )
 
     centroids = [
@@ -221,7 +235,9 @@ def ivf_topk(
         centroids, ["centroid", "centroid_vec"]
     )
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
     q_cent = (
         q.join(F.broadcast(cent_df))
         .withColumn(
@@ -234,12 +250,12 @@ def ivf_topk(
         [F.desc("cdist"), F.col("centroid")],
         n_probe,
         rn_col="__pr",
-    ).select("query_id", "centroid", "__qvec")
+    ).select("query_id", "centroid", "__qvec", "__qn")
 
     scored = (
         probes.join(assigned, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", _pair_cos_hoisted())
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(
@@ -369,13 +385,14 @@ def rp_lsh_topk(
         dim = corpus.select(F.size(F.col(vec_col))).first()[0]
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
     q_b = q.select(
         "query_id",
         "__qvec",
+        "__qn",
         F.posexplode(
             F.array(*[_rp_bucket("__qvec", t, n_planes, dim) for t in range(n_tables)])
         ).alias("t", "bucket"),
@@ -383,6 +400,7 @@ def rp_lsh_topk(
     c_b = c.select(
         "neighbor_id",
         "__cvec",
+        "__cn",
         F.posexplode(
             F.array(*[_rp_bucket("__cvec", t, n_planes, dim) for t in range(n_tables)])
         ).alias("t", "bucket"),
@@ -390,11 +408,13 @@ def rp_lsh_topk(
     cand = (
         q_b.join(c_b, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id", "__qvec", "__qn", "__cvec", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # hoisted-norm re-rank: one traversal per candidate, same
+    # dot/(nv*nc) grouping as cosine() — values bitwise-unchanged
     scored = cand.withColumn(
-        "cosine_sim", cosine(F.col("__qvec"), F.col("__cvec"))
+        "cosine_sim", _pair_cos_hoisted()
     ).select("query_id", "neighbor_id", "cosine_sim")
     return topk_per_group(
         scored,
@@ -810,15 +830,15 @@ def ivf_probe_indexed(
     cent = spark.read.parquet(f"{index_path}/centroids")
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
     q_cent = q.join(F.broadcast(cent)).withColumn(
         "cdist", cosine(F.col("__qvec"), F.col("centroid_vec"))
     )
     probes = topk_per_group(
         q_cent, ["query_id"], [F.desc("cdist"), F.col("centroid")], n_probe,
         rn_col="__pr",
-    ).select("query_id", "centroid", "__qvec")
+    ).select("query_id", "centroid", "__qvec", "__qn")
 
     # bounded by n_centroids rows; the rn<=n_probe filter upstream is the
     # selective predicate Spark's DPP rule requires to rewrite the scan
@@ -829,13 +849,14 @@ def ivf_probe_indexed(
         .select(
             "centroid",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("__cvec"),
+            _as_double(F.col("embedding")).alias("__cvec"),
         )
+        .withColumn("__cn", l2_norm(F.col("__cvec")))
     )
     scored = (
         probes.join(vectors, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", _pair_cos_hoisted())
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return topk_per_group(
