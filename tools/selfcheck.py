@@ -46,13 +46,21 @@ def _rows_key(df_pandas):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--ansi"]
+    # --ansi: replicate the DRIVER's session semantics (stock Spark 4 =>
+    # ANSI mode ON) instead of build_session's ANSI-off — the value
+    # compare then proves every query under the exact error semantics
+    # the external gate runs (see COVERAGE.md "Driver-session parity")
+    ansi = "--ansi" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from f1_data_engineering_machine_learning_spark.session import build_session
 
     spark = build_session(app_name="selfcheck")
+    if ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
