@@ -52,3 +52,47 @@ def test_validation(spark):
         throttle_events(df, ["nope"], "ts", 5.0)
     with pytest.raises(ValueError, match="positive"):
         throttle_events(df, ["user"], "ts", 0)
+
+
+def test_fuzz_throttle_matches_python_replay(spark):
+    """Seeded random event streams vs a pure-Python replay of the exact
+    debounce walk: per entity, sort by (ts, id-tiebreak), keep iff
+    t - last_KEPT >= gap (first always kept). Varies gap, entity count,
+    duplicate timestamps, and input partitioning — pinning the
+    cross-Arrow-batch state carry and the partition invariance the
+    mapInPandas scan relies on."""
+    import random
+
+    rng = random.Random(909)
+    for trial in range(5):
+        n_entities = rng.randint(1, 6)
+        n_events = rng.randint(1, 120)
+        gap_s = rng.choice([1, 3, 7])
+        rows = []
+        for eid in range(n_events):
+            ent = rng.randint(0, n_entities - 1)
+            # coarse second grid => plenty of exact-tie timestamps
+            sec = rng.randint(0, 40)
+            rows.append((f"u{ent}", _ts(sec), eid))
+        df = spark.createDataFrame(
+            rows, "user string, ts timestamp, event_id long"
+        ).repartition(rng.choice([1, 3, 8]))
+
+        got = sorted(
+            (r.user, r.ts, r.event_id)
+            for r in throttle_events(
+                df, ["user"], "ts", gap_s, tiebreak_cols=["event_id"]
+            ).collect()
+        )
+
+        per_entity: dict = {}
+        for u, ts, eid in rows:
+            per_entity.setdefault(u, []).append((ts, eid))
+        want = []
+        for u, evs in per_entity.items():
+            last_kept = None
+            for ts, eid in sorted(evs):
+                if last_kept is None or (ts - last_kept).total_seconds() >= gap_s:
+                    want.append((u, ts, eid))
+                    last_kept = ts
+        assert got == sorted(want), f"trial={trial} gap={gap_s}"
