@@ -217,3 +217,78 @@ def test_asof_tolerance_all_directions(spark):
 
     with pytest.raises(ValueError, match="non-negative"):
         asof_join(left, right, ["k"], "ts", ["val"], tolerance=-1)
+
+
+def test_fuzz_asof_matches_python_replay(spark):
+    """Seeded random left/right frames vs a pure-Python merge_asof
+    replay across all directions, strict, and tolerance: backward =
+    latest at-or-before (strictly-before when strict), forward =
+    earliest at-or-after, nearest = closer side with exact-microsecond
+    distance and ties to backward; tolerance vetoes (never falls back).
+    Right timestamps are unique per key (the tie-among-equal-right-rows
+    pick is not part of the contract); left ties, equal-ts matches, and
+    keys missing from one side are all generated."""
+    import random
+
+    def _sts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rng = random.Random(4242)
+    for trial in range(8):
+        direction = rng.choice(["backward", "forward", "nearest"])
+        strict = rng.choice([False, True]) if direction != "nearest" else False
+        tolerance = rng.choice([None, 5_000_000])  # None or 5s in us
+        keys = [f"k{i}" for i in range(rng.randint(1, 4))]
+        right_rows = []
+        for k in keys:
+            if rng.random() < 0.2:
+                continue  # key with no right rows -> NULL carries
+            secs = rng.sample(range(0, 60), rng.randint(1, 8))
+            right_rows += [(k, _sts(s), float(s)) for s in secs]
+        left_rows = [
+            (rng.choice(keys + ["k_missing"]), _sts(rng.randint(0, 60)), i)
+            for i in range(rng.randint(1, 40))
+        ]
+        left = spark.createDataFrame(left_rows, "k string, ts timestamp, lid long")
+        right = spark.createDataFrame(right_rows, "k string, ts timestamp, val double")
+
+        got = {
+            r.lid: r.val_asof
+            for r in asof_join(
+                left, right, ["k"], "ts", ["val"],
+                strict=strict, direction=direction, tolerance=tolerance,
+            ).collect()
+        }
+
+        by_key: dict = {}
+        for k, ts, v in right_rows:
+            by_key.setdefault(k, []).append((ts, v))
+        want = {}
+        for k, lt, lid in left_rows:
+            back = [
+                (ts, v) for ts, v in by_key.get(k, [])
+                if (ts < lt if strict else ts <= lt)
+            ]
+            fwd = [
+                (ts, v) for ts, v in by_key.get(k, [])
+                if (ts > lt if strict else ts >= lt)
+            ]
+            b = max(back) if back else None
+            f = min(fwd) if fwd else None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:
+                if b and f:
+                    pick = b if (lt - b[0]) <= (f[0] - lt) else f
+                else:
+                    pick = b or f
+            if pick is not None and tolerance is not None:
+                dist_us = abs(int((pick[0] - lt).total_seconds() * 1_000_000))
+                if dist_us > tolerance:
+                    pick = None
+            want[lid] = pick[1] if pick else None
+        assert got == want, (
+            f"trial={trial} dir={direction} strict={strict} tol={tolerance}"
+        )
