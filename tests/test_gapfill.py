@@ -10,6 +10,7 @@ from f1_data_engineering_machine_learning_spark.operators.gapfill import (
     date_scaffold,
     forward_fill,
     gap_fill,
+    interpolate_linear,
 )
 
 
@@ -126,3 +127,117 @@ def test_time_weighted_avg_hand_checked(spark):
            for r in time_weighted_avg(obs, ["k"], "dt", "v").collect()}
     assert got["e"] == ((10.0 * 3 + 40.0 * 1) / 4, 2, 4)
     assert got["f"] == (7.5, 1, 1)
+
+
+def test_fuzz_gap_fill_matches_python_replay(spark):
+    """Seeded random sparse series vs a pure-Python LOCF replay: spans
+    run from each observation to the day before the next (last span to
+    the global end), fills carry the last NON-NULL value, and observed
+    is True only on an observation's own day with a non-NULL raw value.
+    Varies entity count, gap structure, NULL observations, and input
+    partitioning."""
+    import datetime as _dt
+    import random
+
+    base = _dt.date(2024, 1, 1)
+    rng = random.Random(1313)
+    for trial in range(6):
+        ents = [f"e{i}" for i in range(rng.randint(1, 4))]
+        rows = []
+        for e in ents:
+            days = sorted(rng.sample(range(0, 25), rng.randint(1, 8)))
+            for d in days:
+                v = None if rng.random() < 0.25 else float(rng.randint(1, 9))
+                rows.append((e, base + _dt.timedelta(days=d), v))
+        df = spark.createDataFrame(
+            rows, "ent string, d date, v double"
+        ).repartition(rng.choice([1, 3, 7]))
+        got = {
+            (r.ent, r.d): (r.v_ff, r.observed)
+            for r in gap_fill(df, ["ent"], "d", ["v"]).collect()
+        }
+
+        lo = min(r[1] for r in rows)
+        hi = max(r[1] for r in rows)
+        per: dict = {}
+        for e, d, v in rows:
+            per.setdefault(e, []).append((d, v))
+        want = {}
+        for e, obs in per.items():
+            obs.sort()
+            # leading scaffold: global start up to the entity's first
+            # observation, NULL-filled and unobserved
+            day = lo
+            while day < obs[0][0]:
+                want[(e, day)] = (None, False)
+                day += _dt.timedelta(days=1)
+            ff = None
+            for i, (d, v) in enumerate(obs):
+                if v is not None:
+                    ff = v
+                span_end = (
+                    obs[i + 1][0] - _dt.timedelta(days=1)
+                    if i + 1 < len(obs) else hi
+                )
+                day = d
+                while day <= span_end:
+                    want[(e, day)] = (ff, day == d and v is not None)
+                    day += _dt.timedelta(days=1)
+        assert got == want, f"trial={trial}"
+
+
+def test_fuzz_interpolate_linear_matches_python_replay(spark):
+    """Seeded random series (duplicate (entity, date) observations
+    included) vs a pure-Python replay of interpolate_linear: duplicates
+    collapse to the greatest non-NULL value per date, each span lerps
+    v + (nv - v) * (k / span) — the operator's exact float order, so
+    equality is exact — and the last observation emits only its own
+    day (no extrapolation)."""
+    import datetime as _dt
+    import random
+
+    base = _dt.date(2024, 1, 1)
+    rng = random.Random(2424)
+    for trial in range(6):
+        ents = [f"e{i}" for i in range(rng.randint(1, 3))]
+        rows = []
+        for e in ents:
+            for _ in range(rng.randint(1, 10)):
+                d = base + _dt.timedelta(days=rng.randint(0, 20))
+                v = None if rng.random() < 0.15 else float(rng.randint(1, 99))
+                rows.append((e, d, v))
+        df = spark.createDataFrame(
+            rows, "ent string, d date, v double"
+        ).repartition(rng.choice([1, 4]))
+        got = {
+            (r.ent, r.d): (r.v_lerp, r.observed)
+            for r in interpolate_linear(df, ["ent"], "d", "v").collect()
+        }
+
+        per: dict = {}
+        for e, d, v in rows:
+            per.setdefault(e, {}).setdefault(d, []).append(v)
+        want = {}
+        for e, by_date in per.items():
+            dedup = []
+            for d in sorted(by_date):
+                nn = [v for v in by_date[d] if v is not None]
+                dedup.append((d, max(nn) if nn else None))
+            for i, (d, v) in enumerate(dedup):
+                if i + 1 < len(dedup):
+                    nd, nv = dedup[i + 1]
+                    span = (nd - d).days
+                    day = d
+                    while day < nd:
+                        k = (day - d).days
+                        if day == d:
+                            val = v
+                        elif v is None or nv is None:
+                            val = None
+                        else:
+                            val = v + (nv - v) * (k / span)
+                        want[(e, day)] = (val, day == d)
+                        day += _dt.timedelta(days=1)
+                else:
+                    want[(e, d)] = (v, True)
+        assert got == want, f"trial={trial}"
