@@ -590,3 +590,53 @@ def test_range_partitioned_prefix_sum_matches_global_window(spark):
     assert {
         r.id: (r.cum_v, int(r.rn)) for r in multi.collect()
     } == {k: (a, int(b)) for k, (a, b) in wantrn.items()}
+
+
+def test_fuzz_scd2_matches_python_replay(spark):
+    """Seeded random change streams vs a pure-Python SCD2 replay:
+    null-safe change detection against the previous RAW row (None==None
+    is "no change", None->value is a change), valid_to = next EPISODE's
+    start, is_current on the open episode. Repeated states, NULL
+    attributes, timestamp ties (broken by the seq tiebreak), and input
+    partitioning are all generated."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.operators import scd2_build
+
+    rng = random.Random(5151)
+    states = ["a", "b", None]
+    for trial in range(6):
+        keys = [f"k{i}" for i in range(rng.randint(1, 4))]
+        rows = []
+        seq = 0
+        for k in keys:
+            for _ in range(rng.randint(1, 15)):
+                rows.append((k, rng.randint(0, 9), rng.choice(states), seq))
+                seq += 1
+        df = spark.createDataFrame(
+            rows, "k string, ts long, state string, seq long"
+        ).repartition(rng.choice([1, 3, 8]))
+        got = sorted(
+            (
+                (r.k, r.state, r.valid_from, r.valid_to, r.is_current)
+                for r in scd2_build(df, ["k"], ["state"], "ts", ["seq"]).collect()
+            ),
+            key=repr,
+        )
+
+        per: dict = {}
+        for k, ts, st, sq in rows:
+            per.setdefault(k, []).append((ts, sq, st))
+        want = []
+        for k, evs in per.items():
+            evs.sort()
+            episodes = []
+            prev = object()  # sentinel != anything
+            for ts, sq, st in evs:
+                if not episodes or st != prev:
+                    episodes.append([st, ts])
+                prev = st
+            for i, (st, vf) in enumerate(episodes):
+                vt = episodes[i + 1][1] if i + 1 < len(episodes) else None
+                want.append((k, st, vf, vt, vt is None))
+        assert got == sorted(want, key=repr), f"trial={trial}"
