@@ -640,3 +640,60 @@ def test_fuzz_scd2_matches_python_replay(spark):
                 vt = episodes[i + 1][1] if i + 1 < len(episodes) else None
                 want.append((k, st, vf, vt, vt is None))
         assert got == sorted(want, key=repr), f"trial={trial}"
+
+
+def test_fuzz_ewma_trailing_matches_python_replay(spark):
+    """Seeded random series vs a pure-Python replay of the trailing
+    EWMA: weights are exact powers of two (multiplying a double by
+    2^-k is a pure exponent shift — no rounding), terms accumulate in
+    the operator's left-to-right lag order, NULL values drop their
+    weight from the renormalization, and a NULL current value yields a
+    NULL ewma. Equality is exact float equality across entity counts,
+    depths, alpha, and partitionings."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        ewma_trailing,
+    )
+
+    rng = random.Random(7272)
+    for trial in range(6):
+        depth = rng.choice([1, 3, 8])
+        alpha_halves = rng.choice([1, 2])
+        ents = [f"e{i}" for i in range(rng.randint(1, 3))]
+        rows = []
+        for e in ents:
+            for i in range(rng.randint(1, 20)):
+                v = None if rng.random() < 0.15 else float(rng.randint(-50, 50))
+                rows.append((e, i, v))
+        df = spark.createDataFrame(
+            rows, "ent string, i long, v double"
+        ).repartition(rng.choice([1, 4]))
+        got = {
+            (r.ent, r.i): r.ewma
+            for r in ewma_trailing(
+                df, ["ent"], "i", "v", alpha_halves=alpha_halves, depth=depth
+            ).collect()
+        }
+
+        per: dict = {}
+        for e, i, v in rows:
+            per.setdefault(e, []).append((i, v))
+        want = {}
+        for e, series in per.items():
+            series.sort()
+            vals = [v for _, v in series]
+            for idx, (i, v) in enumerate(series):
+                if v is None:
+                    want[(e, i)] = None
+                    continue
+                num = v * (2.0 ** 0)
+                den = 2.0 ** 0
+                for j in range(1, depth):
+                    if idx - j < 0 or vals[idx - j] is None:
+                        continue
+                    w = 2.0 ** (-alpha_halves * j)
+                    num = num + vals[idx - j] * w
+                    den = den + w
+                want[(e, i)] = num / den
+        assert got == want, f"trial={trial} depth={depth} a={alpha_halves}"
