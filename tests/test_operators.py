@@ -697,3 +697,56 @@ def test_fuzz_ewma_trailing_matches_python_replay(spark):
                     den = den + w
                 want[(e, i)] = num / den
         assert got == want, f"trial={trial} depth={depth} a={alpha_halves}"
+
+
+def test_fuzz_assign_sessions_matches_python_replay(spark):
+    """Seeded random event streams vs a pure-Python gap-sessionization
+    replay: new session iff gap from the previous event (per entity,
+    ordered by ts then the tiebreak) STRICTLY exceeds the threshold —
+    the boundary gap == threshold stays in-session, which duplicate and
+    boundary-exact timestamps in the generator pin down."""
+    import datetime as _dt
+    import random
+
+    from f1_data_engineering_machine_learning_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    rng = random.Random(8383)
+    for trial in range(6):
+        gap_min = rng.choice([1, 5])
+        ents = [f"u{i}" for i in range(rng.randint(1, 4))]
+        rows = []
+        eid = 0
+        for e in ents:
+            t = 0
+            for _ in range(rng.randint(1, 25)):
+                # steps hit the exact boundary (gap == threshold) often
+                t += rng.choice([0, 30, 60 * gap_min, 60 * gap_min + 1, 600])
+                rows.append((e, base + _dt.timedelta(seconds=t), eid))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "u string, ts timestamp, eid long"
+        ).repartition(rng.choice([1, 3, 8]))
+        got = {
+            r.eid: r.session_id
+            for r in assign_sessions(
+                df, ["u"], "ts", gap_minutes=gap_min, tiebreak=["eid"]
+            ).collect()
+        }
+
+        per: dict = {}
+        for u, ts, e in rows:
+            per.setdefault(u, []).append((ts, e))
+        want = {}
+        for u, evs in per.items():
+            evs.sort()
+            sid = 0
+            prev = None
+            for ts, e in evs:
+                if prev is None or (ts - prev).total_seconds() > gap_min * 60:
+                    sid += 1
+                want[e] = sid
+                prev = ts
+        assert got == want, f"trial={trial} gap={gap_min}"
