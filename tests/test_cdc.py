@@ -82,3 +82,53 @@ def test_null_seq_always_loses(spark):
     latest = {r.k: r.payload
               for r in latest_change_per_key(changes, ["k"], "seq", ["tb"]).collect()}
     assert latest == {1: "real", 2: "tb-big"}
+
+
+def test_fuzz_apply_cdc_matches_python_replay(spark):
+    """Seeded random snapshot+changelog vs a pure-Python replay: latest
+    change per key by (seq, tiebreak) with NULL seq always losing to
+    any non-null, deletes drop, upserts replace, untouched rows carry
+    through. Duplicate seqs (tiebroken), keys absent from either side,
+    and delete-then-nothing cases are all generated."""
+    import random
+
+    rng = random.Random(6464)
+    for trial in range(6):
+        keys = list(range(rng.randint(2, 8)))
+        snap_rows = [(k, f"old{k}") for k in keys if rng.random() < 0.7]
+        ch_rows = []
+        cid = 0
+        for _ in range(rng.randint(1, 25)):
+            k = rng.choice(keys + [99])  # 99: key unknown to the snapshot
+            seq = rng.choice([None, 1, 2, 3])
+            op = rng.choice(["U", "U", "I", "D"])
+            ch_rows.append((k, f"v{cid}", seq, op, cid))
+            cid += 1
+        snapshot = spark.createDataFrame(snap_rows or [(None, None)],
+                                         "k long, val string")
+        if not snap_rows:
+            snapshot = snapshot.filter("k IS NOT NULL")
+        changes = spark.createDataFrame(
+            ch_rows, "k long, val string, seq long, op string, cid long"
+        ).repartition(rng.choice([1, 4]))
+
+        got = sorted(
+            (r.k, r.val)
+            for r in apply_cdc(
+                snapshot, changes, ["k"], "seq", "op", tiebreak_cols=["cid"]
+            ).collect()
+        )
+
+        latest = {}
+        for k, val, seq, op, c in ch_rows:
+            cur = latest.get(k)
+            cand = ((seq is not None, seq if seq is not None else 0, c), val, op)
+            if cur is None or cand[0] > cur[0]:
+                latest[k] = cand
+        state = {k: v for k, v in snap_rows}
+        for k, (_, val, op) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = val
+        assert got == sorted(state.items()), f"trial={trial}"
