@@ -95,72 +95,78 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Queries surfaced FIRST by ``queries()``. The external correctness
-#: gate snapshots the first 50 entries in iteration order; rounds 1-5
-#: hard-verified 151 distinct queries. Round 6 rotates the gate a
-#: fourth time: the first 38 slots are the LAST queries that have never
-#: had a driver row (completing hard driver verification of the entire
-#: catalog) — led by the new end-to-end F1 ABT pipeline query, closed by
-#: the three operators added mid-round-6; the remaining 12 slots re-verify
-#: the queries whose newest driver evidence is the oldest (r1/r2). Everything not listed keeps
-#: registration (file) order behind these; total content is identical.
-#: (embedding_lsh_topk stays out of the first 50 — it is the catalog's
-#: one rows-only entry: MLlib BucketedRandomProjectionLSH hyperplanes
-#: aren't reproducible in SQL, its recall contract is pytest-oracled —
-#: keeping every gated row a full value oracle.)
+#: gate snapshots the first 50 entries in iteration order; rounds 1-6
+#: hard-verified 189 of 190 distinct queries (every full-oracle entry).
+#: Round 7 rotates the gate a fifth time, by EVIDENCE FRESHNESS: the
+#: first 13 slots are the queries whose execution code was rewritten in
+#: round 6 (pair-scan HOF dot product, ANN norm/argmin hoisting,
+#: partition-scan throttle, miner localCheckpoint, IVF broadcast-
+#: semi-join probe) or is being rewritten in round 7 (batched BPE
+#: trainer, curation CC caching, FP-growth input reuse) — their newest
+#: driver rows predate those rewrites. The remaining 37 slots are the
+#: stalest of the rest: queries whose only driver rows are round 2
+#: (39 such; the two simplest — string_filter_orders,
+#: sentinel_cast_props, both trivial single-stage filter/cast paths
+#: untouched since r2 — spill to the round-8 gate). Everything not
+#: listed keeps registration (file) order behind these; total content
+#: is identical. (embedding_lsh_topk stays out of the first 50 — it is
+#: the catalog's one rows-only entry: MLlib
+#: BucketedRandomProjectionLSH hyperplanes aren't reproducible in SQL,
+#: its recall contract is pytest-oracled — keeping every gated row a
+#: full value oracle.)
 _GATE_PRIORITY = [
-    # -- round-6 gate: the 35 never-driver-gated queries --
-    "f1_abt_fixture",
-    "token_cms_estimates",
-    "doc_token_bloom_fpr",
-    "orders_maintained_status_rollup",
-    "embedding_kmeans_lloyd",
-    "customer_revenue_pareto",
-    "daily_revenue_cusum",
-    "doc_pii_scan",
-    "doc_top_terms_tfidf",
-    "order_price_benford",
-    "part_price_size_skyline",
-    "session_step_transitions",
-    "source_lang_gini_impurity",
-    "lineitem_measures_unpivot",
-    "order_price_histogram",
-    "corpus_shuffle_assignment",
-    "nation_pair_trade_volume",
-    "weighted_doc_sample",
-    "lineitem_quantity_mad",
-    "cheapest_supplier_per_part",
-    "significant_parts_by_revenue",
-    "customer_order_count_distribution",
-    "order_status_priority_marginals",
-    "doc_long_words",
-    "orders_price_neighborhood",
-    "order_price_iqr_outliers",
-    "copurchased_parts",
-    "discounted_revenue_probe",
-    "late_line_priority_classes",
-    "returnflag_quantity_zscore",
-    "returnflag_weighted_median_price",
-    "corpus_token_budget",
-    "weekday_revenue_seasonality",
-    "order_lineitem_date_audit",
-    "nation_share_of_region_revenue",
-    # the three operators added mid-round-6 (never had a gate chance):
-    "doc_bigram_lm_scores",
-    "incremental_semantic_dedup_embeddings",
-    "doc_media_features",
-    # -- slots 39-50: stalest driver evidence (r1/r2) re-verified --
-    "daily_event_rollup_cascade",
-    "approx_stats_scale_mode",
-    "asof_order_snapshot",
-    "brand_share_of_revenue",
-    "churned_customers_except",
-    "conditional_supplier_stats",
-    "cube_order_counts",
-    "current_year_orders",
-    "customer_name_strings",
-    "customer_order_sequence",
-    "customer_scope_fanout",
-    "dedup_keep_last_events",
+    # -- slots 1-13: driver evidence predates the r6/r7 code rewrites --
+    "throttled_user_events",  # r5 row; r6 partition-scan mapInPandas rewrite
+    "frequent_session_sequences",  # r5 row; r6 PrefixSpan localCheckpoint
+    "doc_bpe_segmentation",  # r5 row; r7 batched-BPE trainer rewrite
+    "bpe_merges_docs",  # r3 row; r7 batched-BPE trainer rewrite
+    "embedding_near_dup_pairs",  # r3 row; r6 pair-scan HOF dot
+    "semantic_dedup_embeddings",  # r3 row; r6 pair-scan HOF dot
+    "embedding_incremental_near_dups",  # r3 row; r6 pair-scan HOF dot
+    "embedding_pq_topk",  # r3 row; r6 argmin single-eval + broadcast
+    "embedding_rp_lsh_topk",  # r3 row; r6 norm hoisting
+    "embedding_ivf_topk",  # r5 row; r6 broadcast-semi-join probe + DPP
+    "frequent_part_itemsets",  # r3 row; r6 checkpoint, r7 input reuse
+    "copurchase_pagerank",  # r3 row; r6 frontier checkpointing
+    "curated_docs_survivors",  # r3 row; r7 CC-round caching
+    # -- slots 14-50: stalest remaining evidence (only driver rows r2) --
+    "distinct_event_days",
+    "doc_constraint_report",
+    "doc_salient_terms",
+    "doc_text_profile",
+    "doc_token_stats",
+    "embedding_cosine_topk",
+    "event_date_expr_join",
+    "event_props_json",
+    "global_top_customers",
+    "hourly_event_stats",
+    "lapsed_customer_anti",
+    "lineitem_distinct_stats",
+    "loyal_customers_intersect",
+    "minhash_dedup_pairs_docs",
+    "mod_sampled_docs",
+    "ngram_jaccard_pairs_docs",
+    "order_snapshot_series",
+    "orders_column_profile",
+    "pivot_event_avg_value",
+    "pivot_event_counts",
+    "price_quantity_correlation",
+    "pricing_summary",
+    "priority_supplier_diversity",
+    "quantile_spread_by_flag",
+    "recent_customer_semi",
+    "regional_supplier_volume",
+    "rolling_90d_spend",
+    "rollup_lineitem_counts",
+    "running_customer_spend",
+    "selected_pairs_inner_join",
+    "sessionize_events",
+    "top_customer_label",
+    "top_customer_per_year",
+    "top_urgent_order_revenue",
+    "trailing_year_orders",
+    "union_order_year_slices",
+    "vocabulary_top_terms",
     # -- rows-only entry, intentionally just past the 50-slot cutoff --
     "embedding_lsh_topk",
 ]
