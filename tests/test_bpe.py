@@ -123,3 +123,117 @@ def test_sql_str_escapes_quotes(spark):
     df = spark.createDataFrame([("a'b",)], ["word"])
     out = bpe.segment_words(df, [{"left": "a", "right": "'"}]).first()["bpe_syms"]
     assert list(out) == ["a'", "b", "</w>"]
+
+
+def _ref_bpe_batched(words: list[str], n: int, batch_size: int):
+    """Pure-Python batched BPE twin: per scan, count pairs, page the
+    top max(4M, M+8) candidates (mirroring the trainer's bounded
+    collect), select via the SAME ``select_batch``, apply the batch
+    sequentially (disjoint merges commute — this also cross-checks the
+    trainer's chained-fold composition). Returns (merges, vocab,
+    n_scans)."""
+    wf = Counter(words)
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in wf}
+    merges, scans = [], 0
+    fetch_k = max(batch_size * 4, batch_size + 8)
+    while len(merges) < n:
+        scans += 1
+        pc: Counter = Counter()
+        for w, c in wf.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        cands = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:fetch_k]
+        batch = bpe.select_batch(
+            [(l, r, c) for (l, r), c in cands],
+            batch_size=min(batch_size, n - len(merges)),
+        )
+        if not batch:
+            break
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, left + right, cnt))
+
+            def _merge(s, left=left, right=right):
+                out = []
+                for sym in s:
+                    if out and out[-1] == left and sym == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(sym)
+                return tuple(out)
+
+            vocab = {w: _merge(s) for w, s in vocab.items()}
+    return merges, vocab, scans
+
+
+def test_select_batch_skips_symbol_conflicts():
+    cands = [("a", "b", 10), ("b", "c", 9), ("ab", "d", 8), ("x", "y", 7)]
+    # (b,c) shares b with (a,b); (ab,d) collides with the MERGED token ab.
+    assert bpe.select_batch(cands, 3) == [("a", "b", 10), ("x", "y", 7)]
+    # min_pair_count stops the scan at the first sub-threshold candidate
+    # (the list is count-sorted, so everything after is below too).
+    assert bpe.select_batch(cands, 3, min_pair_count=8) == [("a", "b", 10)]
+    # batch_size caps selection before conflicts even matter.
+    assert bpe.select_batch(cands, 1) == [("a", "b", 10)]
+
+
+@pytest.mark.parametrize("m", [2, 3, 4])
+def test_batched_train_matches_python_batched_reference(spark, corpus, m):
+    merges, vocab = bpe.train_bpe(corpus, n_merges=10, batch_size=m)
+    ref_merges, ref_vocab, _ = _ref_bpe_batched(WORDS + WORDS[:7], 10, m)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges
+    ]
+    assert got == ref_merges
+    seg = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+    vocab.unpersist()
+    assert seg == ref_vocab
+
+
+def test_batched_scan_count_scales_as_merges_over_m(spark, corpus, monkeypatch):
+    """Jobs ∝ n_merges / batch_size: the trainer must issue exactly as
+    many count scans as the Python batched twin predicts — strictly
+    fewer than one per merge."""
+    calls = {"n": 0}
+    orig = bpe._pair_counts
+
+    def counting(v):
+        calls["n"] += 1
+        return orig(v)
+
+    monkeypatch.setattr(bpe, "_pair_counts", counting)
+    merges, vocab = bpe.train_bpe(corpus, n_merges=8, batch_size=4)
+    vocab.unpersist()
+    _, _, ref_scans = _ref_bpe_batched(WORDS + WORDS[:7], 8, 4)
+    assert len(merges) == 8
+    assert calls["n"] == ref_scans
+    assert calls["n"] < 8
+
+
+def test_batch_size_one_is_bitwise_sequential_greedy(spark, corpus):
+    seq, v1 = bpe.train_bpe(corpus, n_merges=6, batch_size=1)
+    v1.unpersist()
+    ref_merges, _ = _ref_bpe(WORDS + WORDS[:7], 6)
+    assert [
+        (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in seq
+    ] == ref_merges
+
+
+def test_batched_divergence_exhibit(spark):
+    """The documented M>1 artifact: on 'ab'x10 + 'cd'x6, sequential
+    greedy's step 2 is the CREATED pair (ab, </w>) count 10, while the
+    M=2 batch — selected on the pre-merge snapshot — takes the disjoint
+    (c, d) count 6. Both are valid BPE artifacts; the divergence is the
+    price of one scan per M merges."""
+    words = ["ab"] * 10 + ["cd"] * 6
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    seq, vs = bpe.train_bpe(df, n_merges=2, batch_size=1)
+    vs.unpersist()
+    bat, vb = bpe.train_bpe(df, n_merges=2, batch_size=2)
+    vb.unpersist()
+    assert (seq[0]["left"], seq[0]["right"]) == ("a", "b")
+    assert (seq[1]["left"], seq[1]["right"]) == ("ab", "</w>")
+    assert (bat[0]["left"], bat[0]["right"]) == ("a", "b")
+    assert (bat[1]["left"], bat[1]["right"]) == ("c", "d")
