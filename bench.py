@@ -58,7 +58,12 @@ def main() -> None:
     # the number that scales to 100 TB, where per-plan compile time is
     # noise against hours of row processing.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if not os.path.isdir(warm_dir):
+    # When sf0.001 is absent the warmup runs at sf_dir itself — the whole
+    # catalog executes once UNTIMED at full scale, roughly doubling wall
+    # time. warmup_at_full_scale in the output makes that attributable
+    # instead of silently inflating warmup_sec.
+    warmup_at_full_scale = not os.path.isdir(warm_dir)
+    if warmup_at_full_scale:
         warm_dir = sf_dir
     t_warm = time.time()
     for warm_q, warm_fn in qs.items():
@@ -93,6 +98,8 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "sf": sf,
     }
+    if warmup_at_full_scale:
+        full["warmup_at_full_scale"] = True
     if errors:
         full["errors"] = errors
     (REPO / "bench_full.json").write_text(json.dumps(full, indent=1))
@@ -105,6 +112,8 @@ def main() -> None:
         "n_errors": len(errors),
         "sf": sf,
     }
+    if warmup_at_full_scale:
+        payload["warmup_at_full_scale"] = True
     print(json.dumps(payload))
 
 

@@ -8,12 +8,34 @@ exactly by enumeration (the catalog oracle does, up to ``max_size``).
 The co-occurrence pair query (``copurchased_parts``) is the A-priori
 step-2 special case; FP-growth generalizes to arbitrary itemset sizes
 in one distributed pass over the conditional-tree projections.
+
+Fault-tolerance note (both miners): the basket/sequence table feeding
+MLlib is lineage-cut before the multi-pass fit. When the SparkContext
+has a checkpoint dir set, that cut is a RELIABLE ``checkpoint`` —
+executor loss recomputes from storage. Otherwise it falls back to
+``localCheckpoint``, whose blocks are NOT replicated: on a real
+cluster an executor loss fails the job instead of recomputing. That is
+an explicit trade — the mining input is one groupBy away from source
+and re-running a failed mining job is cheap, while keeping the full
+lineage makes MLlib's own multi-pass scans re-execute the
+groupBy/collect per pass even in the happy path. For long-running
+production mining, set ``spark.sparkContext.setCheckpointDir(...)``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _lineage_cut(df: DataFrame) -> DataFrame:
+    """Lazy lineage cut: reliable ``checkpoint`` when a checkpoint dir is
+    configured, else ``localCheckpoint`` (see module fault-tolerance
+    note). Lazy so the caller's first action — the basket count —
+    materializes it: ONE job, where an eager cut plus count was two."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
 
 
 def frequent_itemsets(
@@ -42,17 +64,19 @@ def frequent_itemsets(
     partition-layout invariant."""
     from pyspark.ml.fpm import FPGrowth
 
-    # Eager localCheckpoint, then count the checkpointed blocks: FPGrowth
+    # Lineage-cut, then count materializes the blocks (one job): FPGrowth
     # scans its input several times (item-frequency pass inside fit, the
-    # conditional-tree pass, the caller's final action) and an uncached
+    # conditional-tree pass, the caller's final action) and an uncut
     # lineage recomputes the groupBy/collect_set each time; the basket
     # count for the support fraction then comes free from the same blocks
     # instead of a separate distinct-count job over the source. Blocks
-    # are GC-managed with the DataFrame (the curate.py CC pattern).
-    baskets = (
-        transactions.groupBy(basket_col)
-        .agg(F.collect_set(F.col(item_col)).alias("items"))
-        .localCheckpoint(eager=True)
+    # are GC-managed with the DataFrame (the curate.py CC pattern). The
+    # cut is LAZY, so the min_count > n early-return path below never
+    # pays for block storage beyond the count scan itself.
+    baskets = _lineage_cut(
+        transactions.groupBy(basket_col).agg(
+            F.collect_set(F.col(item_col)).alias("items")
+        )
     )
     n = baskets.count()
     if n == 0:
@@ -119,19 +143,17 @@ def frequent_sequences(
         *[F.col(c).alias(f"__t{i}") for i, c in enumerate(tiebreak)],
         F.col(step_col).cast("string").alias("__step"),
     )
-    # same localCheckpoint rationale as frequent_itemsets: PrefixSpan's
+    # same lineage-cut rationale as frequent_itemsets: PrefixSpan's
     # projected-database iterations re-scan the input per prefix length
     # (MLlib warns "Input data is not cached" otherwise), and the session
-    # count reads the checkpointed blocks instead of re-grouping
-    seqs = (
-        sessions.groupBy(*[F.col(c) for c in session_cols])
-        .agg(
+    # count materializes + reads the cut blocks instead of re-grouping
+    seqs = _lineage_cut(
+        sessions.groupBy(*[F.col(c) for c in session_cols]).agg(
             F.transform(
                 F.array_sort(F.collect_list(item)),
                 lambda x: F.array(x["__step"]),
             ).alias("sequence")
         )
-        .localCheckpoint(eager=True)
     )
     n = seqs.count()
     if n == 0:

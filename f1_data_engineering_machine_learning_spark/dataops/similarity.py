@@ -14,6 +14,17 @@ Three tiers, trading recall for scan cost:
   centroids only — the classic IVF-Flat layout, built from MLlib + joins.
   At 100 TB the corpus is written bucketed/partitioned by centroid id so a
   probe touches only its partitions.
+
+Numeric contract: embedding vectors must have NON-ZERO L2 norm (and no
+NaN/Inf components). Cosine against a zero-norm vector is 0/0 = NaN, and
+the argmax formulations here are deliberately NOT NaN-stable: the
+``array_min(transform(...))`` struct argmin ranks NaN as greatest (so a
+NaN cosine LOSES the argmax), while a fold-style scan or an
+``ORDER BY cos DESC`` oracle would let NaN WIN — degenerate inputs make
+engines disagree, so they are out of contract rather than papered over.
+Normalize or drop zero vectors upstream (``l2_norm(v) > 0``);
+``tests/test_similarity_contract.py`` pins that the oracle fixtures
+satisfy this, so every value hash is NaN-free by construction.
 """
 
 from __future__ import annotations

@@ -43,12 +43,28 @@ def throttle_events(
     """Keep rows spaced >= ``min_gap_seconds`` apart per entity (first
     event always kept; ordering is ``(ts_col, *tiebreak_cols)`` — pass a
     unique id for determinism under timestamp ties). Output schema ==
-    input schema, kept rows only."""
+    input schema, kept rows only.
+
+    Entity-key contract: entity columns must be DISCRETE scalar types
+    (string / integer / date / boolean...). The per-partition walk keys
+    a Python dict on the raw values, so floating-point entities are
+    rejected up front — a NaN key never equals itself, which would make
+    every NaN-entity event its own "first event" where a groupBy would
+    form one NaN group — as are array/map/struct entities (unhashable).
+    Rejecting at plan time beats silently diverging on degenerate keys."""
     entity_cols = list(entity_cols)
     tiebreak_cols = list(tiebreak_cols)
     for c in [*entity_cols, ts_col, *tiebreak_cols]:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame")
+    dtypes = dict(df.dtypes)
+    for c in entity_cols:
+        t = dtypes[c]
+        if t in ("float", "double") or t.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"entity column {c!r} has type {t}: throttle entity keys "
+                "must be discrete hashable scalars (see docstring)"
+            )
     if min_gap_seconds <= 0:
         raise ValueError("min_gap_seconds must be positive")
     order = [ts_col, *tiebreak_cols]

@@ -54,6 +54,20 @@ def test_validation(spark):
         throttle_events(df, ["user"], "ts", 0)
 
 
+def test_entity_key_type_contract_rejects_float_and_nested(spark):
+    """NaN float keys never equal themselves in the dict walk and nested
+    types are unhashable — both rejected at plan time (docstring
+    contract), never silently misgrouped."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1.5, _ts(0))], ["fuser", "ts"])
+    with pytest.raises(ValueError, match="discrete hashable"):
+        throttle_events(df, ["fuser"], "ts", 5.0)
+    arr = df.withColumn("akey", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="discrete hashable"):
+        throttle_events(arr, ["akey"], "ts", 5.0)
+
+
 def test_fuzz_throttle_matches_python_replay(spark):
     """Seeded random event streams vs a pure-Python replay of the exact
     debounce walk: per entity, sort by (ts, id-tiebreak), keep iff
