@@ -2759,14 +2759,19 @@ def sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
-    ranked = counts.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("numwait"), F.col("s_suppkey"))
-        ),
-    )
-    return ranked.filter(F.col("rn") <= 10).select(
-        F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "numwait"
+    # top-10 via orderBy+limit (TakeOrderedAndProject): the per-supplier
+    # count frame is dimension-scaled (millions of suppliers at large SF),
+    # so the partial top-k must fold map-side — a global row_number window
+    # would sort the whole frame in one task. Same rows as rn <= 10 under
+    # the identical deterministic (numwait DESC, s_suppkey) order.
+    return (
+        counts.orderBy(F.desc("numwait"), F.col("s_suppkey"))
+        .limit(10)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "numwait",
+        )
     )
 
 

@@ -235,18 +235,22 @@ def weighted_sample(
     u = (hkey.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     skey = F.pow(u, F.lit(1.0) / w.cast("double"))
     scored = df.filter(w > 0).withColumn("__skey", skey.cast("double"))
-    from pyspark.sql import Window
-
     order = [F.desc("__skey"), F.col(key)]
     if by:
+        from pyspark.sql import Window
+
         win = Window.partitionBy(*by).orderBy(*order)
-    else:
-        win = Window.partitionBy(F.lit(1)).orderBy(*order)
-    return (
-        scored.withColumn("__rn", F.row_number().over(win))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+        return (
+            scored.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    # global sample: orderBy+limit plans as TakeOrderedAndProject — each
+    # task keeps its local top-k and only k-row heads reach the driver
+    # stage; a Window.partitionBy(lit(1)) here would instead sort ALL
+    # rows into one task (single-partition global window, the exact
+    # shape the plan audit bans on data-scaled frames)
+    return scored.orderBy(*order).limit(k)
 
 
 def upsample_with_repeats(

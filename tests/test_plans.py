@@ -297,3 +297,39 @@ def test_entire_catalog_plans_free_of_cartesian_and_rowwise_python(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan violations: {offenders}"
+
+
+def test_entire_catalog_global_windows_are_bounded_whitelisted(spark):
+    """Every unpartitioned Window in every catalog plan must sit on a
+    provably BOUNDED post-aggregate frame — whitelisted by name with a
+    row-bound comment in tools/plan_audit.py::BOUNDED_GLOBAL_WINDOWS.
+    An unlisted global window sorts its whole input in one task at
+    100 TB; the two real ones this sweep found (weighted_doc_sample's
+    A-ES top-k, sole_returning_supplier's top-10) were rewritten to
+    TakeOrderedAndProject in round 7. The whitelist is also checked for
+    staleness: a listed query that no longer plans a global window must
+    be delisted."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", Path(__file__).resolve().parent.parent / "tools" / "plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {}
+    with_global: set[str] = set()
+    for name, fn in catalog.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        lines = pa.global_window_lines(plan)
+        if lines:
+            with_global.add(name)
+            if name not in pa.BOUNDED_GLOBAL_WINDOWS:
+                offenders[name] = lines
+    assert not offenders, f"unwhitelisted global windows: {offenders}"
+    stale = pa.BOUNDED_GLOBAL_WINDOWS - with_global
+    assert not stale, f"whitelist entries with no global window left: {stale}"

@@ -206,15 +206,89 @@ trick when the skewed side feeds an aggregation AQE cannot split.
 """
 
 
+#: Queries ALLOWED to plan a global (unpartitioned) Window, each with
+#: the row bound that proves the windowed frame is post-aggregate and
+#: BOUNDED — not data-volume-scaled. Any catalog plan with a global
+#: Window outside this table is a violation: at 100 TB an unpartitioned
+#: window sorts its whole input in ONE task. (weighted_doc_sample and
+#: sole_returning_supplier used to be here in spirit — both were
+#: rewritten to orderBy+limit / TakeOrderedAndProject in round 7.)
+BOUNDED_GLOBAL_WINDOWS = {
+    # cumulative revenue over the per-DAY series: ≤ ~2.4k rows (TPC-H
+    # order-date span), fixed by the calendar regardless of SF
+    "daily_revenue_cusum",
+    # Benford digit distribution: exactly 9 rows (leading digits 1-9)
+    "order_price_benford",
+    # chi-square cell table: |mktsegment| x |orderpriority| = 25 cells
+    "segment_priority_chisq",
+    # per-day HLL sketch rollup series: ≤ events-date-span days
+    "rolling_7d_distinct_users",
+    # week-over-week series: ≤ ~350 ISO weeks over the TPC-H date span
+    "weekly_revenue_growth",
+}
+
+_SORT_TOKEN = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan node line (nesting-aware)."""
+    out: list[str] = []
+    depth = 0
+    cur = ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return out
+
+
+def global_window_lines(plan: str) -> list[str]:
+    """Unpartitioned Window nodes in an executedPlan string. Node format
+    is ``Window [exprs], [partitionSpec], [orderSpec]`` with empty specs
+    omitted, so: 3 groups = partitioned; 2 groups = partitioned-unordered
+    (fine, distributed) UNLESS the 2nd group carries sort tokens, which
+    makes it an ORDERED GLOBAL window; 1 group = global unordered window
+    (whole frame in one task). WindowGroupLimit prints its partition spec
+    first — empty means global."""
+    bad = []
+    for raw in plan.splitlines():
+        line = raw.lstrip(" +-:*")
+        if line.startswith(("Window ", "WindowInPandas ")):
+            g = _bracket_groups(line)
+            if len(g) == 1 or (len(g) == 2 and _SORT_TOKEN.search(g[1])):
+                bad.append(line.strip()[:160])
+        elif line.startswith("WindowGroupLimit "):
+            g = _bracket_groups(line)
+            if g and g[0].strip() == "":
+                bad.append(line.strip()[:160])
+    return bad
+
+
 def _global_invariants(name: str, plan: str) -> list[str]:
     """Mechanical invariants asserted on EVERY catalog plan (the same
-    contract tests/test_plans.py sweeps): no cartesian pair explosion
-    and no row-at-a-time Python UDF in any plan. Returns violations."""
+    contract tests/test_plans.py sweeps): no cartesian pair explosion,
+    no row-at-a-time Python UDF, and no global Window outside the
+    bounded-frame whitelist. Returns violations."""
     bad = []
     if "CartesianProduct" in plan:
         bad.append(f"{name}: CartesianProduct in plan")
     if "BatchEvalPython" in plan:
         bad.append(f"{name}: row-wise BatchEvalPython UDF in plan")
+    if name not in BOUNDED_GLOBAL_WINDOWS:
+        for line in global_window_lines(plan):
+            bad.append(
+                f"{name}: global Window on a non-whitelisted frame "
+                f"(single-task sort at scale): {line}"
+            )
     return bad
 
 
