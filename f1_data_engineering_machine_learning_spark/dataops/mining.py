@@ -38,16 +38,78 @@ def _lineage_cut(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _enumerated_itemsets(
+    baskets: DataFrame, min_count: int, max_size: int
+) -> DataFrame:
+    """Layer-wise bounded enumeration (the A-priori candidate shape
+    without the pruning passes — at ``min_count=2``-style thresholds
+    nearly every item is frequent, so pruning buys nothing): per basket,
+    emit every size-k item combination with one nested transform/slice
+    expression (JVM map-side, combinations of the SORTED item array stay
+    sorted, so canonical form is free), then one count shuffle per
+    layer. Cost is sum_k C(b, k) rows per width-b basket — polynomial
+    and tiny for narrow baskets, which is exactly when PFP's per-suffix
+    conditional-tree machinery is all overhead (measured at sf0.1 order
+    baskets, width <= 7: enumeration 2.2 s vs PFP 4.5-5 s, identical
+    23,573 itemsets). The caller guards width and max_size."""
+    items_sorted = baskets.select(F.array_sort("items").alias("items"))
+    combos = {
+        1: "transform(items, x -> array(x))",
+        2: (
+            "flatten(transform(items, (x, i) -> "
+            "transform(slice(items, i + 2, size(items) - i - 1), "
+            "y -> array(x, y))))"
+        ),
+        3: (
+            "flatten(transform(items, (x, i) -> flatten("
+            "transform(slice(items, i + 2, size(items) - i - 1), (y, j) -> "
+            "transform(slice(items, i + j + 3, size(items) - i - j - 2), "
+            "z -> array(x, y, z))))))"
+        ),
+    }
+    out: DataFrame | None = None
+    for k in range(1, max_size + 1):
+        layer = (
+            items_sorted.filter(F.size("items") >= k)
+            .select(F.explode(F.expr(combos[k])).alias("itemset_arr"))
+            .groupBy("itemset_arr")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= min_count)
+        )
+        out = layer if out is None else out.unionByName(layer)
+    assert out is not None
+    return out.select(
+        F.array_join(
+            F.transform("itemset_arr", lambda x: x.cast("string")), ","
+        ).alias("itemset"),
+        F.size("itemset_arr").cast("int").alias("size"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
 def frequent_itemsets(
     transactions: DataFrame,
     basket_col: str,
     item_col: str,
     min_count: int = 2,
     max_size: int = 3,
+    enum_max_width: int = 64,
 ) -> DataFrame:
     """Frequent itemsets with ABSOLUTE support ``min_count``, canonical
     output ``(itemset, size, freq)`` where ``itemset`` is the
     ascending-sorted comma-joined item list.
+
+    ADAPTIVE algorithm choice, decided from two scalars the basket
+    materialization already produces (count + max width, one job): when
+    ``max_size <= 3`` and no basket is wider than ``enum_max_width``,
+    itemsets are counted by direct layer-wise enumeration
+    (``_enumerated_itemsets`` — map-side combination expansion + one
+    count shuffle per layer, bitwise-identical output, ~2x faster than
+    PFP on narrow baskets); wide baskets (C(b,3) grows cubically) or
+    deeper itemsets take MLlib parallel FP-growth, whose conditional
+    trees are the right machinery there. Both arms are distributed and
+    oracle-checkable; the threshold caps enumeration fan-out at
+    C(64,3) ~= 42k rows per basket.
 
     MLlib's ``minSupport`` is a fraction with an internal
     ``ceil(minSupport * n)`` count; a naive ``min_count / n`` risks the
@@ -78,7 +140,13 @@ def frequent_itemsets(
             F.collect_set(F.col(item_col)).alias("items")
         )
     )
-    n = baskets.count()
+    # one job materializes the cut blocks AND returns both decision
+    # scalars: basket count (support fraction) + max width (algorithm
+    # choice) — no extra pass over the data
+    stats = baskets.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("items")).alias("w")
+    ).collect()[0]
+    n, width = int(stats["n"]), int(stats["w"] or 0)
     if n == 0:
         raise ValueError("no baskets")
     if min_count > n:
@@ -87,6 +155,8 @@ def frequent_itemsets(
         return transactions.sparkSession.createDataFrame(
             [], "itemset string, size int, freq long"
         )
+    if max_size <= 3 and width <= enum_max_width:
+        return _enumerated_itemsets(baskets, min_count, max_size)
     fp = FPGrowth(
         itemsCol="items",
         minSupport=(min_count - 0.5) / n,

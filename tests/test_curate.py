@@ -20,6 +20,26 @@ def test_near_dup_clusters_transitive(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def test_near_dup_clusters_local_and_distributed_paths_agree(spark):
+    """The adaptive small-graph arm (driver union-find) and the
+    distributed min-label loop must produce the identical (node, label)
+    frame. Chain + island + a 4-cycle with diameter 2 exercises the
+    propagation rounds; local_threshold=0 forces the distributed path."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.95), (10, 11, 0.9),
+         (11, 12, 0.9), (12, 13, 0.9), (13, 10, 0.9)],
+        ["i", "j", "jaccard"],
+    )
+    local = {(r.node, r.label) for r in near_dup_clusters(pairs).collect()}
+    dist = {
+        (r.node, r.label)
+        for r in near_dup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7),
+                     (10, 10), (11, 10), (12, 10), (13, 10)}
+
+
 def test_curate_documents_fixture(spark):
     base = "one two three four five six seven eight nine ten " * 8
     rows = [

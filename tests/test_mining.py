@@ -103,3 +103,42 @@ def test_frequent_sequences_order_matters(spark):
     # each direction appears in exactly one session
     assert ("x>y", 1) in got and ("y>x", 1) in got
     assert ("x", 2) in got and ("y", 2) in got
+
+
+def test_frequent_itemsets_enum_and_pfp_arms_agree(spark):
+    """The adaptive arms must be bitwise-identical: the enumeration path
+    (default for narrow baskets, max_size <= 3) vs MLlib PFP (forced
+    here with enum_max_width=0). Mixed-width baskets incl. a singleton
+    and numeric ids whose string sort would differ from numeric."""
+    rows = []
+    for b in range(4):
+        for item in (2, 10, 33, 100)[: 2 + b % 3]:
+            rows.append((b, item))
+    rows += [(9, 100)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    enum_out = {
+        (r.itemset, r.size, r.freq)
+        for r in frequent_itemsets(df, "basket", "item", min_count=2).collect()
+    }
+    pfp_out = {
+        (r.itemset, r.size, r.freq)
+        for r in frequent_itemsets(
+            df, "basket", "item", min_count=2, enum_max_width=0
+        ).collect()
+    }
+    assert enum_out == pfp_out
+    assert ("2,10", 2, 4) in enum_out  # numeric canonical order, not "10,2"
+
+
+def test_frequent_itemsets_wide_basket_falls_back_to_pfp(spark):
+    """A basket wider than enum_max_width must route to PFP (enumeration
+    fan-out is C(b,3)); result still exact."""
+    rows = [(0, i) for i in range(10)] + [(1, 0), (1, 1)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.itemset, r.size, r.freq)
+        for r in frequent_itemsets(
+            df, "basket", "item", min_count=2, enum_max_width=8
+        ).collect()
+    }
+    assert got == {("0", 1, 2), ("1", 1, 2), ("0,1", 2, 2)}
