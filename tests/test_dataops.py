@@ -1216,3 +1216,49 @@ def test_dot_hof_sql_bitwise_equals_unrolled_chain(spark):
         )
     ).count()
     assert n == 0
+
+
+def test_mllib_lsh_parity_bound_vs_rp_lsh_twin(spark, sf_dir):
+    """The contract for the catalog's one rows-only query
+    (embedding_lsh_topk): on IDENTICAL inputs, MLlib
+    BucketedRandomProjectionLSH's mean recall@5 vs the exact baseline
+    must be at least that of the fully value-oracled RP-LSH twin minus
+    a 0.1 tolerance, and above an absolute 0.8 floor (measured 0.93-0.94
+    at sf0.001/sf0.01 vs the twin's 0.66-0.77 — MLlib hashes with 3
+    tables to the twin's single banded table, so it should never fall
+    below the twin by more than noise)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = similarity.cosine_topk(q, emb, k=5)
+    mllib = (
+        similarity.ann_recall_at_k(similarity.lsh_topk(q, emb, k=5), brute, k=5)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    rp = (
+        similarity.ann_recall_at_k(similarity.rp_lsh_topk(q, emb, k=5), brute, k=5)
+        .agg(F.avg("recall_at_k"))
+        .collect()[0][0]
+    )
+    assert mllib >= 0.8
+    assert mllib >= rp - 0.1
+
+
+def test_mllib_lsh_seed_stable_across_partitionings(spark, sf_dir):
+    """Seeded MLlib LSH must return the identical ranked neighbor table
+    regardless of input partitioning: hyperplanes come from the seed
+    (not from data layout) and the top-k tie-break is by neighbor id,
+    so a repartition can't change any row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    base = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.lsh_topk(q, emb, k=5).collect()
+    )
+    shuffled = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.lsh_topk(
+            q.repartition(7), emb.repartition(13), k=5
+        ).collect()
+    )
+    assert base == shuffled
