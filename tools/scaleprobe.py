@@ -58,7 +58,15 @@ SHIFT_COLS = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "events": ["event_id", "user_id"],
+    # fact-side dims grow with SF; shifts mirror the fact keys above so
+    # every join stays consistent across copies
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
 }
+
+#: true dimensions (25 nations / 5 regions) do NOT grow with SF —
+#: duplicating them would fan out every join; copied verbatim once
+COPY_VERBATIM = ["nation", "region"]
 
 
 def _gen(spark) -> None:
@@ -84,6 +92,14 @@ def _gen(spark) -> None:
             union = union.unionByName(p)
         union.write.mode("overwrite").parquet(str(out))
         print(f"generated {out}")
+    for table in COPY_VERBATIM:
+        out = Path(SF1) / f"{table}.parquet"
+        if out.exists():
+            continue
+        spark.read.parquet(f"{SF01}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        print(f"generated {out} (verbatim dim)")
 
 
 def main() -> None:
@@ -108,17 +124,27 @@ def main() -> None:
         return round(time.time() - t0, 2)
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
-    results = {}
-    for name in (wanted or QUERIES):
-        run(name, "/root/testdata/sf0.001")  # codegen warm at tiny sf
-        t01 = run(name, SF01)
-        t1 = run(name, SF1)
-        results[name] = {
-            "sf0.1_s": t01,
-            "sf1_s": t1,
-            "ratio": round(t1 / t01, 1) if t01 else None,
-        }
-        print(name, json.dumps(results[name]))
+    names = list(qs) if "--all" in sys.argv else (wanted or QUERIES)
+    dump = REPO / ".scratch" / (
+        "scaleprobe_all.json" if "--all" in sys.argv else "scaleprobe.json"
+    )
+    results = json.loads(dump.read_text()) if dump.exists() else {}
+    for name in names:
+        if name in results and "err" not in results[name]:
+            continue  # resumable: keep prior successful probes
+        try:
+            run(name, "/root/testdata/sf0.001")  # codegen warm at tiny sf
+            t01 = run(name, SF01)
+            t1 = run(name, SF1)
+            results[name] = {
+                "sf0.1_s": t01,
+                "sf1_s": t1,
+                "ratio": round(t1 / t01, 1) if t01 else None,
+            }
+        except Exception as exc:  # noqa: BLE001 - probe all, report errors
+            results[name] = {"err": str(exc).split("\n")[0][:200]}
+        print(name, json.dumps(results[name]), flush=True)
+        dump.write_text(json.dumps(results, indent=1))
     print(json.dumps(results))
 
 
