@@ -76,13 +76,14 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 6 completes hard driver verification of the
-    whole catalog: slots 1-38 are exactly the queries with NO driver row
-    in rounds 1-5 (the round-4 backlog, the new end-to-end f1_abt_fixture,
-    and the three operators added mid-round-6), slots 39-50
-    re-verify stale r1/r2 evidence, every gated entry is
-    value-oracle-paired, and the one rows-only entry
-    (embedding_lsh_topk) sits past the cutoff."""
+    iteration order. Round 7 rotates by EVIDENCE FRESHNESS: slots 1-13
+    are queries whose code paths were rewritten in r6/r7 after their
+    newest driver row (newest row <= r5 by construction), slots 14-50
+    are exactly 37 of the 39 stalest remaining queries (only driver
+    rows in round 2), every gated entry is value-oracle-paired, and the
+    one rows-only entry (embedding_lsh_topk) sits past the cutoff.
+    Cumulatively, rounds 1-6 hard-verified every catalog query except
+    that one."""
     import json
     import os
 
@@ -93,20 +94,29 @@ def test_gate_priority_queries_in_first_50():
     for i, n in enumerate(catalog._GATE_PRIORITY):
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
-    gated = set()
-    for r in (1, 2, 3, 4, 5):
+    newest: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5, 6):
         p = f"CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
-            gated |= set(json.load(open(p)))
+            for q in json.load(open(p)):
+                newest[q] = r
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    for n in names[:38]:
-        assert n not in gated, f"{n} already driver-gated in rounds 1-5"
-    # with the first 38 gated, every catalog query has (or will have
-    # after this round) at least one hard driver correctness row
-    never = set(catalog._QUERIES) - gated - set(names[:38])
+    for n in names[:13]:
+        assert newest.get(n, 0) <= 5, (
+            f"{n} in the rewritten-path slots but its driver row is fresh"
+        )
+    for n in names[13:50]:
+        assert newest.get(n) == 2, (
+            f"{n} in the stale slots but its newest driver row is "
+            f"r{newest.get(n)}, not r2"
+        )
+    # cumulative hard verification: rounds 1-6 covered everything except
+    # the documented rows-only entry
+    never = set(catalog._QUERIES) - set(newest)
     assert never == {"embedding_lsh_topk"}, never
     assert "embedding_lsh_topk" not in names[:50]
+    assert names[50] == "embedding_lsh_topk"
 
 
 def test_variant_nested_typed_extraction(spark):
