@@ -220,3 +220,43 @@ def test_interval_overlap_join_planted_skew(spark):
     assert (
         out.groupBy("lid", "rid").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_interval_overlap_join_keyed_confines_candidates(spark):
+    """keys= confines matches to their key group on BOTH strategies:
+    same time window on different users must NOT pair; left rows with
+    no same-key overlap NULL-extend keeping their key value."""
+    import datetime
+
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [
+            ("u1", 1, t(0), t(2)),
+            ("u2", 2, t(0), t(2)),   # same window, other user
+            ("u1", 3, t(6), t(7)),   # no same-key overlap
+        ],
+        ["user", "lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, t(1), t(3)),
+            ("u2", 11, t(10), t(11)),  # u2 has no overlapping incident
+        ],
+        ["user", "rid", "rs", "re"],
+    )
+    for strategy in ("broadcast", "bucketed"):
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            how="left", strategy=strategy, bucket_seconds=3600, keys=["user"],
+        )
+        got = sorted((r.user, r.lid, r.rid) for r in out.collect())
+        assert got == [
+            ("u1", 1, 10),
+            ("u1", 3, None),
+            ("u2", 2, None),
+        ], strategy
+        assert out.columns.count("user") == 1
