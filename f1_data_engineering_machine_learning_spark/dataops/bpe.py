@@ -190,6 +190,8 @@ def train_bpe(
     (recompute-safe on executor loss), else ``localCheckpoint`` —
     non-replicated blocks, so on a real cluster set a checkpoint dir
     for long trainings; the interval bounds the loss either way."""
+    if batch_size < 1 or checkpoint_interval < 1:
+        raise ValueError("batch_size and checkpoint_interval must be >= 1")
     # persists are LAZY on purpose: scan k's vocab materializes into the
     # cache during scan k+1's bounded argmax collect (the only action), so
     # each scan is exactly ONE job and recompute depth stays 1 —
