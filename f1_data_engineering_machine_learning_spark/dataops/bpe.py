@@ -66,6 +66,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 _EOW = "</w>"
 
 
@@ -205,7 +209,6 @@ def train_bpe(
     # (≤ 4M+8 rows of two short strings + a long) regardless of corpus
     # size — never a data-scaled collect.
     fetch_k = max(batch_size * 4, batch_size + 8)
-    reliable = vocab.sparkSession.sparkContext.getCheckpointDir() is not None
     merges: list[dict] = []
     prev: DataFrame | None = None
     scan = 0
@@ -244,11 +247,7 @@ def train_bpe(
         if scan % checkpoint_interval == 0:
             # Lineage cut (see docstring): lazy, so it materializes
             # inside the next scan's collect — still one job per scan.
-            nxt = (
-                nxt.checkpoint(eager=False)
-                if reliable
-                else nxt.localCheckpoint(eager=False)
-            )
+            nxt = lineage_cut(nxt)
         nxt = nxt.persist()
         prev = vocab
         vocab = nxt

@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 from f1_data_engineering_machine_learning_spark.dataops import dedup as _dedup
 from f1_data_engineering_machine_learning_spark.dataops import text as _text
 
@@ -45,23 +49,22 @@ def near_dup_clusters(
     Driver traffic is bounded by ``local_threshold`` rows by
     construction. Both paths produce the identical (node, label) frame:
     min id per component, every edge endpoint present."""
-    # Eager localCheckpoint, not persist: an iterative algorithm's real
-    # driver cost is PLAN growth — with persist, every round's action
-    # re-analyzes the full upstream lineage (the whole MinHash pipeline
-    # plus one join layer per round), so analysis + codegen dominate cold
-    # runs and grow superlinearly with rounds. Checkpointing truncates
-    # the plan to an in-memory scan, making each round's plan constant-
-    # size (the standard Pregel/GraphX practice). Blocks are GC-managed
-    # with the DataFrame (no CacheManager entries pinning executor
-    # memory); the trade — losing an executor's unreplicated blocks
-    # fails the job instead of recomputing — is the accepted one for
-    # iterative graph algorithms, and the loop restarts cleanly.
+    # lineage_cut (operators/checkpoints.py), not persist: an iterative
+    # algorithm's real driver cost is PLAN growth — with persist, every
+    # round's action re-analyzes the full upstream lineage (the whole
+    # MinHash pipeline plus one join layer per round), so analysis +
+    # codegen dominate cold runs and grow superlinearly with rounds.
+    # Checkpointing truncates the plan to a scan, keeping each round's
+    # plan constant-size (the standard Pregel/GraphX practice); the
+    # count below materializes the cut in the same job and doubles as
+    # the adaptive-path decision scalar. Fault-tolerance policy
+    # (reliable checkpoint when a dir is set) lives in lineage_cut.
     edges = (
         pairs.select(F.col("i").alias("a"), F.col("j").alias("b"))
         .union(pairs.select(F.col("j").alias("a"), F.col("i").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    edges = lineage_cut(edges)
     n_edges = edges.count()  # materializes the checkpoint blocks
     if n_edges <= local_threshold:
         return _local_union_find(edges)
@@ -85,11 +88,11 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            # LAZY: the convergence sum below materializes the blocks in
-            # the SAME action — one Spark job per round where the old
-            # eager-checkpoint-then-sum shape paid two.
-            .localCheckpoint(eager=False)
         )
+        # LAZY: the convergence sum below materializes the blocks in
+        # the SAME action — one Spark job per round where the old
+        # eager-checkpoint-then-sum shape paid two.
+        labels = lineage_cut(labels)
         # labels only ever decrease, so an unchanged sum == convergence —
         # one cheap aggregate per round instead of a join-based diff;
         # this collect is also what materializes the round's checkpoint.
@@ -151,13 +154,11 @@ def curation_stages(
     keepers_exact = _dedup.exact_dedup(quality, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    # lazy localCheckpoint: the exact-dedup survivors feed BOTH the LSH pair
-    # generation and the final anti-join — materialize once, not twice.
-    # (localCheckpoint blocks are GC-managed with the DataFrame, unlike
-    # CacheManager entries which would pin executor memory for the session.)
-    exact_kept = quality.join(keepers_exact, id_col, "left_semi").localCheckpoint(
-        eager=False
-    )
+    # lineage_cut: the exact-dedup survivors feed BOTH the LSH pair
+    # generation and the final anti-join — materialize once, not twice
+    # (blocks are GC-managed with the DataFrame, unlike CacheManager
+    # entries which would pin executor memory for the session).
+    exact_kept = lineage_cut(quality.join(keepers_exact, id_col, "left_semi"))
     pairs = _dedup.minhash_dedup_pairs(
         exact_kept, id_col, text_col, verify_threshold=near_dup_threshold
     )

@@ -28,14 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _lineage_cut(df: DataFrame) -> DataFrame:
-    """Lazy lineage cut: reliable ``checkpoint`` when a checkpoint dir is
-    configured, else ``localCheckpoint`` (see module fault-tolerance
-    note). Lazy so the caller's first action — the basket count —
-    materializes it: ONE job, where an eager cut plus count was two."""
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut as _lineage_cut,
+)
 
 
 def _enumerated_itemsets(

@@ -21,6 +21,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 
 @dataclass
 class Constraint:
@@ -609,7 +613,7 @@ def numeric_drift_ks(
     ranged = (
         counts.repartitionByRange(32, F.col("v"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     per_part = ranged.groupBy("__pid").agg(
         F.sum("na").alias("__pa"), F.sum("nb").alias("__pb")

@@ -33,6 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 __all__ = ["pagerank"]
 
 
@@ -61,14 +65,14 @@ def pagerank(
         # materialization for iterative graph state (lost-executor => job
         # retry, acceptable for derived in-flight state, unlike the
         # table-rewrite case in dataops/governance.py).
-        e = e.localCheckpoint(eager=False)
+        e = e.transform(lineage_cut)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     ew = e.join(deg, "src")  # (src, dst, outdeg)
     if iterations > 1:
         # co-located (edge, outdeg) pairs: one shuffle, then every
         # iteration's join reads these blocks instead of re-deriving them
-        ew = ew.localCheckpoint(eager=False)
+        ew = ew.transform(lineage_cut)
     for _ in range(iterations):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -128,7 +132,7 @@ def triangle_count(
         edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -145,7 +149,7 @@ def triangle_count(
     oriented = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y")

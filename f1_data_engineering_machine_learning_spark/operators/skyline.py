@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 __all__ = ["pareto_frontier_2d"]
 
 
@@ -64,9 +68,7 @@ def pareto_frontier_2d(
     # branch and the sweep branch — re-executed range exchanges
     # re-sample their boundaries (see the reproduced divergence note in
     # operators/windows.py::range_partitioned_rank)
-    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=False
-    )
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).transform(lineage_cut)
 
     # prefix max over strictly-lower range partitions: O(P)-row lazy
     # subplan (per-partition maxes, broadcast non-equi self-join), no

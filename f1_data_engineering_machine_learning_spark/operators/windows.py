@@ -14,6 +14,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
+
 
 def _cols(cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
@@ -147,9 +151,7 @@ def range_partitioned_rank(
     # 10-vs-11-row NTILE(10) result (round-4 sf0.1 oracle sweep);
     # invisible at sf0.01 where the sampled boundaries coincide. Same
     # contract as the iterative-graph checkpoints in operators/graph.py.
-    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=False
-    )
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).transform(lineage_cut)
 
     # prefix offset __lo (rows in ranges BELOW p), suffix offset __hi
     # (rows ABOVE p), and the global total __n — computed lazily from the
@@ -386,9 +388,7 @@ def range_partitioned_prefix_sum(
         "spark.sql.shuffle.partitions", "200"
     )
     ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in keys])
-    tagged = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=False
-    )
+    tagged = ranged.withColumn("__pid", F.spark_partition_id()).transform(lineage_cut)
     totals = tagged.groupBy("__pid").agg(
         *[F.sum(F.col(v)).alias(f"__pt_{o}") for o, v in values.items()]
     )
