@@ -105,11 +105,13 @@ def query(name: str, oracle: str | None = None):
 #: trainer, curation CC caching, FP-growth input reuse) — their newest
 #: driver rows predate those rewrites. The remaining 37 slots are the
 #: stalest of the rest: queries whose only driver rows are round 2
-#: (39 such; the two simplest — string_filter_orders,
-#: sentinel_cast_props, both trivial single-stage filter/cast paths
-#: untouched since r2 — spill to the round-8 gate). Everything not
-#: listed keeps registration (file) order behind these; total content
-#: is identical. (embedding_lsh_topk stays out of the first 50 — it is
+#: (39 such; the three simplest — string_filter_orders,
+#: sentinel_cast_props, mod_sampled_docs, all trivial single-stage
+#: filter/cast/sample paths untouched since r2 — spill to the round-8
+#: gate). Slot 14 goes to the one query with NO driver row at all:
+#: user_session_incident_overlaps, the keyed interval-overlap variant
+#: added mid-round-7. Everything not listed keeps registration (file)
+#: order behind these; total content is identical. (embedding_lsh_topk stays out of the first 50 — it is
 #: the catalog's one rows-only entry: MLlib
 #: BucketedRandomProjectionLSH hyperplanes aren't reproducible in SQL,
 #: its recall contract is pytest-oracled — keeping every gated row a
@@ -129,7 +131,9 @@ _GATE_PRIORITY = [
     "frequent_part_itemsets",  # r3 row; r6 checkpoint, r7 input reuse
     "copurchase_pagerank",  # r3 row; r6 frontier checkpointing
     "curated_docs_survivors",  # r3 row; r7 CC-round caching
-    # -- slots 14-50: stalest remaining evidence (only driver rows r2) --
+    # -- slot 14: brand-new this round, never had a gate chance --
+    "user_session_incident_overlaps",
+    # -- slots 15-50: stalest remaining evidence (only driver rows r2) --
     "distinct_event_days",
     "doc_constraint_report",
     "doc_salient_terms",
@@ -144,7 +148,6 @@ _GATE_PRIORITY = [
     "lineitem_distinct_stats",
     "loyal_customers_intersect",
     "minhash_dedup_pairs_docs",
-    "mod_sampled_docs",
     "ngram_jaccard_pairs_docs",
     "order_snapshot_series",
     "orders_column_profile",
@@ -6079,6 +6082,96 @@ def session_incident_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left",
         strategy="bucketed",
         bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id", "sid").agg(
+        F.count("inc_id").alias("n_incidents")
+    )
+
+
+@query(
+    "user_session_incident_overlaps",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             MIN(ts) AS s_start, MAX(ts) + INTERVAL 1 MINUTE AS s_end
+      FROM sess GROUP BY 1, 2
+    ), incidents AS (
+      SELECT user_id, event_id AS inc_id,
+             ts - INTERVAL 30 MINUTE AS i_start,
+             ts + INTERVAL 30 MINUTE AS i_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.user_id, i.sid,
+           CAST(COUNT(x.inc_id) AS BIGINT) AS n_incidents
+    FROM intervals i LEFT JOIN incidents x
+      ON x.user_id = i.user_id
+     AND i.s_start < x.i_end AND x.i_start < i.s_end
+    GROUP BY 1, 2
+    """,
+)
+def user_session_incident_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYED interval-overlap join (operators/range_join.py::
+    interval_overlap_join with keys=['user_id'], bucketed strategy):
+    each user's sessions overlap-counted against THEIR OWN incident
+    windows only. The keyed variant is the density-safe shape the sf1
+    probe motivated — bucket candidates are confined to the key group,
+    so another user's incidents never enter the candidate set. Oracle:
+    plain inequality join with the user-equality predicate."""
+    from f1_data_engineering_machine_learning_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("interval 30 minutes")),
+        1,
+    ).otherwise(0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    intervals = flagged.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("sid")
+    ).agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("interval 1 minute")).alias("s_end"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("inc_id"),
+        (F.col("ts") - F.expr("interval 30 minutes")).alias("i_start"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("i_end"),
+    )
+    joined = interval_overlap_join(
+        intervals,
+        incidents,
+        "s_start",
+        "s_end",
+        "i_start",
+        "i_end",
+        how="left",
+        strategy="bucketed",
+        bucket_seconds=3600,
+        keys=["user_id"],
     )
     return joined.groupBy("user_id", "sid").agg(
         F.count("inc_id").alias("n_incidents")
