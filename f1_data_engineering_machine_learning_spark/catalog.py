@@ -105,12 +105,14 @@ def query(name: str, oracle: str | None = None):
 #: trainer, curation CC caching, FP-growth input reuse) — their newest
 #: driver rows predate those rewrites. The remaining 37 slots are the
 #: stalest of the rest: queries whose only driver rows are round 2
-#: (39 such; the three simplest — string_filter_orders,
-#: sentinel_cast_props, mod_sampled_docs, all trivial single-stage
-#: filter/cast/sample paths untouched since r2 — spill to the round-8
-#: gate). Slot 14 goes to the one query with NO driver row at all:
-#: user_session_incident_overlaps, the keyed interval-overlap variant
-#: added mid-round-7. Everything not listed keeps registration (file)
+#: (39 such; the four simplest — string_filter_orders,
+#: sentinel_cast_props, mod_sampled_docs, distinct_event_days, all
+#: trivial single-stage filter/cast/sample/distinct paths untouched
+#: since r2 — spill to the round-8 gate). Slots 14-15 go to the two
+#: queries with NO driver row at all, both added mid-round-7:
+#: user_session_incident_overlaps (keyed interval-overlap variant) and
+#: bpe_batched_merges_docs (the batched trainer mode under a full
+#: value oracle). Everything not listed keeps registration (file)
 #: order behind these; total content is identical. (embedding_lsh_topk stays out of the first 50 — it is
 #: the catalog's one rows-only entry: MLlib
 #: BucketedRandomProjectionLSH hyperplanes aren't reproducible in SQL,
@@ -131,10 +133,10 @@ _GATE_PRIORITY = [
     "frequent_part_itemsets",  # r3 row; r6 checkpoint, r7 input reuse
     "copurchase_pagerank",  # r3 row; r6 frontier checkpointing
     "curated_docs_survivors",  # r3 row; r7 CC-round caching
-    # -- slot 14: brand-new this round, never had a gate chance --
+    # -- slots 14-15: brand-new this round, never had a gate chance --
     "user_session_incident_overlaps",
-    # -- slots 15-50: stalest remaining evidence (only driver rows r2) --
-    "distinct_event_days",
+    "bpe_batched_merges_docs",
+    # -- slots 16-50: stalest remaining evidence (only driver rows r2) --
     "doc_constraint_report",
     "doc_salient_terms",
     "doc_text_profile",
@@ -7348,6 +7350,119 @@ def _bpe_stages_sql(n_merges: int) -> str:
 
 
 _BPE_N_MERGES = 8
+
+
+def _bpe_merge_apply_sql(tag: str, sin: str, rule: str, sout: str) -> str:
+    """One greedy-merge application stage (run/parity formulation, same
+    as ``_bpe_stages_sql``) parametrized by input/rule/output CTE names.
+    The rule joins LEFT ... ON TRUE so an EMPTY rule CTE (no eligible
+    candidate — mirrors the trainer's conflict-exhausted page) passes
+    symbols through unchanged instead of wiping the vocab."""
+    return f""", m{tag} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.rhs AS br,
+             COALESCE(s.sym = b.lhs AND
+               LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.rhs,
+               FALSE) AS mt
+      FROM {sin} s LEFT JOIN {rule} b ON TRUE
+    ), k{tag} AS (
+      SELECT *, mt AND ((pos - MIN(pos) OVER (PARTITION BY word, mt, grp)) % 2 = 0)
+             AS keep
+      FROM (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos)
+                   AS grp FROM m{tag}) t
+    ), {sout} AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN keep THEN sym || br ELSE sym END AS sym
+      FROM (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY pos),
+                               FALSE) AS consumed FROM k{tag}) t
+      WHERE NOT consumed
+    )"""
+
+
+def _bpe_batched_stages_sql(n_scans: int, fetch_k: int) -> str:
+    """Chained-CTE DuckDB reproduction of the BATCHED trainer
+    (dataops/bpe.py::train_bpe with batch_size=2): per scan, one pair
+    count, a top-``fetch_k`` candidate page (the trainer's bounded
+    collect), the rank-1 pick, the first SYMBOL-DISJOINT second pick
+    (left/right not among the first pick's symbols or merged token),
+    then both merges applied sequentially — disjointness makes the
+    order irrelevant, exactly the trainer's argument."""
+    parts = ["""
+    WITH words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w
+    ), s0 AS (
+      SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+      FROM (SELECT word, freq,
+                   unnest(generate_series(1, length(word))) AS i FROM words) t
+      UNION ALL
+      SELECT word, freq, length(word) AS pos, '</w>' AS sym FROM words
+    )"""]
+    for k in range(n_scans):
+        parts.append(f""", c{k} AS (
+      SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{k}) t
+      WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p{k} AS (
+      SELECT lhs, rhs, c FROM c{k} ORDER BY c DESC, lhs, rhs LIMIT {fetch_k}
+    ), b{k}a AS (
+      SELECT lhs, rhs, c FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1
+    ), b{k}b AS (
+      SELECT p.lhs, p.rhs, p.c FROM p{k} p CROSS JOIN b{k}a a
+      WHERE p.lhs NOT IN (a.lhs, a.rhs, a.lhs || a.rhs)
+        AND p.rhs NOT IN (a.lhs, a.rhs, a.lhs || a.rhs)
+      ORDER BY p.c DESC, p.lhs, p.rhs LIMIT 1
+    )""")
+        parts.append(_bpe_merge_apply_sql(f"{k}a", f"s{k}", f"b{k}a", f"t{k}"))
+        parts.append(_bpe_merge_apply_sql(f"{k}b", f"t{k}", f"b{k}b", f"s{k + 1}"))
+    return "".join(parts)
+
+
+_BPE_BATCH_SCANS = 4  # 8 merges at batch_size=2
+_BPE_BATCH_FETCH_K = 10  # trainer page: max(2*4, 2+8)
+
+
+@query(
+    "bpe_batched_merges_docs",
+    _bpe_batched_stages_sql(_BPE_BATCH_SCANS, _BPE_BATCH_FETCH_K)
+    + """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY scan, slot) - 1 AS INT) AS step,
+           lhs AS left_sym, rhs AS right_sym, lhs || rhs AS merged,
+           c AS pair_count
+    FROM (
+    """
+    + "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS scan, {slot} AS slot, lhs, rhs, c FROM b{k}{tag}"
+        for k in range(_BPE_BATCH_SCANS)
+        for slot, tag in ((0, "a"), (1, "b"))
+    )
+    + "\n    )",
+)
+def bpe_batched_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (dataops/bpe.py::train_bpe, batch_size=2):
+    the production-scale trainer mode — each count scan commits up to M
+    mutually symbol-disjoint merges from the same snapshot, so Spark
+    jobs scale as n_merges / M (a 32k-merge vocabulary in ~n/M scans
+    instead of 32k sequential jobs). The oracle replays the exact
+    batch selection — bounded top-10 candidate page, rank-1 pick,
+    first symbol-disjoint second pick — and both run/parity greedy
+    merges per scan, all 8 rules and their snapshot pair counts
+    value-checked. Companion to ``bpe_merges_docs`` (the bitwise
+    sequential M=1 contract)."""
+    from f1_data_engineering_machine_learning_spark.dataops.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES, batch_size=2)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
 
 
 @query(

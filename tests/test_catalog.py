@@ -78,13 +78,14 @@ def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
     iteration order. Round 7 rotates by EVIDENCE FRESHNESS: slots 1-13
     are queries whose code paths were rewritten in r6/r7 after their
-    newest driver row (newest row <= r5 by construction), slot 14 is the
-    one never-gated full-oracle query (user_session_incident_overlaps,
-    added mid-round-7), slots 15-50 are exactly 36 of the 39 stalest
-    remaining queries (only driver rows in round 2), every gated entry
-    is value-oracle-paired, and the one rows-only entry
-    (embedding_lsh_topk) sits past the cutoff. Cumulatively, rounds 1-6
-    hard-verified every pre-round-7 catalog query except that one."""
+    newest driver row (newest row <= r5 by construction), slots 14-15
+    are the two never-gated full-oracle queries added mid-round-7
+    (user_session_incident_overlaps, bpe_batched_merges_docs), slots
+    16-50 are exactly 35 of the 39 stalest remaining queries (only
+    driver rows in round 2), every gated entry is value-oracle-paired,
+    and the one rows-only entry (embedding_lsh_topk) sits past the
+    cutoff. Cumulatively, rounds 1-6 hard-verified every pre-round-7
+    catalog query except that one."""
     import json
     import os
 
@@ -108,7 +109,8 @@ def test_gate_priority_queries_in_first_50():
             f"{n} in the rewritten-path slots but its driver row is fresh"
         )
     assert names[13] == "user_session_incident_overlaps"
-    for n in names[14:50]:
+    assert names[14] == "bpe_batched_merges_docs"
+    for n in names[15:50]:
         assert newest.get(n) == 2, (
             f"{n} in the stale slots but its newest driver row is "
             f"r{newest.get(n)}, not r2"
@@ -116,7 +118,11 @@ def test_gate_priority_queries_in_first_50():
     # cumulative hard verification: rounds 1-6 covered everything except
     # the documented rows-only entry
     never = set(catalog._QUERIES) - set(newest)
-    assert never == {"embedding_lsh_topk", "user_session_incident_overlaps"}, never
+    assert never == {
+        "embedding_lsh_topk",
+        "user_session_incident_overlaps",
+        "bpe_batched_merges_docs",
+    }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"
 
