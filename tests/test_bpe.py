@@ -237,3 +237,82 @@ def test_batched_divergence_exhibit(spark):
     assert (seq[1]["left"], seq[1]["right"]) == ("ab", "</w>")
     assert (bat[0]["left"], bat[0]["right"]) == ("a", "b")
     assert (bat[1]["left"], bat[1]["right"]) == ("c", "d")
+
+
+def test_fuzz_batched_bpe_matches_python_twin_random_corpora(spark):
+    """Seeded randomized sweep: random small corpora (incl. words with
+    quotes and repeated chars that stress the SQL-literal escaping and
+    the greedy fold), random batch sizes — the Spark trainer must equal
+    the pure-Python batched twin on merges AND final vocab, every time."""
+    import random
+
+    rng = random.Random(0xB9E)
+    alphabet = list("abcde'\\")
+    for trial in range(6):
+        n_words = rng.randint(3, 12)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(n_words)
+        ] * rng.randint(1, 3)
+        m = rng.choice([1, 2, 3, 5])
+        n_merges = rng.randint(1, 9)
+        df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+        merges, vocab = bpe.train_bpe(df, n_merges=n_merges, batch_size=m)
+        got = [
+            (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in merges
+        ]
+        seg = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+        vocab.unpersist()
+        ref_merges, ref_vocab, _ = _ref_bpe_batched(words, n_merges, m)
+        assert got == ref_merges, (trial, words, m, n_merges)
+        assert seg == ref_vocab, (trial, words, m, n_merges)
+
+
+def test_select_batch_properties():
+    """Brute properties over random candidate pages: (1) selections are
+    pairwise symbol-disjoint incl. merged tokens, (2) selection order
+    follows page order, (3) each selection is the FIRST eligible
+    candidate at its turn (greedy priority), (4) bounded by batch_size
+    and min_pair_count."""
+    import random
+
+    rng = random.Random(7)
+    syms = ["a", "b", "c", "ab", "bc", "d", "e'", "f"]
+    for _ in range(200):
+        page = []
+        seen_pairs = set()
+        for _ in range(rng.randint(0, 12)):
+            p = (rng.choice(syms), rng.choice(syms))
+            if p in seen_pairs:
+                continue
+            seen_pairs.add(p)
+            page.append((p[0], p[1], rng.randint(1, 50)))
+        page.sort(key=lambda t: (-t[2], t[0], t[1]))
+        bs = rng.randint(1, 4)
+        mpc = rng.randint(1, 10)
+        out = bpe.select_batch(page, bs, min_pair_count=mpc)
+        assert len(out) <= bs
+        assert all(c >= mpc for _, _, c in out)
+        # pairwise disjoint incl. merged tokens
+        used: set[str] = set()
+        idxs = []
+        for left, right, cnt in out:
+            assert left not in used and right not in used
+            used.update((left, right, left + right))
+            idxs.append(page.index((left, right, cnt)))
+        assert idxs == sorted(idxs)  # follows page order
+        # greedy: every page candidate SKIPPED before a selection either
+        # conflicts with the used-set at that point or is sub-threshold
+        used = set()
+        oi = 0
+        for pi, (left, right, cnt) in enumerate(page):
+            if oi < len(out) and (left, right, cnt) == out[oi]:
+                used.update((left, right, left + right))
+                oi += 1
+                continue
+            if oi < len(out):
+                assert left in used or right in used or cnt < mpc, (
+                    page, out, pi
+                )
+    # (trailing candidates after the batch filled need no justification)
