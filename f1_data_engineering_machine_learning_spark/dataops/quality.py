@@ -418,6 +418,15 @@ def equidepth_histogram(
     map-side-combinable count — two scans, shuffle rows = n_bins.
     Exactness: integral/pre-quantized inputs keep the percentile
     interpolation on exact binary fractions (the catalog's oracle rule).
+
+    Scale note: Spark's exact ``percentile`` aggregates a value->count
+    map, so memory is bounded by DISTINCT values, not rows — fine for
+    quantized inputs (integer cents: the domain bounds the map no
+    matter how many rows), which is exactly what this function expects.
+    For unbounded-cardinality raw doubles at 100 TB, quantize first or
+    switch to ``approx_percentile`` / the two-pass range-partitioned
+    rank (operators/windows.py) and accept the documented semantics
+    change.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
