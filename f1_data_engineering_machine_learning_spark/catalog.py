@@ -5322,17 +5322,25 @@ def copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drive the explosion factor."""
     li = _t(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
+    # unordered pairs by combination expansion over the SORTED collected
+    # basket (part_a < part_b comes free from sorted order) — one basket
+    # shuffle + one count shuffle; the equivalent basket self-join pays
+    # a third exchange. Same shape as _enumerated_itemsets size-2.
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -8433,16 +8441,26 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select("l_orderkey", "l_partkey").distinct()
     nb = op.select(F.countDistinct("l_orderkey").alias("n_baskets"))
     item = op.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = op.alias("a"), op.alias("b")
+    # directed in-basket pairs by ORDERED-PAIR EXPANSION over collected
+    # baskets (the _enumerated_itemsets shape): one basket shuffle + one
+    # pair-count shuffle, map-side O(b^2) expansion — replaces the
+    # basket self-join (two shuffled join inputs + a third shuffle for
+    # the count) with strictly less exchange; baskets are order-bounded
+    # (TPC-H: <= 7 lines), so the expansion can't blow up.
+    baskets = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, x -> "
+                    "transform(filter(items, y -> y != x), "
+                    "y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 3)
     )
