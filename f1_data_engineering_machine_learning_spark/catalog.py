@@ -2938,7 +2938,9 @@ def _curated_survivors_oracle() -> str:
 def curated_docs_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pass, value-oracled: quality gate (score >= 0.5)
     -> exact dedup (keep min id per text) -> MinHash-LSH near-dedup at 0.8
-    with distributed connected components keeping each cluster's min id
+    with connected components (adaptive: driver union-find under 500k
+    edges, distributed label propagation above) keeping each cluster's
+    min id
     (dataops/curate.py::curation_stages). The oracle replays the whole
     policy in SQL — the quality formula from doc_text_profile's oracle,
     exact-pairwise Jaccard for the near-dup edges (LSH == exact at the
