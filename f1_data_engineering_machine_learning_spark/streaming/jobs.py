@@ -438,3 +438,57 @@ def stream_to_versioned(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    app_id: str = "dedup-ingest",
+):
+    """Continuous corpus ingestion with EXACT dedup-on-ingest — the
+    streaming twin of ``dataops.dedup.incremental_exact_dedup`` composed
+    with the exactly-once versioned sink: each micro-batch (a) dedups
+    WITHIN itself (keep min id per content fingerprint), (b) anti-joins
+    its fingerprints against the corpus's stored ``fp`` column — the
+    persistent dedup index, written at ingest for free, so only 16-byte
+    keys are compared and bodies never shuffle — and (c) commits the
+    survivors through the versioned table's txn protocol
+    (``plans/versioned.py``), so a crash-replayed batch appears exactly
+    once. Single-writer contract (one stream owns the table): the
+    read-index-then-commit pair is not concurrency-safe across
+    independent writers. Same txn caveat as ``stream_to_versioned``:
+    restarting from a FRESH checkpoint reuses batch ids from 0, so use
+    a new ``app_id`` when discarding a checkpoint."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        content_fingerprint,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("fp", content_fingerprint(text_col))
+        keepers = b.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
+        kept = b.join(keepers, [id_col, "fp"], "left_semi")
+        t = VersionedTable(spark, table_path)
+        try:
+            existing = t.read().select("fp").distinct()
+            survivors = kept.join(existing, "fp", "left_anti")
+            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+        except FileNotFoundError:
+            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
