@@ -492,3 +492,84 @@ def dedup_ingest_stream(
     )
     q.awaitTermination()
     return q
+
+
+def near_dup_ingest_stream(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    app_id: str = "near-dup-ingest",
+):
+    """Continuous CURATION-on-ingest: the full dedup policy of
+    ``dataops/curate.py`` applied to every micro-batch — (a) exact dedup
+    within the batch (min id per content fingerprint), (b) MinHash-LSH
+    near-dedup WITHIN the batch (verified Jaccard >= ``threshold``,
+    connected components keep each cluster's min id — the adaptive CC
+    solves micro-batch-sized graphs driver-side in milliseconds),
+    (c) exact + near dedup AGAINST the already-ingested corpus
+    (fingerprint anti-join; batch x corpus LSH candidates only, never
+    corpus x corpus — ``incremental_minhash_dedup_pairs``), then
+    (d) exactly-once txn append of the survivors. Single-writer
+    contract and fresh-checkpoint app_id caveat as
+    ``dedup_ingest_stream``.
+
+    Scale note: the corpus BAND table is derived from the stored text
+    here; a production deployment persists (id, band, bucket) at ingest
+    — the stored LSH index — exactly as it persists ``fp``
+    (incremental_minhash_dedup_pairs's documented contract)."""
+    from f1_data_engineering_machine_learning_spark.dataops.curate import (
+        near_dup_clusters,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        incremental_minhash_dedup_pairs,
+        minhash_dedup_pairs,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        content_fingerprint,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("fp", content_fingerprint(text_col))
+        keepers = b.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
+        kept = b.join(keepers, [id_col, "fp"], "left_semi")
+        pairs = minhash_dedup_pairs(
+            kept, id_col, text_col, verify_threshold=threshold
+        )
+        labels = near_dup_clusters(pairs)
+        losers = labels.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias(id_col)
+        )
+        kept = kept.join(losers, id_col, "left_anti")
+        t = VersionedTable(spark, table_path)
+        try:
+            corpus = t.read()
+            kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
+            near = incremental_minhash_dedup_pairs(
+                kept,
+                corpus.select(id_col, text_col),
+                id_col,
+                text_col,
+                verify_threshold=threshold,
+            ).select(F.col("batch_id").alias(id_col)).distinct()
+            survivors = kept.join(near, id_col, "left_anti")
+            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+        except FileNotFoundError:
+            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -80,3 +80,36 @@ def test_dedup_ingest_replay_is_exactly_once(spark, tmp_path):
         (r.doc_id, r.text) for r in VersionedTable(spark, table).read().collect()
     }
     assert after == before
+
+
+def test_near_dup_ingest_full_curation_policy(spark, tmp_path):
+    """near_dup_ingest_stream: exact + near dedup within the batch and
+    against the corpus. base/near pairs share 8 of 9 token 3-shingles
+    (Jaccard 0.89 >= 0.8); 'other' shares none."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        near_dup_ingest_stream,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    near = base + " eleven"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: exact dup of base (id 2), near-dup of base (id 3): both fold
+    _write_docs(spark, src, [(1, base), (2, base), (3, near), (4, other)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+    got1 = {r.doc_id for r in VersionedTable(spark, table).read().collect()}
+    assert got1 == {1, 4}
+
+    # batch 2: near-dup of the CORPUS (dropped), genuinely new (kept)
+    fresh = "red orange yellow green blue indigo violet pink brown black"
+    _write_docs(spark, src, [(5, base + " twelve"), (6, fresh)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+    got2 = {r.doc_id for r in VersionedTable(spark, table).read().collect()}
+    assert got2 == {1, 4, 6}
