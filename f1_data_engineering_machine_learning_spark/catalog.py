@@ -7561,6 +7561,70 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_fertility_by_lang",
+    _bpe_stages_sql(_BPE_N_MERGES)
+    + f""", wordsegs AS (
+      SELECT word, len(list(sym ORDER BY pos)) AS n_segs
+      FROM s{_BPE_N_MERGES} GROUP BY word
+    ), tok AS (
+      SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> '')) AS w
+      FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(ws.n_segs) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(SUM(ws.n_segs) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS fertility
+    FROM tok t JOIN wordsegs ws ON ws.word = t.w
+    GROUP BY t.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language: BPE subword tokens per
+    whitespace token under the 8 learned merges — the standard metric
+    for how well a vocabulary fits each language slice of a corpus
+    (high fertility = over-segmentation = wasted context window).
+    Distinct words segment once (broadcast-joined back), counts
+    aggregate map-side; the ratio is one integer-over-integer division,
+    engine-identical. Oracle replays training + segmentation with the
+    generated chained-CTE stages and aggregates identically."""
+    from f1_data_engineering_machine_learning_spark.dataops.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    seg = apply_bpe(docs, merges)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("__nws"),
+    )
+    return (
+        seg.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("__nws").cast("bigint").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_ws_tokens").cast("double")
+            ).cast("double"),
+        )
+    )
+
+
+@query(
     "doc_substring_dedup",
     """
     WITH tok AS (

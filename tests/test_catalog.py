@@ -122,6 +122,7 @@ def test_gate_priority_queries_in_first_50():
         "embedding_lsh_topk",
         "user_session_incident_overlaps",
         "bpe_batched_merges_docs",
+        "bpe_fertility_by_lang",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"
