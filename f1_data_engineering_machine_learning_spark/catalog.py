@@ -7562,10 +7562,10 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_fertility_by_lang",
-    _bpe_stages_sql(_BPE_N_MERGES)
+    _bpe_batched_stages_sql(_BPE_BATCH_SCANS, _BPE_BATCH_FETCH_K)
     + f""", wordsegs AS (
       SELECT word, len(list(sym ORDER BY pos)) AS n_segs
-      FROM s{_BPE_N_MERGES} GROUP BY word
+      FROM s{_BPE_BATCH_SCANS} GROUP BY word
     ), tok AS (
       SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
                                       w -> w <> '')) AS w
@@ -7585,17 +7585,19 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace token under the 8 learned merges — the standard metric
     for how well a vocabulary fits each language slice of a corpus
     (high fertility = over-segmentation = wasted context window).
-    Distinct words segment once (broadcast-joined back), counts
-    aggregate map-side; the ratio is one integer-over-integer division,
-    engine-identical. Oracle replays training + segmentation with the
-    generated chained-CTE stages and aggregates identically."""
+    Trains in BATCHED mode (batch_size=2 — half the scans; the oracle
+    replays the batched selection stages, and segmentation is
+    order-independent within a batch because selected merges are
+    symbol-disjoint). Distinct words segment once (broadcast-joined
+    back), counts aggregate map-side; the ratio is one
+    integer-over-integer division, engine-identical."""
     from f1_data_engineering_machine_learning_spark.dataops.bpe import (
         apply_bpe,
         train_bpe,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES)
+    merges, vocab = train_bpe(docs, n_merges=_BPE_N_MERGES, batch_size=2)
     vocab.unpersist()
     seg = apply_bpe(docs, merges)
     toks = docs.select(
