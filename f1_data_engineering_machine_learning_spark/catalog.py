@@ -7320,7 +7320,7 @@ def _bpe_stages_sql(n_merges: int) -> str:
     parts = ["""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t
       WHERE w <> '' GROUP BY w
     ), s0 AS (
       SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
@@ -7400,7 +7400,7 @@ def _bpe_batched_stages_sql(n_scans: int, fetch_k: int) -> str:
     parts = ["""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t
       WHERE w <> '' GROUP BY w
     ), s0 AS (
       SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
@@ -7423,6 +7423,7 @@ def _bpe_batched_stages_sql(n_scans: int, fetch_k: int) -> str:
       SELECT p.lhs, p.rhs, p.c FROM p{k} p CROSS JOIN b{k}a a
       WHERE p.lhs NOT IN (a.lhs, a.rhs, a.lhs || a.rhs)
         AND p.rhs NOT IN (a.lhs, a.rhs, a.lhs || a.rhs)
+        AND p.lhs || p.rhs NOT IN (a.lhs, a.rhs, a.lhs || a.rhs)
       ORDER BY p.c DESC, p.lhs, p.rhs LIMIT 1
     )""")
         parts.append(_bpe_merge_apply_sql(f"{k}a", f"s{k}", f"b{k}a", f"t{k}"))
@@ -7519,7 +7520,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, list(sym ORDER BY pos) AS segs FROM s{_BPE_N_MERGES}
       GROUP BY word
     ), tok AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '')
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')
                AS t
       FROM documents
     ), dw AS (
@@ -7567,7 +7568,7 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, len(list(sym ORDER BY pos)) AS n_segs
       FROM s{_BPE_BATCH_SCANS} GROUP BY word
     ), tok AS (
-      SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+      SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                       w -> w <> '')) AS w
       FROM documents
     )

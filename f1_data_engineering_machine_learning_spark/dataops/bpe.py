@@ -22,11 +22,15 @@ BATCHED training (``batch_size`` = M > 1) is how this reaches a real
 30k-50k-merge vocabulary: each scan selects up to M pairs from the SAME
 count snapshot, highest-count first, skipping any candidate that shares
 a symbol with (or equals the merged token of) an earlier selection in
-the batch. Symbol-disjoint merges cannot create or destroy each other's
-occurrences — the greedy fold ``...a b...`` -> ``...ab...`` only touches
-adjacencies involving ``a``/``b``/``ab`` — so within a batch the counts
-are exact and application order is irrelevant; all M folds compose into
-ONE projection. Spark jobs are therefore ~ n_merges / M instead of one
+the batch — and also any candidate whose OWN merged token
+``left + right`` collides with an earlier selection's symbols or merged
+token (applying such a candidate would mint new occurrences of a symbol
+an earlier fold already consumed, breaking disjointness). Under that
+full check, symbol-disjoint merges cannot create or destroy each
+other's occurrences — the greedy fold ``...a b...`` -> ``...ab...``
+only touches adjacencies involving ``a``/``b``/``ab`` — so within a
+batch the counts are exact and application order is irrelevant; all M
+folds compose into ONE projection. Spark jobs are therefore ~ n_merges / M instead of one
 per merge, and the lazy-persist chain depth shrinks by the same factor.
 
 Artifact difference at M > 1 (the standard batched-BPE tradeoff, same
@@ -139,17 +143,21 @@ def select_batch(
 ) -> list[tuple[str, str, int]]:
     """Pick up to ``batch_size`` mutually symbol-disjoint pairs from a
     (left, right, count) list already sorted by (count desc, left,
-    right). A candidate is skipped when its left or right symbol was
-    already used by an earlier selection — as a pair member OR as a
-    merged token (a merged token can coincide with a pre-existing
-    symbol, so the used-set covers both). Pure function: the pytest
+    right). A candidate is skipped when its left or right symbol — OR
+    its own merged token ``left + right`` — was already used by an
+    earlier selection, as a pair member or as a merged token (a merged
+    token can coincide with a pre-existing symbol, so the used-set
+    covers both; the merged-token side of the check matters because a
+    candidate whose CONCATENATION equals an earlier selection's symbol
+    would create new occurrences of that symbol when applied,
+    invalidating the disjointness argument). Pure function: the pytest
     reference replays it verbatim."""
     used: set[str] = set()
     out: list[tuple[str, str, int]] = []
     for left, right, cnt in candidates:
         if cnt < min_pair_count:
             break
-        if left in used or right in used:
+        if left in used or right in used or left + right in used:
             continue
         out.append((left, right, cnt))
         if len(out) == batch_size:

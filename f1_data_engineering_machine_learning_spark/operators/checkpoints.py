@@ -35,7 +35,15 @@ from pyspark.sql import DataFrame
 def lineage_cut(df: DataFrame) -> DataFrame:
     """Cut ``df``'s lineage: reliable ``checkpoint`` when a checkpoint
     dir is configured, else ``localCheckpoint``; lazy either way (the
-    caller's first action materializes it). See module docstring."""
+    caller's first action materializes it). See module docstring.
+
+    Storage contract for the reliable branch: Spark never deletes
+    checkpoint files on its own unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    ``session.build_session``). Iterative callers issue one cut per
+    interval — on a session built elsewhere without that conf, a long
+    training accumulates one checkpoint dir per cut for the lifetime of
+    the SparkContext."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

@@ -77,6 +77,13 @@ def build_session(
         # the declarative counterpart of a hand-built bloom pre-join.
         # No effect on broadcast joins (DPP/broadcast already prunes).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Reliable checkpoints (operators/checkpoints.py::lineage_cut
+        # when a checkpoint dir is set) are NOT deleted by Spark unless
+        # this is on — long iterative trainings (BPE, CC, PageRank)
+        # would otherwise accumulate unbounded checkpoint-dir storage,
+        # one dir per lineage cut. GC-driven cleanup of out-of-scope
+        # checkpointed RDDs bounds that to the live working set.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Long sessions (the 100+-query bench) generate thousands of
         # whole-stage-codegen classes; the JVM's default 240 MB reserved

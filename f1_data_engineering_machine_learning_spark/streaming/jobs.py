@@ -476,12 +476,19 @@ def dedup_ingest_stream(
         keepers = b.groupBy("fp").agg(F.min(F.col(id_col)).alias(id_col))
         kept = b.join(keepers, [id_col, "fp"], "left_semi")
         t = VersionedTable(spark, table_path)
+        # The except is scoped to t.read() ALONE: a FileNotFoundError
+        # escaping from commit (or any later statement) must propagate,
+        # never be misread as "table absent" and trigger an overwrite
+        # that clobbers the existing corpus.
         try:
             existing = t.read().select("fp").distinct()
+        except FileNotFoundError:
+            existing = None
+        if existing is None:
+            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+        else:
             survivors = kept.join(existing, "fp", "left_anti")
             t.commit(survivors, mode="append", txn=(app_id, batch_id))
-        except FileNotFoundError:
-            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)
@@ -549,8 +556,16 @@ def near_dup_ingest_stream(
         )
         kept = kept.join(losers, id_col, "left_anti")
         t = VersionedTable(spark, table_path)
+        # except scoped to t.read() alone (see dedup_ingest_stream): a
+        # FNF escaping from a later statement — after `kept` has been
+        # reassigned — must never re-commit with overwrite.
         try:
             corpus = t.read()
+        except FileNotFoundError:
+            corpus = None
+        if corpus is None:
+            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+        else:
             kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
             near = incremental_minhash_dedup_pairs(
                 kept,
@@ -561,8 +576,6 @@ def near_dup_ingest_stream(
             ).select(F.col("batch_id").alias(id_col)).distinct()
             survivors = kept.join(near, id_col, "left_anti")
             t.commit(survivors, mode="append", txn=(app_id, batch_id))
-        except FileNotFoundError:
-            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)

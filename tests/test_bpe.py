@@ -170,6 +170,14 @@ def test_select_batch_skips_symbol_conflicts():
     cands = [("a", "b", 10), ("b", "c", 9), ("ab", "d", 8), ("x", "y", 7)]
     # (b,c) shares b with (a,b); (ab,d) collides with the MERGED token ab.
     assert bpe.select_batch(cands, 3) == [("a", "b", 10), ("x", "y", 7)]
+    # A candidate whose OWN merged token equals an earlier selection's
+    # symbol is skipped too: applying (x,a') with x+a' == 'ab' would mint
+    # new 'ab' occurrences after (a,b) already produced some — and one
+    # minting 'a' would re-create a symbol the (a,b) fold consumed.
+    assert bpe.select_batch([("ab", "c", 10), ("a", "b", 9), ("d", "e", 8)], 3) == [
+        ("ab", "c", 10),
+        ("d", "e", 8),
+    ]
     # min_pair_count stops the scan at the first sub-threshold candidate
     # (the list is count-sorted, so everything after is below too).
     assert bpe.select_batch(cands, 3, min_pair_count=8) == [("a", "b", 10)]
@@ -299,6 +307,7 @@ def test_select_batch_properties():
         idxs = []
         for left, right, cnt in out:
             assert left not in used and right not in used
+            assert left + right not in used  # merged-token collision
             used.update((left, right, left + right))
             idxs.append(page.index((left, right, cnt)))
         assert idxs == sorted(idxs)  # follows page order
@@ -312,7 +321,10 @@ def test_select_batch_properties():
                 oi += 1
                 continue
             if oi < len(out):
-                assert left in used or right in used or cnt < mpc, (
-                    page, out, pi
-                )
+                assert (
+                    left in used
+                    or right in used
+                    or left + right in used
+                    or cnt < mpc
+                ), (page, out, pi)
     # (trailing candidates after the batch filled need no justification)
