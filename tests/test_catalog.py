@@ -76,16 +76,16 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 7 rotates by EVIDENCE FRESHNESS: slots 1-13
-    are queries whose code paths were rewritten in r6/r7 after their
-    newest driver row (newest row <= r5 by construction), slots 14-15
-    are the two never-gated full-oracle queries added mid-round-7
-    (user_session_incident_overlaps, bpe_batched_merges_docs), slots
-    16-50 are exactly 35 of the 39 stalest remaining queries (only
-    driver rows in round 2), every gated entry is value-oracle-paired,
-    and the one rows-only entry (embedding_lsh_topk) sits past the
-    cutoff. Cumulatively, rounds 1-6 hard-verified every pre-round-7
-    catalog query except that one."""
+    iteration order. Round 8 rotates by EVIDENCE FRESHNESS: slot 1 is
+    bpe_fertility_by_lang (the only full-oracle query with no driver
+    row), slots 2-5 the four r2-stale spillovers from the round-7
+    rotation, slots 6-46 the complete 41-query r3-stale tier, slots
+    47-50 queries whose code was rewritten after their newest driver
+    row (pair-expansion / TakeOrderedAndProject / adaptive-routing
+    rewrites). Every gated entry is value-oracle-paired; the one
+    rows-only entry (embedding_lsh_topk) sits just past the cutoff.
+    Cumulatively, rounds 1-7 hard-verified every catalog query except
+    fertility (post-gate addition) and the rows-only entry."""
     import json
     import os
 
@@ -97,33 +97,39 @@ def test_gate_priority_queries_in_first_50():
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         p = f"CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
             for q in json.load(open(p)):
                 newest[q] = r
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    for n in names[:13]:
-        assert newest.get(n, 0) <= 5, (
-            f"{n} in the rewritten-path slots but its driver row is fresh"
-        )
-    assert names[13] == "user_session_incident_overlaps"
-    assert names[14] == "bpe_batched_merges_docs"
-    for n in names[15:50]:
+    assert names[0] == "bpe_fertility_by_lang"
+    assert names[0] not in newest  # never driver-gated before round 8
+    for n in names[1:5]:
         assert newest.get(n) == 2, (
-            f"{n} in the stale slots but its newest driver row is "
+            f"{n} in the r2-spillover slots but its newest driver row is "
             f"r{newest.get(n)}, not r2"
         )
-    # cumulative hard verification: rounds 1-6 covered everything except
-    # the documented rows-only entry
+    for n in names[5:46]:
+        assert newest.get(n) == 3, (
+            f"{n} in the r3-stale slots but its newest driver row is "
+            f"r{newest.get(n)}, not r3"
+        )
+    assert names[46:50] == [
+        "part_association_rules",
+        "sole_returning_supplier",
+        "copurchased_parts",
+        "order_price_equidepth_hist",
+    ]
+    for n in names[46:50]:
+        assert newest.get(n, 0) <= 6, (
+            f"{n} in the rewritten-path slots but its driver row is fresh"
+        )
+    # cumulative hard verification: rounds 1-7 covered everything except
+    # the documented rows-only entry and the post-gate fertility addition
     never = set(catalog._QUERIES) - set(newest)
-    assert never == {
-        "embedding_lsh_topk",
-        "user_session_incident_overlaps",
-        "bpe_batched_merges_docs",
-        "bpe_fertility_by_lang",
-    }, never
+    assert never == {"embedding_lsh_topk", "bpe_fertility_by_lang"}, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"
 
