@@ -7975,9 +7975,14 @@ def order_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (order_price_histogram). Prices are pre-quantized to
     integer cents so the nine decile boundaries interpolate on exact
     binary fractions (the catalog's cross-engine percentile rule); tie
-    blocks land in the lower bin by the x > boundary count. Two scans:
-    one percentile aggregate (1 row, broadcast), one map-side-combinable
-    count."""
+    blocks land in the lower bin by the x > boundary count. The
+    boundary pass is ADAPTIVE (round 8): a distinct-count guard (one
+    HLL scan) keeps bounded-cardinality columns like this one on the
+    percentile map aggregate (1 row, broadcast) and routes
+    unbounded-cardinality doubles to the two-pass range-partitioned
+    order-statistics arm — bitwise-equivalent on quantized input
+    (tests/test_quality.py), so the oracle is arm-independent. Then one
+    map-side-combinable count scan."""
     from f1_data_engineering_machine_learning_spark.dataops.quality import (
         equidepth_histogram,
     )

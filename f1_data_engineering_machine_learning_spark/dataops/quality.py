@@ -398,8 +398,110 @@ def category_drift(
     return gapped.drop("__ta", "__tb").crossJoin(tvd)
 
 
+def _rank_percentile_bounds(
+    rows: DataFrame, col: str, fracs: list[float]
+) -> DataFrame:
+    """Exact percentile boundaries WITHOUT the value->count map: the
+    two-pass range-partitioned ORDER-STATISTICS path for
+    unbounded-cardinality columns. Pass 1 range-partitions the column
+    and counts rows per range (an O(P)-row collect); pass 2 is map-only
+    — each range partition emits just the rows sitting at the globally
+    needed ranks (<= 2*len(fracs)+2 rows total), located by local offset
+    inside the partition's sorted run. The driver then interpolates with
+    Spark's own ``percentile`` formula
+    ``(ceil(p)-p)*lower + (p-floor(p))*higher`` at ``p = f*(n-1)``
+    (including the equal-endpoint shortcut), so on inputs where the
+    interpolation is exact this arm is BITWISE the map arm — pinned by
+    ``tests/test_quality.py``. Memory per task is one range partition's
+    sorted run (spillable sort, streamed Arrow batches) regardless of
+    distinct-value count. Returns the same one-row
+    (__bounds, __min, __max) frame the map arm aggregates."""
+    import bisect
+    import math
+
+    spark = rows.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        rows.select(F.col(col).cast("double").alias("__v"))
+        .repartitionByRange(parts, "__v")
+        .sortWithinPartitions("__v")
+    )
+    # Pin partition membership across the two passes: without the cut the
+    # range exchange may execute twice with re-sampled boundaries and the
+    # offsets disagree (the range_partitioned_rank contract,
+    # operators/windows.py).
+    ranged = lineage_cut(ranged).withColumn("__pid", F.spark_partition_id())
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+    by_pid = sorted((int(r["__pid"]), int(r["__c"])) for r in counts)
+    total = sum(c for _, c in by_pid)
+    schema = "__bounds array<double>, __min double, __max double"
+    if total == 0:
+        # the map arm's global agg yields one all-null row on empty input
+        return spark.createDataFrame([(None, None, None)], schema)
+    starts: dict[int, int] = {}
+    cum = []
+    acc = 0
+    for pid, c in by_pid:
+        starts[pid] = acc
+        cum.append(acc)
+        acc += c
+    pos = [f * (total - 1) for f in fracs]
+    need = {0, total - 1}
+    for p in pos:
+        need.add(int(math.floor(p)))
+        need.add(int(math.ceil(p)))
+    targets: dict[int, list[int]] = {}
+    for g in sorted(need):
+        i = bisect.bisect_right(cum, g) - 1
+        pid = by_pid[i][0]
+        targets.setdefault(pid, []).append(g - starts[pid])
+
+    def pick(it):
+        import pandas as pd
+
+        seen = 0
+        tgt: list[int] | None = None
+        ti = 0
+        start = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if tgt is None:
+                pid = int(pdf["__pid"].iloc[0])
+                tgt = targets.get(pid, [])
+                start = starts.get(pid, 0)
+            if ti < len(tgt):
+                idx = []
+                while ti < len(tgt) and tgt[ti] < seen + len(pdf):
+                    idx.append(tgt[ti] - seen)
+                    ti += 1
+                if idx:
+                    yield pd.DataFrame(
+                        {
+                            "g": [start + seen + i for i in idx],
+                            "v": pdf["__v"].iloc[idx].to_numpy(),
+                        }
+                    )
+            seen += len(pdf)
+
+    picked = ranged.mapInPandas(pick, "g long, v double").collect()
+    vals = {int(r["g"]): float(r["v"]) for r in picked}
+    bnds: list[float] = []
+    for p in pos:
+        lo_i, hi_i = int(math.floor(p)), int(math.ceil(p))
+        if lo_i == hi_i or vals[lo_i] == vals[hi_i]:
+            bnds.append(vals[lo_i])  # Spark's no-interpolation shortcut
+        else:
+            bnds.append((hi_i - p) * vals[lo_i] + (p - lo_i) * vals[hi_i])
+    return spark.createDataFrame([(bnds, vals[0], vals[total - 1])], schema)
+
+
 def equidepth_histogram(
-    df: DataFrame, col: str, n_bins: int = 10
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    distinct_threshold: int = 1_000_000,
+    route: str | None = None,
 ) -> DataFrame:
     """Equi-DEPTH histogram: bin boundaries at the exact ``i / n_bins``
     percentiles, then one count pass — each bin holds ~equal mass, so
@@ -414,31 +516,47 @@ def equidepth_histogram(
     ``sum(x > boundary)``), so heavy ties make uneven bins — exact
     counts, honestly uneven, rather than pretending tied values split.
 
-    Plan: one percentile aggregate (single row, broadcast) + one
-    map-side-combinable count — two scans, shuffle rows = n_bins.
-    Exactness: integral/pre-quantized inputs keep the percentile
-    interpolation on exact binary fractions (the catalog's oracle rule).
+    ADAPTIVE boundary computation (the near_dup_clusters /
+    frequent-itemsets decision-scalar idiom): Spark's exact
+    ``percentile`` aggregates a value->count map, so its memory is
+    bounded by DISTINCT values, not rows — ideal for quantized inputs
+    (integer cents: the domain bounds the map no matter how many rows)
+    but a per-task OOM for unbounded-cardinality raw doubles at 100 TB.
+    ``route=None`` (default) measures ``approx_count_distinct(col)``
+    (one cheap HLL scan) and takes the map-aggregate arm at or below
+    ``distinct_threshold``, else the two-pass range-partitioned
+    order-statistics arm (:func:`_rank_percentile_bounds`) whose memory
+    is one spillable range-partition sort regardless of cardinality.
+    ``route="map"`` / ``route="rank"`` force an arm (skipping the
+    decision scan — "map" is the historical two-scan plan). Both arms
+    interpolate identically, so on exact-interpolation inputs
+    (integral/pre-quantized — the catalog's oracle rule) the routed
+    result is bitwise the same; pinned by the equivalence test.
 
-    Scale note: Spark's exact ``percentile`` aggregates a value->count
-    map, so memory is bounded by DISTINCT values, not rows — fine for
-    quantized inputs (integer cents: the domain bounds the map no
-    matter how many rows), which is exactly what this function expects.
-    For unbounded-cardinality raw doubles at 100 TB, quantize first or
-    switch to ``approx_percentile`` / the two-pass range-partitioned
-    rank (operators/windows.py) and accept the documented semantics
-    change.
+    Plan (map arm): one percentile aggregate (single row, broadcast) +
+    one map-side-combinable count — two scans, shuffle rows = n_bins.
+    Rank arm: one range exchange (+O(P)-row counts collect), one
+    map-only order-statistics pick, then the same broadcast + count.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    if route not in (None, "map", "rank"):
+        raise ValueError("route must be None, 'map', or 'rank'")
     fracs = [i / n_bins for i in range(1, n_bins)]
     rows = df.filter(F.col(col).isNotNull())
-    bounds = rows.agg(
-        F.array(
-            *[F.percentile(F.col(col), F.lit(f)).alias(f"b{i}") for i, f in enumerate(fracs)]
-        ).alias("__bounds"),
-        F.min(F.col(col)).cast("double").alias("__min"),
-        F.max(F.col(col)).cast("double").alias("__max"),
-    )
+    if route is None:
+        ndv = rows.agg(F.approx_count_distinct(col).alias("__d")).first()["__d"]
+        route = "map" if int(ndv) <= distinct_threshold else "rank"
+    if route == "rank":
+        bounds = _rank_percentile_bounds(rows, col, fracs)
+    else:
+        bounds = rows.agg(
+            F.array(
+                *[F.percentile(F.col(col), F.lit(f)).alias(f"b{i}") for i, f in enumerate(fracs)]
+            ).alias("__bounds"),
+            F.min(F.col(col)).cast("double").alias("__min"),
+            F.max(F.col(col)).cast("double").alias("__max"),
+        )
     tagged = rows.crossJoin(F.broadcast(bounds)).withColumn(
         "__bin",
         F.aggregate(

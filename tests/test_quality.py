@@ -375,3 +375,56 @@ def test_cusum_changepoint_peaks_at_planted_shift(spark):
     assert out["d049"].cusum == -250.0
     # the series returns to ~0 at the end (quantization keeps it exact here)
     assert out["d099"].cusum == 0.0
+
+
+def test_equidepth_routes_bitwise_equivalent(spark):
+    """The adaptive arms (percentile map vs range-partitioned order
+    statistics) are bitwise identical on quantized input — the
+    equivalence contract that keeps the catalog oracle unchanged no
+    matter which arm the distinct-count guard picks."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    rng = random.Random(11)
+    # skewed integer cents with ties and a null
+    vals = [(float(rng.randint(1, 500) ** 2),) for _ in range(997)] + [(None,)]
+    df = spark.createDataFrame(vals, "v double")
+    key = lambda r: r.bin  # noqa: E731
+    got_map = sorted(equidepth_histogram(df, "v", 7, route="map").collect(), key=key)
+    got_rank = sorted(equidepth_histogram(df, "v", 7, route="rank").collect(), key=key)
+    assert [tuple(r) for r in got_map] == [tuple(r) for r in got_rank]
+    # auto with a tiny threshold routes to rank; with a huge one, to map —
+    # same result either way
+    got_auto = sorted(
+        equidepth_histogram(df, "v", 7, distinct_threshold=10).collect(), key=key
+    )
+    assert [tuple(r) for r in got_auto] == [tuple(r) for r in got_map]
+
+
+def test_equidepth_rank_arm_edges(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    # empty input -> empty histogram on both arms
+    empty = spark.createDataFrame([], "v double")
+    assert equidepth_histogram(empty, "v", 4, route="rank").count() == 0
+    assert equidepth_histogram(empty, "v", 4, route="map").count() == 0
+    # single row: every boundary collapses to the value
+    one = spark.createDataFrame([(5.0,)], "v double")
+    m = [tuple(r) for r in equidepth_histogram(one, "v", 4, route="map").collect()]
+    r = [tuple(r) for r in equidepth_histogram(one, "v", 4, route="rank").collect()]
+    assert m == r == [(0, 5.0, 5.0, 1)]
+    # interpolated (non-integral position) boundaries match too: 1..8
+    eight = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    m = sorted(
+        equidepth_histogram(eight, "v", 4, route="map").collect(), key=lambda x: x.bin
+    )
+    r = sorted(
+        equidepth_histogram(eight, "v", 4, route="rank").collect(), key=lambda x: x.bin
+    )
+    assert [tuple(x) for x in m] == [tuple(x) for x in r]
+    assert r[0].hi == 2.75 and r[1].hi == 4.5 and r[2].hi == 6.25
