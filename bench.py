@@ -87,6 +87,37 @@ def main() -> None:
         # timings measure the query, not accumulated heap/GC pressure
         spark.catalog.clearCache()
 
+    # Warm best-of-N re-timing for the slow tail: this box shows random
+    # 3-30x single-query JIT/code-cache spikes deep into a session
+    # (PERF.md), so a single pass cannot distinguish "regressed" from
+    # "spiked once". Queries above the rerun threshold get N extra warm
+    # runs; rerun_best records min(first, reruns) and jit_spikes lists
+    # queries whose first run was >= 1.5x their warm best — those are
+    # spikes, not regressions. The headline total stays the single-pass
+    # sum (comparable to every earlier round).
+    n_reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
+    rerun_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_RERUN_THRESHOLD", "2.5")
+    )
+    rerun_best: dict[str, float] = {}
+    if n_reruns > 0:
+        for name, first in sorted(timings.items(), key=lambda kv: -kv[1]):
+            if first < rerun_threshold:
+                break
+            best = first
+            for _ in range(n_reruns):
+                t0 = time.time()
+                try:
+                    _force(qs[name](spark, sf_dir))
+                    best = min(best, round(time.time() - t0, 3))
+                except Exception:  # noqa: BLE001
+                    break
+                spark.catalog.clearCache()
+            rerun_best[name] = best
+    jit_spikes = sorted(
+        n for n, b in rerun_best.items() if timings[n] >= 1.5 * b
+    )
+
     total = round(sum(timings.values()), 3)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     full = {
@@ -97,6 +128,8 @@ def main() -> None:
         "n": len(timings),
         "warmup_sec": warmup_sec,
         "sf": sf,
+        "rerun_best": rerun_best,
+        "jit_spikes": jit_spikes,
     }
     if warmup_at_full_scale:
         full["warmup_at_full_scale"] = True
@@ -111,6 +144,8 @@ def main() -> None:
         "n": len(timings),
         "n_errors": len(errors),
         "sf": sf,
+        "rerun_best": {n: rerun_best[n] for n in slowest if n in rerun_best},
+        "jit_spikes": jit_spikes,
     }
     if warmup_at_full_scale:
         payload["warmup_at_full_scale"] = True

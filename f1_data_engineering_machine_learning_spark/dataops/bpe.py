@@ -67,6 +67,8 @@ array lookups instead of per-token fold chains.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,6 +175,7 @@ def train_bpe(
     min_pair_count: int = 1,
     batch_size: int = 1,
     checkpoint_interval: int = 8,
+    scan_hook=None,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     ``(merges, vocab)``: ``merges`` is the ordered rule list
@@ -201,7 +204,13 @@ def train_bpe(
     ``checkpoint`` when ``spark.sparkContext`` has a checkpoint dir
     (recompute-safe on executor loss), else ``localCheckpoint`` —
     non-replicated blocks, so on a real cluster set a checkpoint dir
-    for long trainings; the interval bounds the loss either way."""
+    for long trainings; the interval bounds the loss either way.
+
+    ``scan_hook``: optional ``(scan_index, wall_sec, n_merges_so_far)``
+    callback fired after every completed scan iteration (count job +
+    batch fold construction) — the depth-microbench seam
+    (tools/bpebench.py) for verifying per-scan cost stays flat across
+    many lineage-cut cycles. No effect on training."""
     if batch_size < 1 or checkpoint_interval < 1:
         raise ValueError("batch_size and checkpoint_interval must be >= 1")
     # persists are LAZY on purpose: scan k's vocab materializes into the
@@ -222,6 +231,7 @@ def train_bpe(
     scan = 0
     while len(merges) < n_merges:
         room = n_merges - len(merges)
+        t0 = time.time()
         page = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), "left", "right")
@@ -259,6 +269,8 @@ def train_bpe(
         nxt = nxt.persist()
         prev = vocab
         vocab = nxt
+        if scan_hook is not None:
+            scan_hook(scan - 1, time.time() - t0, len(merges))
     return merges, vocab
 
 
