@@ -7998,6 +7998,61 @@ def order_price_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("bin", "lo", "hi", F.col("n").cast("bigint").alias("n"))
 
 
+_EQD_RANK_BINS = 8  # k/8 fracs are exact binary fractions (see docstring)
+_EQD_RANK_FRACS = ", ".join(
+    f"quantile_cont(x, {i / _EQD_RANK_BINS})" for i in range(1, _EQD_RANK_BINS)
+)
+
+
+@query(
+    "lineitem_price_equidepth_hist_ranked",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ), b AS (
+      SELECT [{_EQD_RANK_FRACS}] AS bounds,
+             CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx
+      FROM v
+    ), t AS (
+      SELECT x, len(list_filter(bounds, bb -> CAST(x AS DOUBLE) > bb)) AS bin
+      FROM v, b
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CASE WHEN bin = 0 THEN (SELECT mn FROM b)
+                ELSE (SELECT bounds[bin] FROM b) END AS lo,
+           CASE WHEN bin = {_EQD_RANK_BINS - 1} THEN (SELECT mx FROM b)
+                ELSE (SELECT bounds[bin + 1] FROM b) END AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY bin
+    """,
+)
+def lineitem_price_equidepth_hist_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of line-item price with the boundary pass
+    FORCED onto the range-partitioned order-statistics arm
+    (dataops/quality.py::equidepth_histogram, route="rank") — the
+    100 TB path for unbounded-cardinality columns, here under a full
+    value oracle on the engine's biggest table: one range exchange +
+    O(P)-row counts collect, a map-only pick of the <=2k+2 globally
+    needed ranks, driver-side interpolation with Spark's exact
+    percentile formula, then the shared broadcast + count scan. The
+    oracle is quantile_cont-based and ARM-INDEPENDENT (the map/rank
+    equivalence is bitwise on quantized input, tests/test_quality.py);
+    n_bins=8 keeps every i/8 percentile fraction an exact binary
+    fraction, so interpolation weights are exact cross-engine. Companion
+    to ``order_price_equidepth_hist`` (auto-routed, map arm at this
+    cardinality)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        equidepth_histogram,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x")
+    )
+    h = equidepth_histogram(li, "x", n_bins=_EQD_RANK_BINS, route="rank")
+    return h.select("bin", "lo", "hi", F.col("n").cast("bigint").alias("n"))
+
+
 @query(
     "event_props_variant",
     """
