@@ -32,6 +32,9 @@ from f1_data_engineering_machine_learning_spark.dataops.text import (
     shingles,
     tokens,
 )
+from f1_data_engineering_machine_learning_spark.operators.checkpoints import (
+    lineage_cut,
+)
 from f1_data_engineering_machine_learning_spark.operators.partitioning import (
     ensure_min_parallelism,
 )
@@ -206,6 +209,25 @@ def _banded(
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE LSH index: (id, band, bucket) MinHash band
+    assignments for every doc — what a continuous-ingest deployment
+    stores next to the corpus (exactly as it stores the exact-dedup
+    ``fp`` fingerprint) so later batches never re-MinHash the corpus
+    text. Feed the stored frame back as
+    ``incremental_minhash_dedup_pairs(corpus_bands=...)``. The index is
+    only valid for the (n_hashes, bands, k) it was built with — changing
+    the knobs means rebuilding it (same contract as any LSH store)."""
+    return _banded(df, id_col, text_col, n_hashes, bands, k)
+
+
 def minhash_band_buckets(
     df: DataFrame,
     id_col: str,
@@ -341,23 +363,37 @@ def incremental_minhash_dedup_pairs(
     k: int = 3,
     verify_threshold: float = 0.5,
     max_bucket: int | None = 1024,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of NEW docs against the EXISTING corpus via MinHash-LSH:
     band assignments on both sides, candidates from the (band, bucket)
     equi-join BATCH x CORPUS only — corpus x corpus pairs are never
     generated, so continuous ingest pays O(|batch| x bucket density) per
     run, not O(|corpus|^2). Candidates are verified with exact shingle
-    Jaccard (batch shingles x corpus shingles, candidate-bounded).
+    Jaccard; the corpus side of the verification is CANDIDATE-BOUNDED —
+    only corpus docs that collided in some bucket are shingled, so
+    per-batch verify work scales with candidates, never corpus size.
     Returns (batch_id, corpus_id, jaccard >= verify_threshold).
 
     ``max_bucket`` caps the CORPUS membership per (band, bucket): a
     boilerplate bucket with a million corpus members would otherwise fan
-    every colliding batch doc out a million ways. In production the corpus
-    band table (id, band, bucket) is the stored LSH index; here it is
-    derived inline from the corpus text."""
+    every colliding batch doc out a million ways.
+
+    ``corpus_bands``: the STORED LSH index — an (id, band, bucket) frame
+    persisted at ingest time (``lsh_band_index`` /
+    ``streaming.jobs.near_dup_ingest_stream``). When provided, the
+    corpus text is never re-MinHashed: the only corpus-scaled work left
+    is the index equi-join itself, which is what makes continuous ingest
+    against a 100 TB corpus batch-bounded. When None the index is
+    derived inline from the corpus text (batch-job shape, same values —
+    parity pinned by tests/test_streaming_dedup_ingest.py)."""
     batch = ensure_min_parallelism(batch)
     b_banded = _banded(batch, id_col, text_col, n_hashes, bands, k)
-    c_banded = _banded(corpus, id_col, text_col, n_hashes, bands, k)
+    c_banded = (
+        corpus_bands.select("id", "band", "bucket")
+        if corpus_bands is not None
+        else _banded(corpus, id_col, text_col, n_hashes, bands, k)
+    )
     if max_bucket is not None:
         small = (
             c_banded.groupBy("band", "bucket")
@@ -375,10 +411,20 @@ def incremental_minhash_dedup_pairs(
         .select("i", "j")
         .distinct()
     )
+    # two consumers below (the candidate semi-join and the intersection
+    # join) — cut the lineage so the bucket join materializes once
+    # instead of re-executing per branch (exchange reuse is best-effort)
+    pairs = lineage_cut(pairs)
     sh_b = batch.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     ).distinct()
-    sh_c = corpus.select(
+    # candidate-bounded: only corpus docs that collided in a bucket are
+    # shingled for exact verification — the corpus text scan prunes to
+    # candidate ids before the explode, so verify cost follows the
+    # candidate count, not the corpus size.
+    cand_j = pairs.select(F.col("j").alias(id_col)).distinct()
+    corpus_cand = corpus.join(cand_j, id_col, "left_semi")
+    sh_c = corpus_cand.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     ).distinct()
     sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("na"))

@@ -519,19 +519,30 @@ def near_dup_ingest_stream(
     (c) exact + near dedup AGAINST the already-ingested corpus
     (fingerprint anti-join; batch x corpus LSH candidates only, never
     corpus x corpus — ``incremental_minhash_dedup_pairs``), then
-    (d) exactly-once txn append of the survivors. Single-writer
-    contract and fresh-checkpoint app_id caveat as
-    ``dedup_ingest_stream``.
+    (d) exactly-once txn append of the survivors — AND of their LSH
+    band assignments into the companion index table at
+    ``table_path + "__lshidx"``, so step (c)'s corpus side reads the
+    STORED (id, band, bucket) index instead of re-MinHashing the whole
+    corpus text every micro-batch: per-batch cost is batch-bounded (the
+    index equi-join is the only corpus-scaled touch), which is what
+    makes continuous ingest against a 100 TB corpus feasible. If the
+    index table is absent while the corpus exists (pre-index deployment
+    upgrading in place), the bands are derived inline ONCE and the full
+    index is committed with that batch — subsequent batches use the
+    store. Single-writer contract and fresh-checkpoint app_id caveat as
+    ``dedup_ingest_stream``; both commits share the (app_id, batch_id)
+    txn, docs table first, so a crash between them replays into an
+    idempotent docs skip followed by the index commit.
 
-    Scale note: the corpus BAND table is derived from the stored text
-    here; a production deployment persists (id, band, bucket) at ingest
-    — the stored LSH index — exactly as it persists ``fp``
-    (incremental_minhash_dedup_pairs's documented contract)."""
+    The index is valid only for this job's LSH knobs (the minhash
+    defaults: n_hashes=32, bands=8, k=3) — changing them requires
+    rebuilding the index table."""
     from f1_data_engineering_machine_learning_spark.dataops.curate import (
         near_dup_clusters,
     )
     from f1_data_engineering_machine_learning_spark.dataops.dedup import (
         incremental_minhash_dedup_pairs,
+        lsh_band_index,
         minhash_dedup_pairs,
     )
     from f1_data_engineering_machine_learning_spark.dataops.text import (
@@ -542,6 +553,8 @@ def near_dup_ingest_stream(
     )
 
     spark = docs_stream.sparkSession
+
+    idx_path = table_path + "__lshidx"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.withColumn("fp", content_fingerprint(text_col))
@@ -556,6 +569,7 @@ def near_dup_ingest_stream(
         )
         kept = kept.join(losers, id_col, "left_anti")
         t = VersionedTable(spark, table_path)
+        ti = VersionedTable(spark, idx_path)
         # except scoped to t.read() alone (see dedup_ingest_stream): a
         # FNF escaping from a later statement — after `kept` has been
         # reassigned — must never re-commit with overwrite.
@@ -565,17 +579,42 @@ def near_dup_ingest_stream(
             corpus = None
         if corpus is None:
             t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
-        else:
-            kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
-            near = incremental_minhash_dedup_pairs(
-                kept,
-                corpus.select(id_col, text_col),
-                id_col,
-                text_col,
-                verify_threshold=threshold,
-            ).select(F.col("batch_id").alias(id_col)).distinct()
-            survivors = kept.join(near, id_col, "left_anti")
-            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+            ti.commit(
+                lsh_band_index(kept, id_col, text_col),
+                mode="overwrite",
+                txn=(app_id, batch_id),
+            )
+            return
+        try:
+            corpus_bands = ti.read()
+        except FileNotFoundError:
+            corpus_bands = None  # pre-index deployment: backfill below
+        kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
+        near = incremental_minhash_dedup_pairs(
+            kept,
+            corpus.select(id_col, text_col),
+            id_col,
+            text_col,
+            verify_threshold=threshold,
+            corpus_bands=corpus_bands,
+        ).select(F.col("batch_id").alias(id_col)).distinct()
+        survivors = kept.join(near, id_col, "left_anti")
+        new_index = lsh_band_index(survivors, id_col, text_col)
+        if corpus_bands is None:
+            # one-time backfill: the whole corpus's bands join the index
+            # alongside this batch's survivors, so every later batch
+            # reads the store instead of re-MinHashing corpus text
+            new_index = lsh_band_index(
+                corpus.select(id_col, text_col), id_col, text_col
+            ).unionByName(new_index)
+        # docs first, then index, SAME txn: a crash between the two
+        # replays into an idempotent docs skip + the index commit
+        t.commit(survivors, mode="append", txn=(app_id, batch_id))
+        ti.commit(
+            new_index,
+            mode="append" if corpus_bands is not None else "overwrite",
+            txn=(app_id, batch_id),
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)
