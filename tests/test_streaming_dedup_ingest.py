@@ -113,3 +113,82 @@ def test_near_dup_ingest_full_curation_policy(spark, tmp_path):
     near_dup_ingest_stream(_stream(spark, src), table, ckpt)
     got2 = {r.doc_id for r in VersionedTable(spark, table).read().collect()}
     assert got2 == {1, 4, 6}
+
+
+def test_near_dup_ingest_maintains_lsh_index(spark, tmp_path):
+    """The companion __lshidx table holds exactly the stored corpus's
+    band assignments after every batch (the persisted LSH index
+    contract), and batch 2+ near-dedup reads it instead of re-MinHashing
+    corpus text — values identical to the inline-derivation twin."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        lsh_band_index,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        near_dup_ingest_stream,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "red orange yellow green blue indigo violet pink brown black"
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, src, [(1, base), (2, other)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+    # batch 2 exercises the index-read path: a corpus near-dup must still
+    # be caught via the STORED bands
+    _write_docs(spark, src, [(3, base + " eleven"), (4, fresh)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+
+    corpus = VersionedTable(spark, table).read()
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 4}
+    idx = VersionedTable(spark, table + "__lshidx").read()
+    expected = lsh_band_index(corpus, "doc_id", "text")
+    got = {(r.id, r.band, r.bucket) for r in idx.collect()}
+    want = {(r.id, r.band, r.bucket) for r in expected.collect()}
+    assert got == want
+
+
+def test_near_dup_ingest_backfills_missing_index(spark, tmp_path):
+    """Pre-index deployment upgrade: corpus exists, __lshidx does not.
+    The next batch derives corpus bands inline ONCE, still applies the
+    near-dedup policy, and commits the full backfilled index."""
+    import shutil
+
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        lsh_band_index,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        near_dup_ingest_stream,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, src, [(1, base), (2, other)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+    shutil.rmtree(table + "__lshidx")  # simulate a pre-index table
+
+    _write_docs(spark, src, [(3, base + " eleven")])  # corpus near-dup
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+
+    corpus = VersionedTable(spark, table).read()
+    assert {r.doc_id for r in corpus.collect()} == {1, 2}  # 3 dropped
+    idx = VersionedTable(spark, table + "__lshidx").read()
+    want = {
+        (r.id, r.band, r.bucket)
+        for r in lsh_band_index(corpus, "doc_id", "text").collect()
+    }
+    assert {(r.id, r.band, r.bucket) for r in idx.collect()} == want
