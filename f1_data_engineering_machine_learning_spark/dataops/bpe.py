@@ -176,6 +176,7 @@ def train_bpe(
     batch_size: int = 1,
     checkpoint_interval: int = 8,
     scan_hook=None,
+    fetch_k: int | None = None,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     ``(merges, vocab)``: ``merges`` is the ordered rule list
@@ -210,7 +211,19 @@ def train_bpe(
     callback fired after every completed scan iteration (count job +
     batch fold construction) — the depth-microbench seam
     (tools/bpebench.py) for verifying per-scan cost stays flat across
-    many lineage-cut cycles. No effect on training."""
+    many lineage-cut cycles. No effect on training.
+
+    ``fetch_k``: candidate page size per scan (default
+    ``max(4*M, M+8)``). The depth microbench measured EFFECTIVE batch
+    sizes of ~30 at M=64-256: symbol conflicts, not the M cap, bound a
+    batch. On the fixture corpus a 16x-deeper page did NOT lift
+    merges/scan (early-training conflicts are structural — each merge
+    consumes symbols from a still-small alphabet, so deeper candidates
+    conflict too); the knob exists for corpora with broad flat count
+    distributions where the default page exhausts before M disjoint
+    picks. Bounded driver collect either way, never data-scaled;
+    selection semantics unaffected (a larger page only extends the same
+    count-ordered candidate list)."""
     if batch_size < 1 or checkpoint_interval < 1:
         raise ValueError("batch_size and checkpoint_interval must be >= 1")
     # persists are LAZY on purpose: scan k's vocab materializes into the
@@ -223,9 +236,12 @@ def train_bpe(
         .persist()
     )
     # Candidate page per scan: headroom for conflict skips. Bounded
-    # (≤ 4M+8 rows of two short strings + a long) regardless of corpus
-    # size — never a data-scaled collect.
-    fetch_k = max(batch_size * 4, batch_size + 8)
+    # (default ≤ 4M+8 rows of two short strings + a long) regardless of
+    # corpus size — never a data-scaled collect.
+    if fetch_k is None:
+        fetch_k = max(batch_size * 4, batch_size + 8)
+    elif fetch_k < batch_size:
+        raise ValueError("fetch_k must be >= batch_size")
     merges: list[dict] = []
     prev: DataFrame | None = None
     scan = 0
