@@ -333,3 +333,25 @@ def test_entire_catalog_global_windows_are_bounded_whitelisted(spark):
     assert not offenders, f"unwhitelisted global windows: {offenders}"
     stale = pa.BOUNDED_GLOBAL_WINDOWS - with_global
     assert not stale, f"whitelist entries with no global window left: {stale}"
+
+
+def test_equidepth_rank_tail_is_single_scan_broadcast(spark, sf_dir):
+    """The rank-arm equidepth query's RETURNED frame: boundaries are a
+    one-row broadcast literal (computed by the bounded order-statistics
+    passes at construction), so the tail is one pruned fact scan + a
+    broadcast join + one n_bins-row aggregate — no Python stage, no
+    second fact scan."""
+    plan = _plan(catalog.lineitem_price_equidepth_hist_ranked(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_extendedprice"}  # column pruning reached the scan
+    # exactly one fact scan node (formatted plans list each node twice:
+    # tree line + "(n) Scan parquet" detail line — count the details)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "MapInPandas" not in plan  # order-statistics pass not in tail
+    assert "CartesianProduct" not in plan
+    # one-row broadcast literal feeds the bin tagging
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    # array-typed first() aggregates plan as SortAggregate — the n_bins-row
+    # group-by either way
+    assert re.search(r"(Hash|Sort)Aggregate", plan)
