@@ -625,3 +625,112 @@ def near_dup_ingest_stream(
     )
     q.awaitTermination()
     return q
+
+
+def cms_ingest_stream(
+    items_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    item_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+    app_id: str = "cms-ingest",
+):
+    """Continuous count-min sketch maintenance — the streaming shape of
+    corpus frequency monitoring (trending tokens, hot keys) that never
+    re-scans history: each micro-batch builds its own depth x width
+    sketch (``dataops/heavyhitters.py::cms_build``) and MERGES it into
+    the stored one by cell addition — the sketch's defining mergeability,
+    already pinned by the batch tests — then overwrites the store under
+    the (app_id, batch_id) txn, so a crash-replayed batch merges exactly
+    once. State is the sketch itself (depth x width rows, size-capped by
+    construction), never the item history: per-batch cost is one batch
+    scan + a depth*width-row merge, independent of how much has ever
+    been ingested. Single-writer contract as the other ingest sinks;
+    the sketch is only probe-compatible with the (depth, width) it was
+    built with."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = items_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch_df, item_col, depth, width)
+        t = VersionedTable(spark, sketch_path)
+        try:
+            stored = t.read().select("row", "bucket", "cnt")
+        except FileNotFoundError:
+            stored = None
+        merged = (
+            delta
+            if stored is None
+            else stored.unionByName(delta)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        t.commit(merged, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        items_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def bloom_ingest_stream(
+    items_stream: DataFrame,
+    bloom_path: str,
+    checkpoint_dir: str,
+    item_col: str = "token",
+    n_bits: int = 4096,
+    n_hashes: int = 4,
+    app_id: str = "bloom-ingest",
+):
+    """Continuous Bloom-filter maintenance — the SET-membership sibling
+    of ``cms_ingest_stream`` (same sparse set-bit representation as
+    ``dataops/heavyhitters.py::bloom_build``): per batch, the new items'
+    bits union into the stored filter (distinct of set-bit rows — the
+    OR-merge the batch tests pin), txn-overwritten exactly once. The
+    store is bounded by n_bits rows regardless of ingest volume, and a
+    probe of anything ever ingested is always positive (no false
+    negatives survive the merge, because bit union can only ADD bits).
+    Same single-writer and knob-compatibility contracts as the CMS
+    stream."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        bloom_build,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = items_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = bloom_build(batch_df, item_col, n_bits, n_hashes)
+        t = VersionedTable(spark, bloom_path)
+        try:
+            stored = t.read().select("bit")
+        except FileNotFoundError:
+            stored = None
+        merged = (
+            delta if stored is None else stored.unionByName(delta).distinct()
+        )
+        t.commit(merged, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        items_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -201,3 +201,96 @@ def test_session_paths_stream_matches_batch(spark, tmp_path):
     # batch aggregates per path; expand back per (user, path) via sessions
     assert sum(got.values()) == sum(r.n_sessions * r.n_steps for r in want_paths)
     assert {p for (_, p) in got} == {r.path for r in want_paths}
+
+
+def test_cms_ingest_stream_merges_exactly(spark, tmp_path):
+    """Streaming CMS maintenance == batch cms_build over everything ever
+    ingested (cell-additive merge is exact, not approximate), and a
+    fresh-checkpoint replay with the same app_id is a no-op."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        cms_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sk = str(tmp_path / "sketch")
+
+    def write(rows):
+        spark.createDataFrame([(t,) for t in rows], "token string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("token string").parquet(src)
+
+    write(["a", "b", "a", "c"])
+    cms_ingest_stream(stream(), sk, str(tmp_path / "ck1"), depth=3, width=16)
+    write(["a", "c", "d"])
+    cms_ingest_stream(stream(), sk, str(tmp_path / "ck1"), depth=3, width=16)
+
+    all_items = spark.createDataFrame(
+        [(t,) for t in ["a", "b", "a", "c", "a", "c", "d"]], "token string"
+    )
+    want = {
+        (r.row, r.bucket, r.cnt)
+        for r in cms_build(all_items, "token", depth=3, width=16).collect()
+    }
+    got = {
+        (r.row, r.bucket, r.cnt)
+        for r in VersionedTable(spark, sk).read().collect()
+    }
+    assert got == want
+
+    # fresh checkpoint, same app_id: replayed batches skip via txn
+    cms_ingest_stream(stream(), sk, str(tmp_path / "ck2"), depth=3, width=16)
+    again = {
+        (r.row, r.bucket, r.cnt)
+        for r in VersionedTable(spark, sk).read().collect()
+    }
+    assert again == want
+
+
+def test_bloom_ingest_stream_unions_bits(spark, tmp_path):
+    """Streaming Bloom maintenance == batch bloom_build over everything
+    ever ingested (bit union), so probes of every ingested item stay
+    positive across batches."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        bloom_build,
+        bloom_probe,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        bloom_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    bp = str(tmp_path / "bloom")
+
+    def write(rows):
+        spark.createDataFrame([(t,) for t in rows], "token string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("token string").parquet(src)
+
+    write(["x", "y"])
+    bloom_ingest_stream(stream(), bp, str(tmp_path / "ck"), n_bits=64, n_hashes=3)
+    write(["z"])
+    bloom_ingest_stream(stream(), bp, str(tmp_path / "ck"), n_bits=64, n_hashes=3)
+
+    stored = VersionedTable(spark, bp).read()
+    all_items = spark.createDataFrame(
+        [("x",), ("y",), ("z",)], "token string"
+    )
+    want = {r.bit for r in bloom_build(all_items, "token", 64, 3).collect()}
+    assert {r.bit for r in stored.collect()} == want
+    probes = bloom_probe(stored, all_items, "token", 64, 3)
+    assert all(r.maybe_present for r in probes.collect())
