@@ -627,6 +627,51 @@ def near_dup_ingest_stream(
     return q
 
 
+def _sketch_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    build,
+    merge,
+    app_id: str,
+):
+    """Shared skeleton for MERGEABLE-summary maintenance on ingest
+    (count-min sketch, Bloom filter, equi-width histogram): per
+    micro-batch, ``build(batch_df)`` summarizes just the batch and
+    ``merge(stored, delta)`` folds it into the store, which is
+    txn-overwritten exactly once per (app_id, batch_id) — a
+    crash-replayed batch skips at the versioned table, so the merge is
+    applied exactly once. State is the summary itself (size-capped by
+    the summary's construction), never item history: per-batch cost is
+    one batch scan + a summary-sized merge, independent of total ingest
+    volume. Single-writer contract as the other ingest sinks."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = items_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = build(batch_df)
+        t = VersionedTable(spark, store_path)
+        try:
+            stored = t.read()
+        except FileNotFoundError:
+            stored = None
+        merged = delta if stored is None else merge(stored, delta)
+        t.commit(merged, mode="overwrite", txn=(app_id, batch_id))
+
+    q = (
+        items_stream.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def cms_ingest_stream(
     items_stream: DataFrame,
     sketch_path: str,
@@ -640,49 +685,28 @@ def cms_ingest_stream(
     corpus frequency monitoring (trending tokens, hot keys) that never
     re-scans history: each micro-batch builds its own depth x width
     sketch (``dataops/heavyhitters.py::cms_build``) and MERGES it into
-    the stored one by cell addition — the sketch's defining mergeability,
-    already pinned by the batch tests — then overwrites the store under
-    the (app_id, batch_id) txn, so a crash-replayed batch merges exactly
-    once. State is the sketch itself (depth x width rows, size-capped by
-    construction), never the item history: per-batch cost is one batch
-    scan + a depth*width-row merge, independent of how much has ever
-    been ingested. Single-writer contract as the other ingest sinks;
-    the sketch is only probe-compatible with the (depth, width) it was
-    built with."""
+    the stored one by cell addition — the sketch's defining
+    mergeability, already pinned by the batch tests. The sketch is only
+    probe-compatible with the (depth, width) it was built with. Skeleton
+    contract (exactly-once txn, bounded state): see
+    ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
         cms_build,
     )
-    from f1_data_engineering_machine_learning_spark.plans.versioned import (
-        VersionedTable,
-    )
 
-    spark = items_stream.sparkSession
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        delta = cms_build(batch_df, item_col, depth, width)
-        t = VersionedTable(spark, sketch_path)
-        try:
-            stored = t.read().select("row", "bucket", "cnt")
-        except FileNotFoundError:
-            stored = None
-        merged = (
-            delta
-            if stored is None
-            else stored.unionByName(delta)
+    return _sketch_ingest_stream(
+        items_stream,
+        sketch_path,
+        checkpoint_dir,
+        build=lambda b: cms_build(b, item_col, depth, width),
+        merge=lambda stored, delta: (
+            stored.select("row", "bucket", "cnt")
+            .unionByName(delta)
             .groupBy("row", "bucket")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        )
-        t.commit(merged, mode="overwrite", txn=(app_id, batch_id))
-
-    q = (
-        items_stream.writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        app_id=app_id,
     )
-    q.awaitTermination()
-    return q
 
 
 def bloom_ingest_stream(
@@ -696,41 +720,61 @@ def bloom_ingest_stream(
 ):
     """Continuous Bloom-filter maintenance — the SET-membership sibling
     of ``cms_ingest_stream`` (same sparse set-bit representation as
-    ``dataops/heavyhitters.py::bloom_build``): per batch, the new items'
-    bits union into the stored filter (distinct of set-bit rows — the
-    OR-merge the batch tests pin), txn-overwritten exactly once. The
-    store is bounded by n_bits rows regardless of ingest volume, and a
-    probe of anything ever ingested is always positive (no false
-    negatives survive the merge, because bit union can only ADD bits).
-    Same single-writer and knob-compatibility contracts as the CMS
-    stream."""
+    ``dataops/heavyhitters.py::bloom_build``): the new items' bits union
+    into the stored filter (distinct of set-bit rows — the OR-merge the
+    batch tests pin). The store is bounded by n_bits rows regardless of
+    ingest volume, and a probe of anything ever ingested is always
+    positive (bit union can only ADD bits). Same knob-compatibility
+    contract as the CMS stream; skeleton contract: see
+    ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
         bloom_build,
     )
-    from f1_data_engineering_machine_learning_spark.plans.versioned import (
-        VersionedTable,
+
+    return _sketch_ingest_stream(
+        items_stream,
+        bloom_path,
+        checkpoint_dir,
+        build=lambda b: bloom_build(b, item_col, n_bits, n_hashes),
+        merge=lambda stored, delta: (
+            stored.select("bit").unionByName(delta).distinct()
+        ),
+        app_id=app_id,
     )
 
-    spark = items_stream.sparkSession
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        delta = bloom_build(batch_df, item_col, n_bits, n_hashes)
-        t = VersionedTable(spark, bloom_path)
-        try:
-            stored = t.read().select("bit")
-        except FileNotFoundError:
-            stored = None
-        merged = (
-            delta if stored is None else stored.unionByName(delta).distinct()
-        )
-        t.commit(merged, mode="overwrite", txn=(app_id, batch_id))
-
-    q = (
-        items_stream.writeStream.foreachBatch(_sink)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+def histogram_ingest_stream(
+    items_stream: DataFrame,
+    hist_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    bucket_width: float = 1.0,
+    origin: float = 0.0,
+    app_id: str = "hist-ingest",
+):
+    """Continuous equi-WIDTH histogram maintenance — the drift-monitor
+    shape on ingest: fixed-width buckets anchored at ``origin``
+    (``dataops/quality.py::numeric_histogram``) are exactly what makes
+    partial histograms composable, so each batch's histogram merges into
+    the store by summing counts on the bucket id. (The equi-DEPTH twin
+    is deliberately NOT streamable: its boundaries are data-derived and
+    non-mergeable — recompute it batch-side via equidepth_histogram when
+    boundaries must adapt.) Store size is bounded by value-range /
+    bucket_width. Skeleton contract: see ``_sketch_ingest_stream``."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_histogram,
     )
-    q.awaitTermination()
-    return q
+
+    return _sketch_ingest_stream(
+        items_stream,
+        hist_path,
+        checkpoint_dir,
+        build=lambda b: numeric_histogram(b, value_col, bucket_width, origin),
+        merge=lambda stored, delta: (
+            stored.select("bucket", "lo", "hi", "n")
+            .unionByName(delta)
+            .groupBy("bucket", "lo", "hi")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        ),
+        app_id=app_id,
+    )

@@ -294,3 +294,48 @@ def test_bloom_ingest_stream_unions_bits(spark, tmp_path):
     assert {r.bit for r in stored.collect()} == want
     probes = bloom_probe(stored, all_items, "token", 64, 3)
     assert all(r.maybe_present for r in probes.collect())
+
+
+def test_histogram_ingest_stream_sums_buckets(spark, tmp_path):
+    """Streaming equi-width histogram maintenance == batch
+    numeric_histogram over everything ever ingested (bucket-count
+    addition — the fixed-width mergeability contract)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        numeric_histogram,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        histogram_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    hp = str(tmp_path / "hist")
+
+    def write(vals):
+        spark.createDataFrame([(v,) for v in vals], "value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("value double").parquet(src)
+
+    write([0.5, 1.5, 1.7, None, 9.9])
+    histogram_ingest_stream(stream(), hp, str(tmp_path / "ck"), bucket_width=2.0)
+    write([1.1, 3.3, -0.4])
+    histogram_ingest_stream(stream(), hp, str(tmp_path / "ck"), bucket_width=2.0)
+
+    all_vals = spark.createDataFrame(
+        [(v,) for v in [0.5, 1.5, 1.7, None, 9.9, 1.1, 3.3, -0.4]],
+        "value double",
+    )
+    want = {
+        (r.bucket, r.lo, r.hi, r.n)
+        for r in numeric_histogram(all_vals, "value", 2.0).collect()
+    }
+    got = {
+        (r.bucket, r.lo, r.hi, r.n)
+        for r in VersionedTable(spark, hp).read().collect()
+    }
+    assert got == want
