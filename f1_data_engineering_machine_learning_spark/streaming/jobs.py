@@ -778,3 +778,61 @@ def histogram_ingest_stream(
         ),
         app_id=app_id,
     )
+
+
+def distinct_bitmap_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "user_id",
+    key_cols: tuple[str, ...] = (),
+    app_id: str = "distinct-ingest",
+):
+    """Continuous EXACT distinct-count maintenance via Spark's bitmap
+    aggregates — the streaming twin of the exact mergeable rollup
+    (catalog.weekly_distinct_users_bitmap, the bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count idiom): per batch, (key, bucket)
+    bitmaps of the batch's ids build map-side and OR-merge into the
+    store, so "distinct ids ever seen (per key)" is maintained without
+    ever re-scanning history AND without approximation — the exact
+    trade vs an HLL store, right when ids are dense integers. Store
+    state is O(id-range / 64) bits per key, independent of row volume;
+    re-ingesting a known id is a no-op under OR. Read counts back with
+    ``bitmap_distinct_counts``. Skeleton contract (exactly-once txn,
+    single writer): see ``_sketch_ingest_stream``."""
+    keys = list(key_cols)
+
+    def build(b: DataFrame) -> DataFrame:
+        return (
+            b.select(
+                *keys,
+                F.expr(f"bitmap_bucket_number({id_col})").alias("bucket"),
+                F.expr(f"bitmap_bit_position({id_col})").alias("pos"),
+            )
+            .groupBy(*keys, "bucket")
+            .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        )
+
+    def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            stored.select(*keys, "bucket", "bm")
+            .unionByName(delta)
+            .groupBy(*keys, "bucket")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        )
+
+    return _sketch_ingest_stream(
+        items_stream, store_path, checkpoint_dir, build, merge, app_id
+    )
+
+
+def bitmap_distinct_counts(
+    stored: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Exact distinct counts from a ``distinct_bitmap_ingest_stream``
+    store: sum of per-bucket bitmap_count, grouped by the same keys the
+    store was built with (buckets partition the id space, so their
+    counts add exactly)."""
+    keys = list(key_cols)
+    agg = F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
+    return stored.groupBy(*keys).agg(agg) if keys else stored.agg(agg)

@@ -339,3 +339,44 @@ def test_histogram_ingest_stream_sums_buckets(spark, tmp_path):
         for r in VersionedTable(spark, hp).read().collect()
     }
     assert got == want
+
+
+def test_distinct_bitmap_ingest_stream_exact_counts(spark, tmp_path):
+    """Streaming bitmap maintenance == exact COUNT(DISTINCT) over
+    everything ever ingested, per key and globally; re-ingested ids are
+    OR-no-ops."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        bitmap_distinct_counts,
+        distinct_bitmap_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+
+    def write(rows):
+        spark.createDataFrame(rows, "day string, user_id long").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("day string, user_id long").parquet(src)
+
+    write([("d1", 1), ("d1", 2), ("d1", 1), ("d2", 70000)])
+    distinct_bitmap_ingest_stream(
+        stream(), st, str(tmp_path / "ck"), key_cols=("day",)
+    )
+    # batch 2 re-ingests user 1 on d1 (no-op) and adds new ids
+    write([("d1", 1), ("d1", 3), ("d2", 2)])
+    distinct_bitmap_ingest_stream(
+        stream(), st, str(tmp_path / "ck"), key_cols=("day",)
+    )
+
+    stored = VersionedTable(spark, st).read()
+    got = {
+        (r.day, r.n_distinct)
+        for r in bitmap_distinct_counts(stored, ("day",)).collect()
+    }
+    assert got == {("d1", 3), ("d2", 2)}
