@@ -799,7 +799,16 @@ def distinct_bitmap_ingest_stream(
     state is O(id-range / 64) bits per key, independent of row volume;
     re-ingesting a known id is a no-op under OR. Read counts back with
     ``bitmap_distinct_counts``. Skeleton contract (exactly-once txn,
-    single writer): see ``_sketch_ingest_stream``."""
+    single writer): see ``_sketch_ingest_stream``.
+
+    Scale notes: (1) the dense-id contract is load-bearing — scattered
+    64-bit ids put ~one id per bitmap bucket and the exact store loses
+    to HLL; remap sparse ids through a dense dictionary first. (2) The
+    skeleton overwrites the whole store per batch, which is right for
+    the fixed-size sketches but rewrites untouched keys here; at very
+    large key spaces, compose the same build/merge with the IVM
+    affected-groups-only merge (plans/ivm.py) so a batch rewrites only
+    the (key, bucket) groups it touched."""
     keys = list(key_cols)
 
     def build(b: DataFrame) -> DataFrame:
