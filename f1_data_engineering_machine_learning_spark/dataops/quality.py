@@ -496,6 +496,60 @@ def _rank_percentile_bounds(
     return spark.createDataFrame([(bnds, vals[0], vals[total - 1])], schema)
 
 
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    fracs: list[float],
+    distinct_threshold: int = 1_000_000,
+    route: str | None = None,
+) -> DataFrame:
+    """EXACT percentiles of a column as a (frac, value) frame — the
+    general p50/p95/p99 building block, with the same adaptive routing
+    as :func:`equidepth_histogram`: ``route=None`` measures
+    ``approx_count_distinct`` and picks Spark's exact ``percentile``
+    map aggregate at or below ``distinct_threshold`` (state bounded by
+    distinct values) or the two-pass range-partitioned order-statistics
+    arm above it (state bounded by one spillable partition sort,
+    :func:`_rank_percentile_bounds`); ``route="map"``/``"rank"`` force
+    an arm. Both arms share percentile's interpolation formula, so on
+    exact-interpolation inputs the result is bitwise arm-independent
+    (pinned by tests). NULLs are excluded (SQL percentile semantics);
+    an empty input returns zero rows."""
+    if not fracs:
+        raise ValueError("fracs must be non-empty")
+    if any(f < 0.0 or f > 1.0 for f in fracs):
+        raise ValueError("fracs must be within [0, 1]")
+    if route not in (None, "map", "rank"):
+        raise ValueError("route must be None, 'map', or 'rank'")
+    fracs = list(fracs)
+    rows = df.filter(F.col(col).isNotNull())
+    if route is None:
+        ndv = rows.agg(F.approx_count_distinct(col).alias("__d")).first()["__d"]
+        route = "map" if int(ndv) <= distinct_threshold else "rank"
+    if route == "rank":
+        bounds = _rank_percentile_bounds(rows, col, fracs)
+    else:
+        bounds = rows.agg(
+            F.array(
+                *[
+                    F.percentile(F.col(col), F.lit(f)).alias(f"b{i}")
+                    for i, f in enumerate(fracs)
+                ]
+            ).alias("__bounds")
+        )
+    return bounds.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(f)) for f in fracs]).alias("frac"),
+                F.col("__bounds").alias("value"),
+            )
+        ).alias("__fv")
+    ).select(
+        F.col("__fv.frac").alias("frac"),
+        F.col("__fv.value").cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+
+
 def equidepth_histogram(
     df: DataFrame,
     col: str,

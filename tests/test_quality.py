@@ -428,3 +428,44 @@ def test_equidepth_rank_arm_edges(spark):
     )
     assert [tuple(x) for x in m] == [tuple(x) for x in r]
     assert r[0].hi == 2.75 and r[1].hi == 4.5 and r[2].hi == 6.25
+
+
+def test_exact_percentiles_routes_match_and_spark(spark):
+    """exact_percentiles: (frac, value) rows equal Spark's percentile on
+    the map arm AND bitwise across arms on quantized input; empty input
+    yields zero rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        exact_percentiles,
+    )
+
+    rng = random.Random(5)
+    vals = [(float(rng.randint(0, 10_000)),) for _ in range(503)] + [(None,)]
+    df = spark.createDataFrame(vals, "v double")
+    fracs = [0.0, 0.25, 0.5, 0.95, 0.99, 1.0]
+    ref = df.agg(
+        *[F.percentile("v", F.lit(f)).alias(f"p{i}") for i, f in enumerate(fracs)]
+    ).first()
+    want = {(f, ref[f"p{i}"]) for i, f in enumerate(fracs)}
+    got_map = {
+        (r.frac, r.value)
+        for r in exact_percentiles(df, "v", fracs, route="map").collect()
+    }
+    got_rank = {
+        (r.frac, r.value)
+        for r in exact_percentiles(df, "v", fracs, route="rank").collect()
+    }
+    assert got_map == want
+    assert got_rank == want
+    # auto with a tiny threshold forces the rank decision path
+    got_auto = {
+        (r.frac, r.value)
+        for r in exact_percentiles(df, "v", fracs, distinct_threshold=3).collect()
+    }
+    assert got_auto == want
+    empty = spark.createDataFrame([], "v double")
+    assert exact_percentiles(empty, "v", [0.5], route="rank").count() == 0
+    assert exact_percentiles(empty, "v", [0.5], route="map").count() == 0
