@@ -91,6 +91,35 @@ def _schema_fields(schema_json: str) -> list[tuple[str, str]]:
     )
 
 
+def _merge_schemas(parent_json: str, batch_json: str) -> str:
+    """Delta ``mergeSchema`` semantics: the union of fields by name —
+    parent columns first (their order is the table's), new batch columns
+    appended. Same-name fields must agree on type (no up/down-casting:
+    a type conflict is a real pipeline bug, rejected exactly as Delta
+    rejects it); every merged field becomes nullable, because rows from
+    files written before a column existed read as NULL."""
+    parent = json.loads(parent_json)
+    batch = json.loads(batch_json)
+    ptypes = {
+        f["name"]: json.dumps(f.get("type"), sort_keys=True)
+        for f in parent.get("fields", [])
+    }
+    merged = [dict(f, nullable=True) for f in parent.get("fields", [])]
+    for f in batch.get("fields", []):
+        t = json.dumps(f.get("type"), sort_keys=True)
+        if f["name"] in ptypes:
+            if ptypes[f["name"]] != t:
+                raise ValueError(
+                    f"merge_schema type conflict on column {f['name']!r}: "
+                    f"table has {ptypes[f['name']]}, batch has {t}"
+                )
+        else:
+            merged.append(dict(f, nullable=True))
+    out = dict(parent)
+    out["fields"] = merged
+    return json.dumps(out)
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -187,6 +216,7 @@ class VersionedTable:
         mode: str = "overwrite",
         stats_cols: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as a new version. ``overwrite`` replaces the
         visible file set; ``append`` adds to the parent's. Returns the
@@ -206,7 +236,15 @@ class VersionedTable:
         records the high-water batch id per app, and a commit at or
         below it is a REPLAY — it cleans up its files and returns -1
         without changing the table. This is what upgrades foreachBatch
-        from at-least-once to exactly-once (``stream_to_versioned``)."""
+        from at-least-once to exactly-once (``stream_to_versioned``).
+
+        ``merge_schema``: Delta's ``mergeSchema`` for appends — a batch
+        whose columns are a superset/subset of the table's WIDENS the
+        table schema to the union (new columns appended, everything
+        nullable; earlier files' rows read NULL for columns that did
+        not exist yet). Same-name-different-type still fails, exactly
+        as Delta rejects it. Default off: the strict-append contract
+        stays the default because silent widening hides producer bugs."""
         if mode not in ("overwrite", "append"):
             raise ValueError("mode must be 'overwrite' or 'append'")
         names, n_rows, stats = self._write_data_files(df, stats_cols)
@@ -236,18 +274,35 @@ class VersionedTable:
                         if _schema_fields(parent_schema) != _schema_fields(
                             schema_json
                         ):
-                            for n in names:
+                            if merge_schema:
                                 try:
-                                    os.remove(os.path.join(self._ddir, n))
-                                except OSError:
-                                    pass
-                            raise ValueError(
-                                "append schema mismatch: table has "
-                                f"{_schema_fields(parent_schema)}, batch has "
-                                f"{_schema_fields(schema_json)}; use "
-                                "mode='overwrite' to evolve the schema"
-                            )
-                        schema_json = parent_schema
+                                    schema_json = _merge_schemas(
+                                        parent_schema, schema_json
+                                    )
+                                except ValueError:
+                                    for n in names:
+                                        try:
+                                            os.remove(
+                                                os.path.join(self._ddir, n)
+                                            )
+                                        except OSError:
+                                            pass
+                                    raise
+                            else:
+                                for n in names:
+                                    try:
+                                        os.remove(os.path.join(self._ddir, n))
+                                    except OSError:
+                                        pass
+                                raise ValueError(
+                                    "append schema mismatch: table has "
+                                    f"{_schema_fields(parent_schema)}, batch has "
+                                    f"{_schema_fields(schema_json)}; use "
+                                    "mode='overwrite' to evolve the schema, or "
+                                    "merge_schema=True to widen it"
+                                )
+                        else:
+                            schema_json = parent_schema
             if txn is not None:
                 app_id, batch_id = txn
                 if txns.get(app_id, -1) >= batch_id:
@@ -334,9 +389,18 @@ class VersionedTable:
                     *[os.path.join(self._ddir, f) for f in m["files"]]
                 ).limit(0)
             return self.spark.createDataFrame([], "dummy string").limit(0)
-        return self.spark.read.parquet(
-            *[os.path.join(self._ddir, f) for f in files]
-        )
+        reader = self.spark.read
+        sj = m.get("schema")
+        if sj is not None:
+            # read under the MANIFEST schema, not footer inference: after
+            # a merge_schema append the visible files are heterogeneous,
+            # and the explicit schema makes files predating a column
+            # yield NULL for it (parquet resolves columns by name) while
+            # also skipping the multi-footer schema reconciliation.
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(sj)))
+        return reader.parquet(*[os.path.join(self._ddir, f) for f in files])
 
     def pruned_file_count(
         self, version: int | None, prune: tuple[str, object, object]

@@ -488,3 +488,44 @@ def test_append_schema_enforced_and_carried_forward(spark, tmp_path):
     assert t._versions()[-1] == 1
     assert set(os.listdir(tmp_path / "tbl" / "data")) == files_before
     assert _ids(t.read()) == list(range(8))
+
+
+def test_append_merge_schema_widens(spark, tmp_path):
+    """merge_schema=True appends widen the table to the field union:
+    new columns read NULL on pre-evolution rows, dropped columns read
+    NULL on the new rows, old snapshots keep the old schema, and
+    same-name-different-type is still rejected."""
+    import pytest
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v0 = t.commit(spark.createDataFrame([(1, "a")], "id long, name string"))
+    # widen: adds score, drops name
+    t.commit(
+        spark.createDataFrame([(2, 0.5)], "id long, score double"),
+        mode="append",
+        merge_schema=True,
+    )
+    got = {(r.id, r.name, r.score) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, None, 0.5)}
+    assert [f.name for f in t.read().schema.fields] == ["id", "name", "score"]
+    # time travel to v0 keeps the original two-column schema
+    assert [f.name for f in t.read(version=v0).schema.fields] == ["id", "name"]
+    # strict default still rejects
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.commit(
+            spark.createDataFrame([(3, True)], "id long, flag boolean"),
+            mode="append",
+        )
+    # type conflict rejected even under merge_schema
+    with pytest.raises(ValueError, match="type conflict"):
+        t.commit(
+            spark.createDataFrame([("x", 1.0)], "id string, score double"),
+            mode="append",
+            merge_schema=True,
+        )
+    # failed commits left no dangling effect: table unchanged
+    assert {(r.id, r.name, r.score) for r in t.read().collect()} == got
