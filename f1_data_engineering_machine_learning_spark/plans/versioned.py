@@ -608,6 +608,28 @@ class VersionedTable:
             except FileExistsError:
                 continue
 
+    def compact(
+        self,
+        num_files: int = 1,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Delta OPTIMIZE-style small-file compaction: rewrite the
+        CURRENT snapshot into ``num_files`` files and commit it as a new
+        overwrite version — row-identical data behind fewer, larger
+        files (streaming sinks accrete one file set per micro-batch;
+        scan cost follows file count long before it follows bytes). The
+        txn high-water table rides the parent manifest into the new
+        version, so exactly-once replay protection survives compaction;
+        old versions stay time-travelable until ``vacuum`` reclaims
+        them. ``stats_cols`` re-harvests min/max skipping stats for the
+        rewritten files (compaction is the natural moment — one big
+        sorted-ish file per range prunes far better than micro-batch
+        shards)."""
+        if num_files < 1:
+            raise ValueError("num_files must be >= 1")
+        df = self.read().repartition(num_files)
+        return self.commit(df, mode="overwrite", stats_cols=stats_cols)
+
     def history(self) -> list[VersionInfo]:
         out = []
         for v in self._versions():

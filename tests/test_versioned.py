@@ -529,3 +529,38 @@ def test_append_merge_schema_widens(spark, tmp_path):
         )
     # failed commits left no dangling effect: table unchanged
     assert {(r.id, r.name, r.score) for r in t.read().collect()} == got
+
+
+def test_compact_preserves_rows_and_txn_highwater(spark, tmp_path):
+    """compact(): row-identical snapshot behind fewer files; the txn
+    high-water survives, so a crash-replayed micro-batch still skips
+    after compaction; prior versions stay readable."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for b in range(3):  # three micro-batch appends -> many small files
+        t.commit(
+            spark.createDataFrame([(b * 10 + i,) for i in range(4)], "id long"),
+            mode="append" if b else "overwrite",
+            txn=("app", b),
+        )
+    before = {r.id for r in t.read().collect()}
+    files_before = len(t._manifest(t._versions()[-1])["files"])
+    v = t.compact(num_files=1)
+    m = t._manifest(v)
+    assert len(m["files"]) == 1 < files_before
+    assert {r.id for r in t.read().collect()} == before
+    # replayed batch (<= high-water 2) must still be a no-op
+    assert (
+        t.commit(
+            spark.createDataFrame([(99,)], "id long"),
+            mode="append",
+            txn=("app", 2),
+        )
+        == -1
+    )
+    assert {r.id for r in t.read().collect()} == before
+    # pre-compaction version still time-travels
+    assert {r.id for r in t.read(version=v - 1).collect()} == before
