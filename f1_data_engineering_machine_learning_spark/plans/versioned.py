@@ -612,6 +612,7 @@ class VersionedTable:
         self,
         num_files: int = 1,
         stats_cols: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Delta OPTIMIZE-style small-file compaction: rewrite the
         CURRENT snapshot into ``num_files`` files and commit it as a new
@@ -624,10 +625,25 @@ class VersionedTable:
         them. ``stats_cols`` re-harvests min/max skipping stats for the
         rewritten files (compaction is the natural moment — one big
         sorted-ish file per range prunes far better than micro-batch
-        shards)."""
+        shards).
+
+        ``sort_by``: range-sorted layout (the Spark-first analogue of
+        Delta's OPTIMIZE ZORDER for the leading-column case):
+        ``repartitionByRange`` + ``sortWithinPartitions`` on these
+        columns gives the rewritten files DISJOINT value ranges, so a
+        ``read(prune=...)`` point/range lookup afterwards touches ~1 of
+        ``num_files`` files instead of all of them; pair it with
+        ``stats_cols`` on the same leading column so the manifest index
+        reflects the new layout."""
         if num_files < 1:
             raise ValueError("num_files must be >= 1")
-        df = self.read().repartition(num_files)
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(
+                num_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(num_files)
         return self.commit(df, mode="overwrite", stats_cols=stats_cols)
 
     def history(self) -> list[VersionInfo]:

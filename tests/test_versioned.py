@@ -564,3 +564,39 @@ def test_compact_preserves_rows_and_txn_highwater(spark, tmp_path):
     assert {r.id for r in t.read().collect()} == before
     # pre-compaction version still time-travels
     assert {r.id for r in t.read(version=v - 1).collect()} == before
+
+
+def test_compact_sorted_layout_prunes_files(spark, tmp_path):
+    """compact(sort_by=...) range-sorts the rewrite so files hold
+    disjoint value ranges: a point-range prune then touches 1 of N
+    files (the OPTIMIZE-ZORDER payoff, observable via
+    pruned_file_count)."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    rng = random.Random(3)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # four shuffled appends: every file spans ~the whole id range
+    for b in range(4):
+        t.commit(
+            spark.createDataFrame(
+                [(i,) for i in ids[b * 100 : (b + 1) * 100]], "id long"
+            ),
+            mode="append" if b else "overwrite",
+            stats_cols=["id"],
+        )
+    kept_before, total_before = t.pruned_file_count(None, ("id", 10, 20))
+    # unsorted: most files span the whole id range, so the prune keeps
+    # far more than the one file the sorted layout will need
+    assert kept_before > total_before // 2 > 1
+    v = t.compact(num_files=4, sort_by=["id"], stats_cols=["id"])
+    kept, total = t.pruned_file_count(v, ("id", 10, 20))
+    assert total == 4 and kept == 1  # disjoint ranges: one file matches
+    assert {r.id for r in t.read().collect()} == set(ids)
+    got = {r.id for r in t.read(prune=("id", 10, 20)).collect()}
+    assert got >= set(range(10, 21))  # superset guarantee
