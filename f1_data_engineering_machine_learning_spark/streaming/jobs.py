@@ -447,6 +447,8 @@ def dedup_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     app_id: str = "dedup-ingest",
+    compact_every: int | None = None,
+    compact_files: int = 8,
 ):
     """Continuous corpus ingestion with EXACT dedup-on-ingest — the
     streaming twin of ``dataops.dedup.incremental_exact_dedup`` composed
@@ -461,7 +463,15 @@ def dedup_ingest_stream(
     read-index-then-commit pair is not concurrency-safe across
     independent writers. Same txn caveat as ``stream_to_versioned``:
     restarting from a FRESH checkpoint reuses batch ids from 0, so use
-    a new ``app_id`` when discarding a checkpoint."""
+    a new ``app_id`` when discarding a checkpoint.
+
+    ``compact_every=N`` rewrites the table into ``compact_files`` files
+    after every Nth batch (VersionedTable.compact): append-mode sinks
+    otherwise accrete one file set per micro-batch and scan cost follows
+    file count. Off by default — compaction cadence is an operational
+    choice (it rewrites the full snapshot, so cadence should grow with
+    table size or move to an out-of-band OPTIMIZE job at very large
+    corpora)."""
     from f1_data_engineering_machine_learning_spark.dataops.text import (
         content_fingerprint,
     )
@@ -489,6 +499,13 @@ def dedup_ingest_stream(
         else:
             survivors = kept.join(existing, "fp", "left_anti")
             t.commit(survivors, mode="append", txn=(app_id, batch_id))
+        # operational small-file hygiene: append-mode sinks accrete one
+        # file set per micro-batch, so every Nth batch rewrites the
+        # snapshot via VersionedTable.compact (row-identical; the txn
+        # high-water rides the manifest, so replay protection survives,
+        # and a crash-replayed compaction just rewrites the same rows)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            t.compact(num_files=compact_files)
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)

@@ -192,3 +192,33 @@ def test_near_dup_ingest_backfills_missing_index(spark, tmp_path):
         for r in lsh_band_index(corpus, "doc_id", "text").collect()
     }
     assert {(r.id, r.band, r.bucket) for r in idx.collect()} == want
+
+
+def test_dedup_ingest_periodic_compaction(spark, tmp_path):
+    """compact_every bounds file accretion across micro-batches without
+    changing the corpus: after the compacting batch the snapshot sits in
+    compact_files files, rows identical, and later batches still dedup
+    against it."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, src, [(1, "aaa"), (2, "bbb")])
+    dedup_ingest_stream(_stream(spark, src), table, ckpt, compact_every=2)
+    _write_docs(spark, src, [(3, "ccc"), (4, "aaa")])  # 4 dups corpus
+    dedup_ingest_stream(_stream(spark, src), table, ckpt, compact_every=2)
+
+    t = VersionedTable(spark, table)
+    m = t._manifest(t._versions()[-1])
+    assert len(m["files"]) <= 8
+    got = {(r.doc_id, r.text) for r in t.read().collect()}
+    assert got == {(1, "aaa"), (2, "bbb"), (3, "ccc")}
+    # post-compaction batch still dedups against the rewritten corpus
+    _write_docs(spark, src, [(5, "ccc"), (6, "ddd")])
+    dedup_ingest_stream(_stream(spark, src), table, ckpt, compact_every=2)
+    got = {(r.doc_id, r.text) for r in t.read().collect()}
+    assert got == {(1, "aaa"), (2, "bbb"), (3, "ccc"), (6, "ddd")}
