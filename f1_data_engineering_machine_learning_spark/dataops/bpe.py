@@ -177,6 +177,7 @@ def train_bpe(
     checkpoint_interval: int = 8,
     scan_hook=None,
     fetch_k: int | None = None,
+    init_merges: list[dict] | None = None,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     ``(merges, vocab)``: ``merges`` is the ordered rule list
@@ -223,18 +224,34 @@ def train_bpe(
     distributions where the default page exhausts before M disjoint
     picks. Bounded driver collect either way, never data-scaled;
     selection semantics unaffected (a larger page only extends the same
-    count-ordered candidate list)."""
+    count-ordered candidate list).
+
+    ``init_merges``: RESUME a training from a previously-learned rule
+    list (the failure-recovery seam for multi-hour 32k-merge runs: the
+    merge list is the checkpointable artifact — a few KB of JSON — so a
+    crashed training restarts from its last saved prefix instead of
+    scan 0). The initial vocabulary replays the given merges as chained
+    map-only folds (lineage-cut every ``checkpoint_interval`` rules),
+    ``step`` numbering continues after the prefix, and the returned
+    ``merges`` list is PREFIX + NEW — bitwise what an uninterrupted run
+    of the same total length would have produced (pinned by test),
+    because greedy selection is a pure function of the vocab state."""
     if batch_size < 1 or checkpoint_interval < 1:
         raise ValueError("batch_size and checkpoint_interval must be >= 1")
     # persists are LAZY on purpose: scan k's vocab materializes into the
     # cache during scan k+1's bounded argmax collect (the only action), so
     # each scan is exactly ONE job and recompute depth stays 1 —
     # an eager count() per scan would double the job count for nothing.
-    vocab = (
-        word_freqs(df, text_col)
-        .withColumn("syms", _char_syms(F.col("word")))
-        .persist()
+    vocab = word_freqs(df, text_col).withColumn(
+        "syms", _char_syms(F.col("word"))
     )
+    init_merges = list(init_merges or [])
+    for i, m in enumerate(init_merges):
+        # replay the resumed prefix: same fold, same lineage-cut cadence
+        vocab = vocab.withColumn("syms", _merge_expr("syms", m["left"], m["right"]))
+        if (i + 1) % checkpoint_interval == 0:
+            vocab = lineage_cut(vocab)
+    vocab = vocab.persist()
     # Candidate page per scan: headroom for conflict skips. Bounded
     # (default ≤ 4M+8 rows of two short strings + a long) regardless of
     # corpus size — never a data-scaled collect.
@@ -242,7 +259,7 @@ def train_bpe(
         fetch_k = max(batch_size * 4, batch_size + 8)
     elif fetch_k < batch_size:
         raise ValueError("fetch_k must be >= batch_size")
-    merges: list[dict] = []
+    merges: list[dict] = list(init_merges)
     prev: DataFrame | None = None
     scan = 0
     while len(merges) < n_merges:

@@ -328,3 +328,27 @@ def test_select_batch_properties():
                     or cnt < mpc
                 ), (page, out, pi)
     # (trailing candidates after the batch filled need no justification)
+
+
+def test_train_bpe_resume_bitwise(spark):
+    """Resume (init_merges) == uninterrupted run: train 8, vs train 4
+    then resume +4 from the saved prefix — identical rule lists and
+    identical final vocab (greedy selection is a pure function of vocab
+    state). Holds for batched mode too."""
+    docs = spark.createDataFrame(
+        [(t,) for t in ["low lower lowest", "new newer newest", "wide wider"] * 3],
+        "text string",
+    )
+    for m in (1, 2):
+        full, vfull = bpe.train_bpe(docs, n_merges=8, batch_size=m)
+        half, vhalf = bpe.train_bpe(docs, n_merges=4, batch_size=m)
+        vhalf.unpersist()
+        resumed, vres = bpe.train_bpe(
+            docs, n_merges=8, batch_size=m, init_merges=half
+        )
+        assert resumed == full, m
+        a = {r["word"]: tuple(r["syms"]) for r in vres.collect()}
+        b = {r["word"]: tuple(r["syms"]) for r in vfull.collect()}
+        assert a == b, m
+        vfull.unpersist()
+        vres.unpersist()
