@@ -328,12 +328,23 @@ def apply_bpe(
     segmentation of DISTINCT words (folds run once per word, not once
     per occurrence), reassemble per document in token order. Returns
     (id_col, bpe_tokens array<string>, n_bpe_tokens)."""
-    toks = df.select(
+    toks = _word_positions(df, text_col, id_col)
+    seg = segment_words(toks.select("word").distinct(), merges)
+    return _reassemble(toks, seg, id_col)
+
+
+def _word_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, word) token explode shared by the apply paths."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "word"),
     ).filter(F.col("word") != "")
-    seg = segment_words(toks.select("word").distinct(), merges)
-    joined = toks.join(F.broadcast(seg), "word")
+
+
+def _reassemble(toks: DataFrame, seg: DataFrame, id_col: str) -> DataFrame:
+    """Broadcast-join (word -> bpe_syms) back onto positioned tokens and
+    rebuild each document's token sequence in order."""
+    joined = toks.join(F.broadcast(seg.select("word", "bpe_syms")), "word")
     return (
         joined.groupBy(id_col)
         .agg(
@@ -348,3 +359,49 @@ def apply_bpe(
         )
         .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("int"))
     )
+
+
+def apply_bpe_cached(
+    df: DataFrame,
+    merges: list[dict],
+    vocab_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``apply_bpe`` with a PERSISTED word-segmentation store — the
+    production shape for re-tokenizing a GROWING corpus: the fold chain
+    (one sequential pass per merge rule, the expensive part at 32k
+    rules) runs only for words never seen before; every known word is a
+    broadcast lookup against the stored (word, bpe_syms) table
+    (``plans/versioned.py``, appended under the versioned-table txn
+    protocol's CAS). Steady-state ingest therefore pays fold cost
+    proportional to VOCABULARY GROWTH, not batch size.
+
+    Store contract: one store per merge list — the segmentation of a
+    word is a pure function of the rules, so changing ``merges`` means a
+    new ``vocab_store_path`` (exactly a tokenizer artifact version).
+    Single-writer, like the ingest sinks."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    spark = df.sparkSession
+    toks = _word_positions(df, text_col, id_col)
+    words = toks.select("word").distinct()
+    t = VersionedTable(spark, vocab_store_path)
+    try:
+        known = t.read()
+    except FileNotFoundError:
+        known = None
+    if known is None:
+        t.commit(
+            segment_words(words, merges).select("word", "bpe_syms"),
+            mode="overwrite",
+        )
+    else:
+        new_words = words.join(known.select("word"), "word", "left_anti")
+        t.commit(
+            segment_words(new_words, merges).select("word", "bpe_syms"),
+            mode="append",
+        )
+    return _reassemble(toks, t.read(), id_col)

@@ -352,3 +352,45 @@ def test_train_bpe_resume_bitwise(spark):
         assert a == b, m
         vfull.unpersist()
         vres.unpersist()
+
+
+def test_apply_bpe_cached_matches_and_grows_store(spark, corpus, tmp_path):
+    """apply_bpe_cached == apply_bpe on every call; the store holds
+    exactly the distinct words ever tokenized (second call folds only
+    the genuinely-new words)."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    store = str(tmp_path / "vocab")
+    merges, vocab = bpe.train_bpe(corpus, n_merges=6)
+    vocab.unpersist()
+
+    got1 = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.apply_bpe_cached(corpus, merges, store).collect()
+    }
+    want1 = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.apply_bpe(corpus, merges).collect()
+    }
+    assert got1 == want1
+
+    t = VersionedTable(spark, store)
+    n_words_1 = t.read().count()
+
+    corpus2 = spark.createDataFrame(
+        [(7, "low lowest brandnew freshword")], ["doc_id", "text"]
+    )
+    got2 = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.apply_bpe_cached(corpus2, merges, store).collect()
+    }
+    want2 = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.apply_bpe(corpus2, merges).collect()
+    }
+    assert got2 == want2
+    # store grew by exactly the two new words; known words not re-added
+    assert t.read().count() == n_words_1 + 2
+    assert t.read().groupBy("word").count().filter("count > 1").count() == 0
