@@ -8053,6 +8053,39 @@ def lineitem_price_equidepth_hist_ranked(spark: SparkSession, sf_dir: str) -> Da
     return h.select("bin", "lo", "hi", F.col("n").cast("bigint").alias("n"))
 
 
+_PCTL_FRACS = [0.25, 0.5, 0.75, 0.875, 1.0]  # binary fractions: exact weights
+
+
+@query(
+    "lineitem_quantity_percentiles_ranked",
+    "SELECT * FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT CAST({f} AS DOUBLE) AS frac, "
+        f"CAST(quantile_cont(l_quantity, {f}) AS DOUBLE) AS value "
+        f"FROM lineitem WHERE l_quantity IS NOT NULL"
+        for f in _PCTL_FRACS
+    )
+    + "\n    )",
+)
+def lineitem_quantity_percentiles_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLIC exact-percentile operator
+    (dataops/quality.py::exact_percentiles) under a full value oracle,
+    FORCED onto the range-partitioned order-statistics arm — the
+    100 TB path when a column's cardinality is unbounded: (frac, value)
+    rows for the quartiles / p87.5 / max of line-item quantity. All
+    fracs are exact binary fractions, so interpolation weights are
+    exact cross-engine and the quantile_cont oracle is arm-independent
+    (map/rank bitwise equivalence is pinned in tests/test_quality.py).
+    Companion to the equidepth pair: this is the bare percentile
+    surface a drift monitor or SLA report calls directly."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        exact_percentiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_percentiles(li, "l_quantity", _PCTL_FRACS, route="rank")
+
+
 @query(
     "event_props_variant",
     """
