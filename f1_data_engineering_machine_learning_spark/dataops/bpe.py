@@ -404,4 +404,9 @@ def apply_bpe_cached(
             segment_words(new_words, merges).select("word", "bpe_syms"),
             mode="append",
         )
-    return _reassemble(toks, t.read(), id_col)
+    # prune the store to THIS batch's words before the broadcast: the
+    # full store is corpus-vocabulary-scaled (10-100M words at corpus
+    # scale — not broadcastable), while the semi-joined slice is bounded
+    # by the batch's distinct words, same as plain apply_bpe
+    seg = t.read().join(words, "word", "left_semi")
+    return _reassemble(toks, seg, id_col)
