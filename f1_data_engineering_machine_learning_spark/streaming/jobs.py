@@ -862,3 +862,41 @@ def bitmap_distinct_counts(
     keys = list(key_cols)
     agg = F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
     return stored.groupBy(*keys).agg(agg) if keys else stored.agg(agg)
+
+
+def token_counts_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    item_col: str = "token",
+    app_id: str = "token-counts-ingest",
+):
+    """Continuous EXACT frequency maintenance: per batch, group-count
+    the items and merge into the stored (item, cnt) table by summing —
+    the exact twin of ``cms_ingest_stream``, the same trade the
+    equidepth map/rank arms make: exact state is bounded by DISTINCT
+    items (a token vocabulary — fine whenever it fits a table), while
+    CMS caps state at depth x width regardless of vocabulary for the
+    unbounded case. Top-k trending reads are then one ORDER BY over the
+    store. Skeleton contract (exactly-once txn, single writer):
+    ``_sketch_ingest_stream``."""
+
+    def build(b: DataFrame) -> DataFrame:
+        return (
+            b.select(F.col(item_col).alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        return (
+            stored.select("item", "cnt")
+            .unionByName(delta)
+            .groupBy("item")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+
+    return _sketch_ingest_stream(
+        items_stream, store_path, checkpoint_dir, build, merge, app_id
+    )

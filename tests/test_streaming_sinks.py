@@ -380,3 +380,52 @@ def test_distinct_bitmap_ingest_stream_exact_counts(spark, tmp_path):
         for r in bitmap_distinct_counts(stored, ("day",)).collect()
     }
     assert got == {("d1", 3), ("d2", 2)}
+
+
+def test_token_counts_ingest_stream_exact(spark, tmp_path):
+    """Streaming exact count maintenance == batch GROUP BY count over
+    everything ever ingested; CMS estimates over the same stream never
+    underestimate these exact counts (the paired exact/sketch contract)."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_estimate,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        cms_ingest_stream,
+        token_counts_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "counts")
+    sk = str(tmp_path / "sketch")
+
+    def write(rows):
+        spark.createDataFrame([(t,) for t in rows], "token string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("token string").parquet(src)
+
+    write(["a", "b", "a", None])
+    token_counts_ingest_stream(stream(), st, str(tmp_path / "ck1"))
+    cms_ingest_stream(stream(), sk, str(tmp_path / "ck2"), depth=3, width=32)
+    write(["a", "c"])
+    token_counts_ingest_stream(stream(), st, str(tmp_path / "ck1"))
+    cms_ingest_stream(stream(), sk, str(tmp_path / "ck2"), depth=3, width=32)
+
+    exact = {
+        (r.item, r.cnt) for r in VersionedTable(spark, st).read().collect()
+    }
+    assert exact == {("a", 3), ("b", 1), ("c", 1)}
+    items = spark.createDataFrame([("a",), ("b",), ("c",)], "token string")
+    est = {
+        r.token: r.cms_estimate
+        for r in cms_estimate(
+            VersionedTable(spark, sk).read(), items, "token", depth=3, width=32
+        ).collect()
+    }
+    want = dict((i, c) for i, c in exact)
+    assert all(est[t] >= want[t] for t in want)  # CM never underestimates
