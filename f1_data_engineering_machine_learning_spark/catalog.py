@@ -6267,6 +6267,49 @@ def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_stratified_split_exact",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk <= CAST(FLOOR(n * 8 / 10) AS BIGINT) THEN 'train'
+                WHEN rk <= CAST(FLOOR(n * 9 / 10) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def doc_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified 80/10/10 split per language
+    (dataops/sampling.py::exact_stratified_split): every stratum hits
+    its quota exactly (integer-floor boundaries over the per-stratum
+    md5-ordered rank), not just in expectation — the guarantee a
+    per-language eval budget needs, complementing the map-only
+    hash-bucket split (``doc_split_assignment``). Membership is a pure
+    function of the data (md5 of the key + key tiebreak), so the full
+    per-document assignment is value-hashed against the oracle. The
+    rank window partitions by stratum — per-stratum sorts, never a
+    global single-task window."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        exact_stratified_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = exact_stratified_split(
+        docs,
+        ["lang"],
+        [("train", 8), ("val", 1), ("test", 1)],
+        key="doc_id",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+@query(
     "purchase_click_attribution_window",
     """
     WITH purchases AS (

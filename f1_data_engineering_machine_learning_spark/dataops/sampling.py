@@ -345,6 +345,58 @@ def split_by_content_hash(
     return df.withColumn(out_col, expr)
 
 
+def exact_stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    splits: list[tuple[str, int]],
+    key: str,
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-count stratified train/val/test assignment: within every
+    stratum, split sizes hit their quota exactly (integer parts, e.g.
+    ``[("train", 8), ("val", 1), ("test", 1)]``), not just in
+    expectation — the guarantee :func:`split_by_content_hash` trades
+    away for map-only speed, and the one an eval set with a hard row
+    budget per language/source actually needs. Rows are ordered inside
+    each stratum by ``md5(key)`` (content-derived, engine-portable,
+    partition-independent) with ``key`` as the total-order tiebreak, so
+    membership is a pure function of the data; split *i* takes ranks in
+    ``(floor(n * cum_{i-1} / total), floor(n * cum_i / total)]`` —
+    integer arithmetic, identical in any engine (no float cut drift).
+
+    Plan: one count aggregate per stratum (broadcast back) + one window
+    rank PARTITIONED BY the strata — each stratum sorts in its own
+    task(s), never a global single-task sort. A pathologically huge
+    single stratum concentrates in one task, exactly like any
+    per-stratum rank; pre-split such strata on a sub-key or use
+    range_partitioned_rank per stratum."""
+    names = [n for n, _ in splits]
+    parts = [int(p) for _, p in splits]
+    if len(names) < 2 or any(p <= 0 for p in parts):
+        raise ValueError("need >= 2 splits with positive integer parts")
+    total = sum(parts)
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string").cast("binary"))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(key))
+    n = Window.partitionBy(*strata_cols)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n)
+    )
+    expr = F.lit(names[-1])
+    acc = 0
+    bounds = []
+    for p in parts[:-1]:
+        acc += p
+        bounds.append(acc)
+    for name, cum in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(
+            F.col("__rk") <= F.floor(F.col("__n") * F.lit(cum) / F.lit(total)),
+            F.lit(name),
+        ).otherwise(expr)
+    return ranked.withColumn(out_col, expr).drop("__rk", "__n")
+
+
 def _portable_mix(x: Column) -> Column:
     """Engine-portable pseudo-random mix of a non-negative integer:
     ``((x % 999999937) * 2654435761 + 97531) % 2^32``. The pre-reduction

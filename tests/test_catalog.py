@@ -136,6 +136,7 @@ def test_gate_priority_queries_in_first_50():
         "bpe_fertility_by_lang",
         "lineitem_price_equidepth_hist_ranked",
         "lineitem_quantity_percentiles_ranked",
+        "doc_stratified_split_exact",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"

@@ -273,3 +273,42 @@ def test_contrastive_negatives_partition_invariant(spark):
         ).collect()
     }
     assert a == b and len({x[0] for x in a}) == 300
+
+
+def test_exact_stratified_split_quotas_and_determinism(spark):
+    """Every stratum hits its integer quota exactly (floor boundaries),
+    assignment is partition-independent, and the same row always lands
+    in the same split."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        exact_stratified_split,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = exact_stratified_split(
+        df, ["lang"], [("train", 8), ("val", 1), ("test", 1)], key="id"
+    )
+    counts = {
+        (r.lang, r.split): r.cnt
+        for r in out.groupBy("lang", "split").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    # en: 66 rows -> floor(52.8)=52 train, floor(59.4)-52=7 val, 7 test
+    assert counts[("en", "train")] == 52
+    assert counts[("en", "val")] == 7
+    assert counts[("en", "test")] == 7
+    # fr: 34 rows -> 27 / 3 / 4
+    assert counts[("fr", "train")] == 27
+    assert counts[("fr", "val")] == 3
+    assert counts[("fr", "test")] == 4
+    # partition-independence: same assignment at a different layout
+    a = {(r.id, r.split) for r in out.collect()}
+    b = {
+        (r.id, r.split)
+        for r in exact_stratified_split(
+            df.repartition(13), ["lang"], [("train", 8), ("val", 1), ("test", 1)],
+            key="id",
+        ).collect()
+    }
+    assert a == b
