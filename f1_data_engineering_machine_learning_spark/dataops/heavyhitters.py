@@ -207,6 +207,7 @@ def cms_build(
     item_col: str,
     depth: int = 4,
     width: int = 512,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch of an item stream: ``depth x width`` exact
     BIGINT cells — ``(row, bucket, cnt)``. The sketch is MERGEABLE
@@ -221,7 +222,13 @@ def cms_build(
 
     Error contract (CM standard): estimate >= true count always
     (inserts-only), and P[over-estimate > eps*N] <= delta with
-    eps = e/width, delta = e^-depth."""
+    eps = e/width, delta = e^-depth.
+
+    ``key_cols``: one independent sketch PER KEY GROUP (per language,
+    per day) in one aggregation — the sketch twin of
+    ``grouped_heavy_hitters`` for when per-group vocabularies are
+    unbounded; rows become (keys..., row, bucket, cnt), still mergeable
+    within each key group, state = groups x depth x width."""
     h = _portable_h60(F.col(item_col))
     rows = F.explode(
         F.array(
@@ -234,9 +241,14 @@ def cms_build(
             ]
         )
     ).alias("__rb")
+    keys = list(key_cols or [])
     return (
-        df.select(rows)
-        .groupBy(F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+        df.select(*keys, rows)
+        .groupBy(
+            *keys,
+            F.col("__rb.row").alias("row"),
+            F.col("__rb.bucket").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
@@ -247,13 +259,16 @@ def cms_estimate(
     item_col: str,
     depth: int = 4,
     width: int = 512,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point estimates for ``items`` from a built sketch: min over the
     item's depth cells (absent cell = 0). The probe set is the small
     side — it explodes to depth rows per item and joins the sketch on
     (row, bucket); the sketch itself (<= depth*width rows) broadcasts."""
     h = _portable_h60(F.col(item_col))
+    keys = list(key_cols or [])
     probes = items.select(
+        *keys,
         F.col(item_col),
         F.explode(
             F.array(
@@ -266,9 +281,14 @@ def cms_estimate(
                 ]
             )
         ).alias("__rb"),
-    ).select(item_col, F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return joined.groupBy(item_col).agg(
+    ).select(
+        *keys,
+        item_col,
+        F.col("__rb.row").alias("row"),
+        F.col("__rb.bucket").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), [*keys, "row", "bucket"], "left")
+    return joined.groupBy(*keys, item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_estimate")
     )
 

@@ -185,3 +185,44 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert sorted(r.bit for r in merged.collect()) == sorted(
         r.bit for r in whole.collect()
     )
+
+
+def test_keyed_cms_groups_are_independent(spark):
+    """key_cols builds one independent sketch per group: per-key
+    estimates never underestimate per-key true counts and never absorb
+    other groups' mass at matching cells; unkeyed behavior unchanged."""
+    from f1_data_engineering_machine_learning_spark.dataops.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")] * 3 + [
+        ("fr", "c")
+    ]
+    df = spark.createDataFrame(rows, "lang string, token string")
+    sk = cms_build(df, "token", depth=3, width=64, key_cols=["lang"])
+    items = spark.createDataFrame(
+        [("en", "a"), ("en", "b"), ("fr", "a"), ("fr", "c"), ("fr", "b")],
+        "lang string, token string",
+    )
+    est = {
+        (r.lang, r.token): r.cms_estimate
+        for r in cms_estimate(
+            sk, items, "token", depth=3, width=64, key_cols=["lang"]
+        ).collect()
+    }
+    true = {("en", "a"): 5, ("en", "b"): 2, ("fr", "a"): 3, ("fr", "c"): 1,
+            ("fr", "b"): 0}
+    for k, t in true.items():
+        assert est[k] >= t, k  # CM never underestimates, per group
+    # width=64, <=3 distinct tokens per group: no collisions -> exact,
+    # proving groups don't bleed into each other ('fr','b') == 0
+    assert est == true
+    # each group's sketch mass equals its own row count
+    mass = {
+        r.lang: r.s
+        for r in sk.groupBy("lang").agg(
+            (F.sum("cnt") / 3).alias("s")
+        ).collect()
+    }
+    assert mass == {"en": 7.0, "fr": 4.0}
