@@ -420,7 +420,13 @@ def _rank_percentile_bounds(
     import math
 
     spark = rows.sparkSession
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Some deployments set shuffle.partitions to a non-numeric sentinel
+    # (e.g. "auto"); fall back to a sane default rather than crash the
+    # rank arm on int() — the value only sizes the range exchange.
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        parts = 200
     ranged = (
         rows.select(F.col(col).cast("double").alias("__v"))
         .repartitionByRange(parts, "__v")

@@ -495,16 +495,22 @@ def dedup_ingest_stream(
         except FileNotFoundError:
             existing = None
         if existing is None:
-            t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+            committed = t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
         else:
             survivors = kept.join(existing, "fp", "left_anti")
-            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+            committed = t.commit(survivors, mode="append", txn=(app_id, batch_id))
         # operational small-file hygiene: append-mode sinks accrete one
         # file set per micro-batch, so every Nth batch rewrites the
         # snapshot via VersionedTable.compact (row-identical; the txn
-        # high-water rides the manifest, so replay protection survives,
-        # and a crash-replayed compaction just rewrites the same rows)
-        if compact_every and batch_id % compact_every == compact_every - 1:
+        # high-water rides the manifest, so replay protection survives).
+        # Skipped when commit returned -1 (txn replay no-op): a
+        # fresh-checkpoint full-source replay changes zero rows, so
+        # rewriting the snapshot would only burn a version + IO.
+        if (
+            committed != -1
+            and compact_every
+            and batch_id % compact_every == compact_every - 1
+        ):
             t.compact(num_files=compact_files)
 
     q = (
@@ -544,12 +550,18 @@ def near_dup_ingest_stream(
     index equi-join is the only corpus-scaled touch), which is what
     makes continuous ingest against a 100 TB corpus feasible. If the
     index table is absent while the corpus exists (pre-index deployment
-    upgrading in place), the bands are derived inline ONCE and the full
-    index is committed with that batch — subsequent batches use the
-    store. Single-writer contract and fresh-checkpoint app_id caveat as
-    ``dedup_ingest_stream``; both commits share the (app_id, batch_id)
-    txn, docs table first, so a crash between them replays into an
-    idempotent docs skip followed by the index commit.
+    upgrading in place), the bands are derived inline ONCE for candidate
+    generation and the full index is committed with that batch —
+    subsequent batches use the store. Single-writer contract and
+    fresh-checkpoint app_id caveat as ``dedup_ingest_stream``; both
+    commits share the (app_id, batch_id) txn, docs table first, and the
+    index commit is SELF-HEALING: the rows it indexes are derived from
+    the committed docs table (ids in docs but not in the index), never
+    from the recomputed batch pipeline — so a crash between the two
+    commits replays into an idempotent docs skip followed by an index
+    commit that still finds the batch's docs (from the table) and bands
+    them. Any orphaned unindexed docs (e.g. from a legacy damaged index)
+    are likewise swept into the NEXT batch's index commit.
 
     The index is valid only for this job's LSH knobs (the minhash
     defaults: n_hashes=32, bands=8, k=3) — changing them requires
@@ -596,42 +608,57 @@ def near_dup_ingest_stream(
             corpus = None
         if corpus is None:
             t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
+            corpus_bands = None
+        else:
+            try:
+                corpus_bands = ti.read()
+            except FileNotFoundError:
+                corpus_bands = None  # pre-index deployment: backfill below
+            kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
+            near = incremental_minhash_dedup_pairs(
+                kept,
+                corpus.select(id_col, text_col),
+                id_col,
+                text_col,
+                verify_threshold=threshold,
+                corpus_bands=corpus_bands,
+            ).select(F.col("batch_id").alias(id_col)).distinct()
+            survivors = kept.join(near, id_col, "left_anti")
+            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+        # SELF-HEALING index maintenance (docs first, then index, same
+        # txn). The rows to index are derived from the COMMITTED docs
+        # table — ids present in docs but absent from the index — never
+        # from the recomputed batch pipeline: on a crash-replay between
+        # the two commits the docs commit no-ops via txn but the batch's
+        # survivors would recompute EMPTY (the fp anti-join now sees them
+        # in the corpus), so an index built from them would permanently
+        # drop those band rows and future near-dups of those docs would
+        # never be detected. The docs-vs-index anti-join is key-only
+        # (column-pruned id scans); band-indexing shingles only the
+        # missing docs' text, so per-batch index cost stays batch-bounded
+        # in steady state — and the pre-index backfill (index table
+        # absent) is just the everything-missing case of the same rule.
+        # This derivation also means the expensive batch x corpus dedup
+        # pipeline above materializes exactly ONCE (for the docs commit);
+        # the index commit re-reads the few committed rows from parquet.
+        docs_now = t.read().select(id_col, text_col)
+        if corpus_bands is None:
             ti.commit(
-                lsh_band_index(kept, id_col, text_col),
+                lsh_band_index(docs_now, id_col, text_col),
                 mode="overwrite",
                 txn=(app_id, batch_id),
             )
-            return
-        try:
-            corpus_bands = ti.read()
-        except FileNotFoundError:
-            corpus_bands = None  # pre-index deployment: backfill below
-        kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
-        near = incremental_minhash_dedup_pairs(
-            kept,
-            corpus.select(id_col, text_col),
-            id_col,
-            text_col,
-            verify_threshold=threshold,
-            corpus_bands=corpus_bands,
-        ).select(F.col("batch_id").alias(id_col)).distinct()
-        survivors = kept.join(near, id_col, "left_anti")
-        new_index = lsh_band_index(survivors, id_col, text_col)
-        if corpus_bands is None:
-            # one-time backfill: the whole corpus's bands join the index
-            # alongside this batch's survivors, so every later batch
-            # reads the store instead of re-MinHashing corpus text
-            new_index = lsh_band_index(
-                corpus.select(id_col, text_col), id_col, text_col
-            ).unionByName(new_index)
-        # docs first, then index, SAME txn: a crash between the two
-        # replays into an idempotent docs skip + the index commit
-        t.commit(survivors, mode="append", txn=(app_id, batch_id))
-        ti.commit(
-            new_index,
-            mode="append" if corpus_bands is not None else "overwrite",
-            txn=(app_id, batch_id),
-        )
+        else:
+            # index schema is (id, band, bucket) regardless of id_col
+            indexed_ids = corpus_bands.select(
+                F.col("id").alias(id_col)
+            ).distinct()
+            missing = docs_now.join(indexed_ids, id_col, "left_anti")
+            ti.commit(
+                lsh_band_index(missing, id_col, text_col),
+                mode="append",
+                txn=(app_id, batch_id),
+            )
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)

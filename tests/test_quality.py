@@ -469,3 +469,30 @@ def test_exact_percentiles_routes_match_and_spark(spark):
     empty = spark.createDataFrame([], "v double")
     assert exact_percentiles(empty, "v", [0.5], route="rank").count() == 0
     assert exact_percentiles(empty, "v", [0.5], route="map").count() == 0
+
+
+def test_rank_arm_tolerates_non_numeric_shuffle_partitions(spark, monkeypatch):
+    """Some deployments set spark.sql.shuffle.partitions to a sentinel
+    like 'auto' (stock Spark validates conf.set, so the sentinel is
+    simulated at conf.get); the rank arm must fall back to a default
+    partition count instead of crashing on int()."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        exact_percentiles,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    orig_get = type(spark.conf).get
+
+    def sentinel_get(self, key, *args, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(self, key, *args, **kw)
+
+    monkeypatch.setattr(type(spark.conf), "get", sentinel_get)
+    got = {
+        (r.frac, r.value)
+        for r in exact_percentiles(df, "v", [0.5], route="rank").collect()
+    }
+    assert got == {(0.5, 49.5)}

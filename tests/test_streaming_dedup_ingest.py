@@ -194,6 +194,138 @@ def test_near_dup_ingest_backfills_missing_index(spark, tmp_path):
     assert {(r.id, r.band, r.bucket) for r in idx.collect()} == want
 
 
+def test_near_dup_ingest_index_self_heals_after_crash(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the docs commit and the index commit, then a full
+    replay (fresh checkpoint, same app_id): the docs commit no-ops via
+    txn, and the index commit must still band the batch's docs — the
+    rows to index are derived from the committed docs table, never from
+    the recomputed (now-empty) survivors. Without the heal, the replayed
+    index commit records the batch id with ZERO band rows and future
+    near-dups of those docs are permanently undetectable."""
+    import f1_data_engineering_machine_learning_spark.plans.versioned as V
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        lsh_band_index,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        near_dup_ingest_stream,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+
+    _write_docs(spark, src, [(1, base), (2, other)])
+
+    orig = V.VersionedTable.commit
+    state = {"armed": True}
+
+    def crash_before_index_commit(self, df, mode="overwrite", **kw):
+        if state["armed"] and self.path.endswith("__lshidx"):
+            state["armed"] = False
+            raise RuntimeError("injected crash between docs and index commit")
+        return orig(self, df, mode=mode, **kw)
+
+    monkeypatch.setattr(V.VersionedTable, "commit", crash_before_index_commit)
+    try:
+        near_dup_ingest_stream(_stream(spark, src), table, str(tmp_path / "ck1"))
+    except Exception:
+        pass  # the injected crash propagates through awaitTermination
+    corpus = V.VersionedTable(spark, table).read()
+    assert {r.doc_id for r in corpus.collect()} == {1, 2}  # docs committed
+    import os
+
+    assert not os.path.isdir(table + "__lshidx")  # index commit crashed
+
+    # replay from a FRESH checkpoint with the same app_id
+    near_dup_ingest_stream(_stream(spark, src), table, str(tmp_path / "ck2"))
+    idx = V.VersionedTable(spark, table + "__lshidx").read()
+    want = {
+        (r.id, r.band, r.bucket)
+        for r in lsh_band_index(corpus, "doc_id", "text").collect()
+    }
+    assert {(r.id, r.band, r.bucket) for r in idx.collect()} == want
+
+    # and the healed index actually catches near-dups of those docs
+    _write_docs(spark, src, [(3, base + " eleven")])
+    near_dup_ingest_stream(_stream(spark, src), table, str(tmp_path / "ck2"))
+    assert {
+        r.doc_id for r in V.VersionedTable(spark, table).read().collect()
+    } == {1, 2}
+
+
+def test_near_dup_ingest_index_heals_even_with_stale_index_txn(
+    spark, tmp_path
+):
+    """Orphaned unindexed docs whose batch id is ALREADY recorded in the
+    index txns (a legacy table damaged by a pre-heal writer) are swept
+    into the NEXT batch's index commit — the heal derives missing rows
+    fresh each batch, so the damage lasts at most one batch."""
+    from f1_data_engineering_machine_learning_spark.dataops.dedup import (
+        lsh_band_index,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        near_dup_ingest_stream,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "red orange yellow green blue indigo violet pink brown black"
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, src, [(1, base), (2, other)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+
+    # legacy damage: doc 2's band rows vanish from the index while the
+    # txn high-water stays — exactly what the pre-heal bug produced
+    ti = VersionedTable(spark, table + "__lshidx")
+    damaged = ti.read().filter(F.col("id") != 2)
+    ti.commit(damaged, mode="overwrite")
+
+    _write_docs(spark, src, [(3, fresh)])
+    near_dup_ingest_stream(_stream(spark, src), table, ckpt)
+
+    corpus = VersionedTable(spark, table).read()
+    want = {
+        (r.id, r.band, r.bucket)
+        for r in lsh_band_index(corpus, "doc_id", "text").collect()
+    }
+    got = {(r.id, r.band, r.bucket) for r in ti.read().collect()}
+    assert got == want  # doc 2's bands are back
+
+
+def test_dedup_ingest_replay_skips_compaction(spark, tmp_path):
+    """A txn-replayed batch (fresh checkpoint, same app_id) changes zero
+    rows, so the every-Nth-batch compaction must NOT run: no new version
+    is minted for a no-op replay."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "corpus")
+
+    _write_docs(spark, src, [(1, "aaa"), (2, "bbb")])
+    dedup_ingest_stream(
+        _stream(spark, src), table, str(tmp_path / "ck1"), compact_every=1
+    )
+    t = VersionedTable(spark, table)
+    versions_before = t._versions()
+
+    # full-source replay: commit no-ops via txn; compaction must be skipped
+    dedup_ingest_stream(
+        _stream(spark, src), table, str(tmp_path / "ck2"), compact_every=1
+    )
+    assert t._versions() == versions_before
+
+
 def test_dedup_ingest_periodic_compaction(spark, tmp_path):
     """compact_every bounds file accretion across micro-batches without
     changing the corpus: after the compacting batch the snapshot sits in
