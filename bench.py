@@ -119,10 +119,21 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # The SPIKE-ROBUST comparator (PERF.md "Bench totals"): per query,
+    # the warm best where a re-time ran, else the single first run.
+    # Same-code single-pass totals spread up to ±27% on this box (three
+    # same-day r8 runs: 175.5 / 215.2 / 239.4 s — all JIT/code-cache
+    # spikes, confirmed by rerun_best); warm_total strips exactly that,
+    # so it is the round-over-round number. `value` stays the single-pass
+    # sum for comparability with rounds 1-8.
+    warm_total = round(
+        sum(rerun_best.get(n, t) for n, t in timings.items()), 3
+    )
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     full = {
         "metric": "catalog_total_runtime",
         "value": total,
+        "warm_total": warm_total,
         "unit": "sec",
         "queries": timings,
         "n": len(timings),
@@ -139,6 +150,7 @@ def main() -> None:
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
+        "warm_total": warm_total,
         "unit": "sec",
         "queries": slowest,
         "n": len(timings),
