@@ -202,6 +202,18 @@ def train_champion_model(
     ]
 
     train_i = impute_sentinels(train)
+    # Guard the degenerate split: a training pool whose group split left
+    # a single label class fits a 1-class forest whose probability
+    # vectors have length 1, and the AUC evaluator then dies with an
+    # opaque "rawPredictionCol vectors must have length=2". Surface the
+    # real cause instead — tight OOT bounds on small pools hit this
+    # (e.g. the fixture's oot_year=2022 leaves one season to split).
+    n_classes = train_i.select("flChamp").distinct().count()
+    if n_classes < 2:
+        raise ValueError(
+            "training split has a single flChamp class; widen the pool "
+            "(earlier oot_year) or re-seed group_random_split"
+        )
     model = champion_model(numeric_feats).fit(train_i)
     strip_training_summary(model)
 

@@ -41,6 +41,54 @@ def test_oot_split_partitions(abt):
     assert pool.count() + oot.count() == abt.count()
 
 
+def test_oot_split_second_year_boundaries(abt):
+    """Second-OOT-year golden (reference scripts/05_ml_model.py:66-67
+    semantics): with oot_year=2022 the pool is STRICTLY years < 2022,
+    the holdout exactly == 2022, and years AFTER the OOT year (2023 in
+    the fixture) land in NEITHER — the reference silently drops them
+    (df_oot = year == oot_year; df_train_all = year < oot_year). The
+    single 2023/2024 split can't see that boundary because the fixture
+    has no year past 2023."""
+    pool, oot = oot_split(abt, oot_year=2022)
+    assert pool.filter(F.col("dtYear") >= 2022).count() == 0
+    assert oot.filter(F.col("dtYear") != 2022).count() == 0
+    n_2023 = abt.filter(F.col("dtYear") == 2023).count()
+    assert n_2023 > 0  # the fixture really has post-OOT rows
+    assert pool.count() + oot.count() == abt.count() - n_2023
+
+
+def test_train_champion_model_second_oot_year(abt):
+    """M1-M7 end-to-end at a second OOT boundary (oot_year=2022): the
+    training pool collapses to the 2021 season, the OOT metrics are
+    computed on 2022, and the group split keeps its integrity inside the
+    smaller pool."""
+    pool, _ = oot_split(abt, oot_year=2022)
+    train, test = group_random_split(pool, seed=42)
+    tr = {
+        (r.DriverId, r.dtYear)
+        for r in train.select("DriverId", "dtYear").distinct().collect()
+    }
+    te = {
+        (r.DriverId, r.dtYear)
+        for r in test.select("DriverId", "dtYear").distinct().collect()
+    }
+    assert tr.isdisjoint(te)
+    assert train.count() + test.count() == pool.count()
+
+    # seed=42 leaves 2021's only champion driver-year in test — a
+    # single-class training pool, which must fail LOUDLY (the guard),
+    # not deep in the evaluator with an opaque vector-length error
+    with pytest.raises(ValueError, match="single flChamp class"):
+        train_champion_model(abt, oot_year=2022, seed=42)
+
+    result = train_champion_model(abt, oot_year=2022, seed=4)
+    assert "train" in result["metrics"] and "oot" in result["metrics"]
+    for split, m in result["metrics"].items():
+        assert 0.0 <= m["accuracy"] <= 1.0, split
+        assert 0.0 <= m["roc_auc"] <= 1.0, split
+    assert len(result["importances"]) > 0
+
+
 def test_group_split_integrity(abt):
     train, test = group_random_split(abt, seed=42)
     n_train, n_test = train.count(), test.count()
