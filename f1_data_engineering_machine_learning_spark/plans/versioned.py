@@ -120,6 +120,14 @@ def _merge_schemas(parent_json: str, batch_json: str) -> str:
     return json.dumps(out)
 
 
+class ConcurrentCompactionError(RuntimeError):
+    """A compaction's read snapshot was replaced mid-flight by a
+    non-append commit (overwrite / rollback / another compaction).
+    Committing anyway would resurrect replaced data, so the compaction
+    aborts — Delta raises the analogous ConcurrentWriteException from
+    OPTIMIZE. Safe to rerun against the current tip."""
+
+
 @dataclass
 class VersionInfo:
     version: int
@@ -634,17 +642,95 @@ class VersionedTable:
         ``read(prune=...)`` point/range lookup afterwards touches ~1 of
         ``num_files`` files instead of all of them; pair it with
         ``stats_cols`` on the same leading column so the manifest index
-        reflects the new layout."""
+        reflects the new layout.
+
+        CONCURRENCY (Delta OPTIMIZE resolution): compaction rewrites
+        the files of the snapshot it READ. An append that lands between
+        the read and the commit only ADDS files, so it composes — the
+        compacted manifest carries the rewritten base files plus every
+        file appended after the base version, and the interleaved
+        writer's rows survive (pinned by the race test). An interleaved
+        OVERWRITE / rollback / second compaction makes the read
+        snapshot obsolete; compaction then ABORTS with
+        ``ConcurrentCompactionError`` (its data files are cleaned up)
+        rather than resurrecting replaced data — rerun it against the
+        new tip. txn high-waters always ride the TIP manifest, so
+        exactly-once replay protection never travels backwards."""
         if num_files < 1:
             raise ValueError("num_files must be >= 1")
-        df = self.read()
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        base = versions[-1]
+        base_m = self._manifest(base)
+        df = self.read(version=base)
         if sort_by:
             df = df.repartitionByRange(
                 num_files, *sort_by
             ).sortWithinPartitions(*sort_by)
         else:
             df = df.repartition(num_files)
-        return self.commit(df, mode="overwrite", stats_cols=stats_cols)
+        names, n_rows, stats = self._write_data_files(df, stats_cols)
+
+        def _abort(reason: str):
+            for n in names:
+                try:
+                    os.remove(os.path.join(self._ddir, n))
+                except OSError:
+                    pass
+            raise ConcurrentCompactionError(
+                f"compaction of version {base} aborted: {reason}; "
+                "rerun against the current tip"
+            )
+
+        while True:
+            tip = self._versions()[-1]
+            tm = self._manifest(tip)
+            extra_files: list[str] = []
+            extra_rows = 0
+            extra_stats: dict[str, dict] = {}
+            if tip != base:
+                try:
+                    interleaved_ok = all(
+                        self._manifest(v).get("mode") == "append"
+                        for v in range(base + 1, tip + 1)
+                    )
+                except OSError:
+                    interleaved_ok = False  # manifest vacuumed mid-flight
+                if (
+                    not interleaved_ok
+                    or tm["files"][: len(base_m["files"])] != base_m["files"]
+                ):
+                    _abort(
+                        "a non-append commit interleaved (overwrite/"
+                        "rollback/compaction replaced the base snapshot)"
+                    )
+                extra_files = tm["files"][len(base_m["files"]) :]
+                extra_rows = tm["n_rows"] - base_m["n_rows"]
+                tstats = tm.get("stats", {})
+                extra_stats = {
+                    f: tstats[f] for f in extra_files if f in tstats
+                }
+            v = tip + 1
+            manifest = {
+                "version": v,
+                "mode": "overwrite",
+                "files": names + extra_files,
+                "n_rows": n_rows + extra_rows,
+                "stats": {**stats, **extra_stats},
+                "txns": dict(tm.get("txns", {})),
+                "schema": tm.get("schema"),
+                "parent": tip,
+                "ts": time.time(),
+            }
+            try:
+                with open(
+                    os.path.join(self._mdir, f"v{v:08d}.json"), "x"
+                ) as fh:
+                    json.dump(manifest, fh)
+                return v
+            except FileExistsError:
+                continue  # lost the CAS — re-validate against the new tip
 
     def history(self) -> list[VersionInfo]:
         out = []

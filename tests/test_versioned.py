@@ -566,6 +566,108 @@ def test_compact_preserves_rows_and_txn_highwater(spark, tmp_path):
     assert {r.id for r in t.read(version=v - 1).collect()} == before
 
 
+def test_compact_racing_append_preserves_the_append(spark, tmp_path):
+    """Compaction vs a concurrent APPEND (the compact_every production
+    race): the append lands between compaction's snapshot read and its
+    commit. Winner/loser semantics pinned here: BOTH survive — the
+    compacted manifest carries the rewritten base files plus the files
+    appended after the base version, so the interleaved writer's rows
+    are never clobbered by the stale-snapshot rewrite, and the txn
+    high-water rides the tip (the appender's txn still replays as a
+    no-op afterwards)."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    w2 = VersionedTable(spark, str(tmp_path / "t"))
+    for b in range(3):
+        t.commit(
+            spark.createDataFrame([(b * 10 + i,) for i in range(4)], "id long"),
+            mode="append" if b else "overwrite",
+        )
+    base_rows = {r.id for r in t.read().collect()}
+
+    # deterministic interleave: the concurrent append lands right after
+    # compaction has read its snapshot and staged its rewrite, before
+    # its manifest CAS
+    orig = t._write_data_files
+
+    def staged_then_interleaved_append(df, stats_cols=None):
+        res = orig(df, stats_cols)
+        w2.commit(
+            spark.createDataFrame([(100,), (101,)], "id long"),
+            mode="append",
+            txn=("late-writer", 7),
+        )
+        return res
+
+    t._write_data_files = staged_then_interleaved_append
+    v = t.compact(num_files=1)
+
+    got = {r.id for r in t.read().collect()}
+    assert got == base_rows | {100, 101}  # the racing append survived
+    m = t._manifest(v)
+    assert m["n_rows"] == len(base_rows) + 2
+    # rewritten base sits in 1 file; the append's file(s) are retained
+    assert len(m["files"]) >= 2
+    # txn high-water rode the tip: the appender's batch still replays
+    assert (
+        w2.commit(
+            spark.createDataFrame([(999,)], "id long"),
+            mode="append",
+            txn=("late-writer", 7),
+        )
+        == -1
+    )
+    assert {r.id for r in t.read().collect()} == got
+
+
+def test_compact_racing_overwrite_aborts(spark, tmp_path):
+    """Compaction vs a concurrent OVERWRITE: the read snapshot is
+    obsolete, so committing the rewrite would resurrect replaced data.
+    Pinned semantics: the overwrite WINS, compaction raises
+    ConcurrentCompactionError, leaves no new version, and cleans up its
+    staged data files."""
+    import os as _os
+
+    import pytest
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        ConcurrentCompactionError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    w2 = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(20).select(F.col("id")))
+
+    orig = t._write_data_files
+
+    def staged_then_interleaved_overwrite(df, stats_cols=None):
+        res = orig(df, stats_cols)
+        w2.commit(
+            spark.createDataFrame([(7,), (8,)], "id long"), mode="overwrite"
+        )
+        return res
+
+    t._write_data_files = staged_then_interleaved_overwrite
+    with pytest.raises(ConcurrentCompactionError):
+        t.compact(num_files=1)
+
+    # the overwrite won; no compaction version was minted
+    assert {r.id for r in t.read().collect()} == {7, 8}
+    tipm = t._manifest(t._versions()[-1])
+    assert tipm["mode"] == "overwrite"
+    # staged rewrite files were cleaned up: every file on disk is
+    # referenced by some manifest
+    referenced = set()
+    for ver in t._versions():
+        referenced |= set(t._manifest(ver)["files"])
+    on_disk = set(_os.listdir(t._ddir))
+    assert on_disk <= referenced
+
+
 def test_compact_sorted_layout_prunes_files(spark, tmp_path):
     """compact(sort_by=...) range-sorts the rewrite so files hold
     disjoint value ranges: a point-range prune then touches 1 of N

@@ -1,0 +1,238 @@
+"""Sustained-load soak for the ingest-maintenance streams.
+
+Drives N micro-batches (one parquet file per batch via
+``maxFilesPerTrigger=1`` + ``availableNow``) through a chosen ingest
+stream and reports per-batch trigger durations from the streaming
+progress feed, plus a docs/sec throughput figure and an early-vs-late
+trend ratio — the evidence that per-batch cost is bounded by BATCH size
+(plus summary-sized merges), not by accumulated history:
+
+- ``dedup``    — streaming/jobs.py::dedup_ingest_stream (exact
+  dedup-on-ingest; corpus touch = key-only fp anti-join) with periodic
+  compaction active.
+- ``neardup``  — streaming/jobs.py::near_dup_ingest_stream (full
+  curation policy; corpus touch = stored LSH band index equi-join +
+  self-healing index maintenance).
+- ``cms``      — cms_ingest_stream at PRODUCTION state size
+  (depth 4 x width 4096): the stored sketch is ~an order of magnitude
+  larger than one batch's delta, so the soak measures merge cost
+  tracking SUMMARY size, not item history.
+- ``bitmap``   — distinct_bitmap_ingest_stream over a growing dense id
+  range (store = O(id-range/64) bitmap rows).
+
+Usage:
+    python tools/soak_streams.py --mode dedup --batches 120 \
+        --docs-per-batch 40 [--workdir DIR] [--keep]
+
+Prints ONE JSON line:
+    {"mode": ..., "batches": N, "rows_ingested": ..., "wall_sec": ...,
+     "rows_per_sec": ..., "early_median_ms": ..., "late_median_ms": ...,
+     "trend_ratio": ..., "per_batch_ms": [...]}
+
+Trend contract: ``trend_ratio`` = median(last quarter) / median(second
+quarter) of per-batch trigger durations (the first quarter absorbs JIT
+warmup). Flat-state streams should sit near 1.0; anything near
+batches/4 x means per-batch cost is following history size — the
+failure the bounded-state designs exist to prevent.
+
+Duplicate mix (dedup/neardup): each batch's docs are drawn from a
+seeded generator; ~20% repeat an earlier batch's text exactly and ~10%
+are near-duplicates (one appended token), so the corpus-side dedup
+paths do real work every batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+_VOCAB = [f"tok{i:04d}" for i in range(2000)]
+
+
+def _doc_text(rng: random.Random, n_tokens: int = 30) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n_tokens))
+
+
+def make_doc_batches(n_batches: int, docs_per_batch: int, seed: int = 7):
+    """Deterministic doc batches with cross-batch exact and near dups."""
+    rng = random.Random(seed)
+    seen: list[str] = []
+    doc_id = 0
+    batches = []
+    for _ in range(n_batches):
+        rows = []
+        for _ in range(docs_per_batch):
+            roll = rng.random()
+            if seen and roll < 0.2:
+                text = rng.choice(seen)  # exact dup of earlier doc
+            elif seen and roll < 0.3:
+                text = rng.choice(seen) + " " + rng.choice(_VOCAB)  # near dup
+            else:
+                text = _doc_text(rng)
+                seen.append(text)
+            rows.append((doc_id, text))
+            doc_id += 1
+        batches.append(rows)
+    return batches
+
+
+def write_batches(spark, src: str, batches, schema: str) -> None:
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+
+def batch_durations_ms(query) -> list[float]:
+    """Per-micro-batch trigger durations, data-carrying batches only."""
+    out = []
+    for p in query.recentProgress:
+        if p is None:
+            continue
+        if int(p["numInputRows"]) == 0:
+            continue  # availableNow's trailing empty commit-batch
+        out.append(float(p["durationMs"]["triggerExecution"]))
+    return out
+
+
+def trend(per_batch_ms: list[float]) -> tuple[float, float, float]:
+    n = len(per_batch_ms)
+    q = max(n // 4, 1)
+    early = statistics.median(per_batch_ms[q : 2 * q])
+    late = statistics.median(per_batch_ms[-q:])
+    return early, late, (late / early if early > 0 else float("inf"))
+
+
+def run_soak(
+    spark,
+    mode: str,
+    workdir: str,
+    n_batches: int,
+    docs_per_batch: int,
+) -> dict:
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        cms_ingest_stream,
+        dedup_ingest_stream,
+        distinct_bitmap_ingest_stream,
+        near_dup_ingest_stream,
+    )
+
+    # retain every batch's progress row (default retention is 100)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 50)
+    )
+    src = f"{workdir}/src_{mode}"
+    store = f"{workdir}/store_{mode}"
+    ckpt = f"{workdir}/ckpt_{mode}"
+
+    if mode in ("dedup", "neardup"):
+        schema = "doc_id long, text string"
+        write_batches(
+            spark, src, make_doc_batches(n_batches, docs_per_batch), schema
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        if mode == "dedup":
+            q = dedup_ingest_stream(
+                stream, store, ckpt, compact_every=10, compact_files=8
+            )
+        else:
+            q = near_dup_ingest_stream(stream, store, ckpt)
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
+    elif mode == "cms":
+        schema = "token string"
+        rng = random.Random(11)
+        batches = [
+            [(rng.choice(_VOCAB),) for _ in range(docs_per_batch)]
+            for _ in range(n_batches)
+        ]
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = cms_ingest_stream(stream, store, ckpt, depth=4, width=4096)
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
+    elif mode == "bitmap":
+        schema = "user_id long"
+        rng = random.Random(13)
+        batches = [
+            [(rng.randrange(0, (i + 1) * 10_000),) for _ in range(docs_per_batch)]
+            for i in range(n_batches)
+        ]
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = distinct_bitmap_ingest_stream(stream, store, ckpt)
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    per_batch = batch_durations_ms(q)
+    early, late, ratio = trend(per_batch)
+    return {
+        "mode": mode,
+        "batches": len(per_batch),
+        "rows_ingested": rows,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(rows / wall, 1),
+        "early_median_ms": round(early, 1),
+        "late_median_ms": round(late, 1),
+        "trend_ratio": round(ratio, 3),
+        "per_batch_ms": [round(x, 1) for x in per_batch],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", required=True,
+                    choices=["dedup", "neardup", "cms", "bitmap"])
+    ap.add_argument("--batches", type=int, default=120)
+    ap.add_argument("--docs-per-batch", type=int, default=40)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from f1_data_engineering_machine_learning_spark.session import (
+        build_session,
+    )
+
+    spark = build_session(app_name=f"soak-{args.mode}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix=f"soak_{args.mode}_")
+    try:
+        result = run_soak(
+            spark, args.mode, workdir, args.batches, args.docs_per_batch
+        )
+        print(json.dumps(result))
+    finally:
+        if not args.keep and args.workdir is None:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
