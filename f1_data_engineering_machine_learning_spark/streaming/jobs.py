@@ -555,13 +555,15 @@ def near_dup_ingest_stream(
     subsequent batches use the store. Single-writer contract and
     fresh-checkpoint app_id caveat as ``dedup_ingest_stream``; both
     commits share the (app_id, batch_id) txn, docs table first, and the
-    index commit is SELF-HEALING: the rows it indexes are derived from
-    the committed docs table (ids in docs but not in the index), never
-    from the recomputed batch pipeline — so a crash between the two
-    commits replays into an idempotent docs skip followed by an index
-    commit that still finds the batch's docs (from the table) and bands
-    them. Any orphaned unindexed docs (e.g. from a legacy damaged index)
-    are likewise swept into the NEXT batch's index commit.
+    index commit is SELF-HEALING: besides the batch survivors' bands, a
+    KEY-ONLY orphan sweep (ids in the committed docs table that are in
+    neither the index nor this batch's survivors — column-pruned id
+    scans, empty on every healthy batch) re-bands any committed-but-
+    unindexed docs. A crash between the two commits therefore replays
+    into an idempotent docs skip followed by an index commit that still
+    finds the batch's docs via the sweep; orphans from a legacy damaged
+    index heal the same way on the next batch. Corpus text is touched
+    only on an actual recovery, never per healthy batch.
 
     The index is valid only for this job's LSH knobs (the minhash
     defaults: n_hashes=32, bands=8, k=3) — changing them requires
@@ -608,57 +610,80 @@ def near_dup_ingest_stream(
             corpus = None
         if corpus is None:
             t.commit(kept, mode="overwrite", txn=(app_id, batch_id))
-            corpus_bands = None
-        else:
-            try:
-                corpus_bands = ti.read()
-            except FileNotFoundError:
-                corpus_bands = None  # pre-index deployment: backfill below
-            kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
-            near = incremental_minhash_dedup_pairs(
-                kept,
-                corpus.select(id_col, text_col),
-                id_col,
-                text_col,
-                verify_threshold=threshold,
-                corpus_bands=corpus_bands,
-            ).select(F.col("batch_id").alias(id_col)).distinct()
-            survivors = kept.join(near, id_col, "left_anti")
-            t.commit(survivors, mode="append", txn=(app_id, batch_id))
-        # SELF-HEALING index maintenance (docs first, then index, same
-        # txn). The rows to index are derived from the COMMITTED docs
-        # table — ids present in docs but absent from the index — never
-        # from the recomputed batch pipeline: on a crash-replay between
-        # the two commits the docs commit no-ops via txn but the batch's
-        # survivors would recompute EMPTY (the fp anti-join now sees them
-        # in the corpus), so an index built from them would permanently
-        # drop those band rows and future near-dups of those docs would
-        # never be detected. The docs-vs-index anti-join is key-only
-        # (column-pruned id scans); band-indexing shingles only the
-        # missing docs' text, so per-batch index cost stays batch-bounded
-        # in steady state — and the pre-index backfill (index table
-        # absent) is just the everything-missing case of the same rule.
-        # This derivation also means the expensive batch x corpus dedup
-        # pipeline above materializes exactly ONCE (for the docs commit);
-        # the index commit re-reads the few committed rows from parquet.
-        docs_now = t.read().select(id_col, text_col)
-        if corpus_bands is None:
+            # first batch: the full index IS this batch's bands
             ti.commit(
-                lsh_band_index(docs_now, id_col, text_col),
+                lsh_band_index(kept, id_col, text_col),
                 mode="overwrite",
                 txn=(app_id, batch_id),
             )
-        else:
-            # index schema is (id, band, bucket) regardless of id_col
+            return
+        try:
+            corpus_bands = ti.read()
+        except FileNotFoundError:
+            corpus_bands = None  # pre-index deployment: backfill below
+        kept = kept.join(corpus.select("fp").distinct(), "fp", "left_anti")
+        near = incremental_minhash_dedup_pairs(
+            kept,
+            corpus.select(id_col, text_col),
+            id_col,
+            text_col,
+            verify_threshold=threshold,
+            corpus_bands=corpus_bands,
+        ).select(F.col("batch_id").alias(id_col)).distinct()
+        # persist: survivors feeds BOTH the docs commit and the index
+        # commit — without the cut the batch x corpus dedup pipeline
+        # (the expensive per-batch work) would materialize twice
+        survivors = kept.join(near, id_col, "left_anti").persist()
+        try:
+            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+            if corpus_bands is None:
+                # one-time backfill: index the whole committed corpus
+                ti.commit(
+                    lsh_band_index(
+                        t.read().select(id_col, text_col), id_col, text_col
+                    ),
+                    mode="overwrite",
+                    txn=(app_id, batch_id),
+                )
+                return
+            new_index = lsh_band_index(survivors, id_col, text_col)
+            # SELF-HEALING index commit. Invariant: every id in the docs
+            # table is banded in the index. A crash between the docs and
+            # index commits breaks it — on replay the docs commit no-ops
+            # via txn but `survivors` recomputes EMPTY (the fp anti-join
+            # now sees the batch in the corpus), so an index built only
+            # from the pipeline would permanently drop those band rows
+            # and future near-dups of those docs would never be detected.
+            # The orphan check below derives what the index is missing
+            # from the COMMITTED docs table: ids in docs, not in the
+            # index, not in this batch's survivors. It is KEY-ONLY
+            # (column-pruned id scans on both sides — same cost class as
+            # the fp anti-join above, never a per-batch corpus text
+            # touch) and empty on every healthy batch; only an actual
+            # recovery batch joins text back for the orphaned ids
+            # (broadcast — orphans are batch-bounded) and re-bands just
+            # those docs. Legacy damage (bands missing under an
+            # already-recorded index txn) heals the same way on the
+            # next batch.
             indexed_ids = corpus_bands.select(
                 F.col("id").alias(id_col)
             ).distinct()
-            missing = docs_now.join(indexed_ids, id_col, "left_anti")
-            ti.commit(
-                lsh_band_index(missing, id_col, text_col),
-                mode="append",
-                txn=(app_id, batch_id),
+            orphan_ids = (
+                t.read()
+                .select(id_col)
+                .join(indexed_ids, id_col, "left_anti")
+                .join(survivors.select(id_col), id_col, "left_anti")
             )
+            if orphan_ids.limit(1).count() > 0:
+                orphan_docs = t.read().select(id_col, text_col).join(
+                    F.broadcast(orphan_ids), id_col, "left_semi"
+                )
+                new_index = new_index.unionByName(
+                    lsh_band_index(orphan_docs, id_col, text_col)
+                )
+            ti.commit(new_index, mode="append", txn=(app_id, batch_id))
+        finally:
+            survivors.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(_sink)

@@ -119,7 +119,13 @@ def run_soak(
     workdir: str,
     n_batches: int,
     docs_per_batch: int,
+    shuffle_partitions: int | None = 8,
 ) -> dict:
+    """``shuffle_partitions``: micro-batches are small, so per-batch
+    wall at soak scale is dominated by task-scheduling overhead of the
+    session's default 32-partition shuffles (dozens of tiny jobs per
+    batch). 8 is the realistic ops setting for a small-batch ingest
+    stream; pass None to keep the session's value. Restored on exit."""
     from f1_data_engineering_machine_learning_spark.streaming.jobs import (
         cms_ingest_stream,
         dedup_ingest_stream,
@@ -131,9 +137,32 @@ def run_soak(
     spark.conf.set(
         "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 50)
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     src = f"{workdir}/src_{mode}"
     store = f"{workdir}/store_{mode}"
     ckpt = f"{workdir}/ckpt_{mode}"
+
+    try:
+        return _run_soak_inner(
+            spark, mode, src, store, ckpt, n_batches, docs_per_batch
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_soak_inner(
+    spark, mode, src, store, ckpt, n_batches, docs_per_batch
+) -> dict:
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        cms_ingest_stream,
+        dedup_ingest_stream,
+        distinct_bitmap_ingest_stream,
+        near_dup_ingest_stream,
+    )
 
     if mode in ("dedup", "neardup"):
         schema = "doc_id long, text string"
