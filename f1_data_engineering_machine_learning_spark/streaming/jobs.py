@@ -532,6 +532,8 @@ def near_dup_ingest_stream(
     text_col: str = "text",
     threshold: float = 0.8,
     app_id: str = "near-dup-ingest",
+    compact_every: int | None = None,
+    compact_files: int = 8,
 ):
     """Continuous CURATION-on-ingest: the full dedup policy of
     ``dataops/curate.py`` applied to every micro-batch — (a) exact dedup
@@ -564,6 +566,17 @@ def near_dup_ingest_stream(
     finds the batch's docs via the sweep; orphans from a legacy damaged
     index heal the same way on the next batch. Corpus text is touched
     only on an actual recovery, never per healthy batch.
+
+    ``compact_every=N`` rewrites BOTH tables (docs and index) into
+    ``compact_files`` files after every Nth non-replayed batch — load-
+    bearing for continuous operation, not just hygiene: each append
+    commit accretes one file set, and since this sink READS both tables
+    every batch (fp anti-join, index equi-join, orphan sweep), per-batch
+    wall otherwise follows total file count. Measured in the 120-batch
+    soak (PERF.md round 9): uncompacted per-batch wall grew ~1.4x over
+    120 batches purely from file accretion; with compact_every=10 it is
+    trend-flat. Off by default, same cadence contract as
+    ``dedup_ingest_stream``.
 
     The index is valid only for this job's LSH knobs (the minhash
     defaults: n_hashes=32, bands=8, k=3) — changing them requires
@@ -635,7 +648,9 @@ def near_dup_ingest_stream(
         # (the expensive per-batch work) would materialize twice
         survivors = kept.join(near, id_col, "left_anti").persist()
         try:
-            t.commit(survivors, mode="append", txn=(app_id, batch_id))
+            committed = t.commit(
+                survivors, mode="append", txn=(app_id, batch_id)
+            )
             if corpus_bands is None:
                 # one-time backfill: index the whole committed corpus
                 ti.commit(
@@ -682,6 +697,18 @@ def near_dup_ingest_stream(
                     lsh_band_index(orphan_docs, id_col, text_col)
                 )
             ti.commit(new_index, mode="append", txn=(app_id, batch_id))
+            # file-accretion hygiene for BOTH tables — this sink reads
+            # them every batch, so per-batch wall follows file count
+            # without it (soak-measured ~1.4x drift over 120 batches).
+            # Skipped on txn-replayed batches (committed == -1): a
+            # replay changes zero rows.
+            if (
+                committed != -1
+                and compact_every
+                and batch_id % compact_every == compact_every - 1
+            ):
+                t.compact(num_files=compact_files)
+                ti.compact(num_files=compact_files)
         finally:
             survivors.unpersist()
 

@@ -66,11 +66,14 @@ def test_dedup_ingest_soak_trend_flat(spark, tmp_path):
 
 def test_near_dup_ingest_soak_trend_flat(spark, tmp_path):
     """100+ micro-batches of the full curation policy (exact + LSH
-    near-dedup against the corpus, self-healing index maintenance):
-    per-batch wall stays trend-flat — the corpus-scaled touches are the
-    key-only fp anti-join, the stored band-index equi-join, and the
-    docs-vs-index heal anti-join (all column-pruned key scans), so cost
-    must not follow corpus text size."""
+    near-dedup against the corpus, self-healing index maintenance) with
+    periodic compaction of both tables (the harness passes
+    compact_every=10): per-batch wall stays trend-flat — the
+    corpus-scaled touches are the key-only fp anti-join, the stored
+    band-index equi-join, and the key-only orphan sweep, and compaction
+    keeps read planning from following accreted file count (the
+    uncompacted 120-batch soak measured ~1.4x per-batch drift from file
+    accretion alone; PERF.md round 9)."""
     from f1_data_engineering_machine_learning_spark.plans.versioned import (
         VersionedTable,
     )

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import random
 import shutil
 import statistics
@@ -86,11 +87,31 @@ def make_doc_batches(n_batches: int, docs_per_batch: int, seed: int = 7):
     return batches
 
 
+_PA_TYPES = {"long": "int64", "string": "string", "double": "float64"}
+
+
 def write_batches(spark, src: str, batches, schema: str) -> None:
-    for rows in batches:
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    """One parquet file per batch, written DIRECTLY via pyarrow — the
+    source files are test fixtures, not measured work, and routing 120
+    forty-row writes through Spark jobs costs minutes of pure overhead
+    (measured ~2.5 s per tiny job) that pyarrow does in milliseconds.
+    ``spark`` stays in the signature for interface symmetry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    names = [n for n, _ in cols]
+    types = [pa.type_for_alias(_PA_TYPES[t]) for _, t in cols]
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        arrays = [
+            pa.array([r[j] for r in rows], type=types[j])
+            for j in range(len(names))
+        ]
+        pq.write_table(
+            pa.table(dict(zip(names, arrays))),
+            os.path.join(src, f"batch-{i:05d}.parquet"),
+        )
 
 
 def batch_durations_ms(query) -> list[float]:
@@ -180,7 +201,9 @@ def _run_soak_inner(
                 stream, store, ckpt, compact_every=10, compact_files=8
             )
         else:
-            q = near_dup_ingest_stream(stream, store, ckpt)
+            q = near_dup_ingest_stream(
+                stream, store, ckpt, compact_every=10, compact_files=8
+            )
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
     elif mode == "cms":
