@@ -76,16 +76,17 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 8 rotates by EVIDENCE FRESHNESS: slot 1 is
-    bpe_fertility_by_lang (the only full-oracle query with no driver
-    row), slots 2-5 the four r2-stale spillovers from the round-7
-    rotation, slots 6-46 the complete 41-query r3-stale tier, slots
-    47-50 queries whose code was rewritten after their newest driver
-    row (pair-expansion / TakeOrderedAndProject / adaptive-routing
-    rewrites). Every gated entry is value-oracle-paired; the one
-    rows-only entry (embedding_lsh_topk) sits just past the cutoff.
-    Cumulatively, rounds 1-7 hard-verified every catalog query except
-    fertility (post-gate addition) and the rows-only entry."""
+    iteration order. Round 9 rotates by EVIDENCE FRESHNESS per the r8
+    verdict's task 1: slots 1-3 are the full-oracle queries added after
+    the r8 gate ran (no driver row yet), slot 4 the f1_abt_fixture
+    carryover (r6-stale end-to-end F1 gate), slot 5 the new keyed
+    per-group CMS query, slots 6-48 the ENTIRE remaining r5-stale tier
+    (43 queries), slots 49-50 r6-stale picks pairing with round-9 work
+    (the unkeyed CMS twin, the multimodal bitwise path). Every gated
+    entry is value-oracle-paired; the one rows-only entry
+    (embedding_lsh_topk) sits just past the cutoff. Cumulatively,
+    rounds 1-8 hard-verified every catalog query except the rows-only
+    entry and the four post-r8-gate additions in slots 1-3 and 5."""
     import json
     import os
 
@@ -97,46 +98,44 @@ def test_gate_priority_queries_in_first_50():
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         p = f"CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
             for q in json.load(open(p)):
                 newest[q] = r
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    assert names[0] == "bpe_fertility_by_lang"
-    assert names[0] not in newest  # never driver-gated before round 8
-    for n in names[1:5]:
-        assert newest.get(n) == 2, (
-            f"{n} in the r2-spillover slots but its newest driver row is "
-            f"r{newest.get(n)}, not r2"
-        )
-    for n in names[5:46]:
-        assert newest.get(n) == 3, (
-            f"{n} in the r3-stale slots but its newest driver row is "
-            f"r{newest.get(n)}, not r3"
-        )
-    assert names[46:50] == [
-        "part_association_rules",
-        "sole_returning_supplier",
-        "copurchased_parts",
-        "order_price_equidepth_hist",
+    assert names[:5] == [
+        "doc_stratified_split_exact",
+        "lineitem_price_equidepth_hist_ranked",
+        "lineitem_quantity_percentiles_ranked",
+        "f1_abt_fixture",
+        "lang_token_cms_estimates",
     ]
-    for n in names[46:50]:
-        assert newest.get(n, 0) <= 6, (
-            f"{n} in the rewritten-path slots but its driver row is fresh"
+    for n in (names[0], names[1], names[2], names[4]):
+        assert n not in newest, f"{n} in a never-gated slot but has a driver row"
+    assert newest.get("f1_abt_fixture") == 6  # the r7-verdict carryover
+    for n in names[5:48]:
+        assert newest.get(n) == 5, (
+            f"{n} in the r5-stale slots but its newest driver row is "
+            f"r{newest.get(n)}, not r5"
         )
-    # cumulative hard verification: rounds 1-7 covered everything except
-    # the documented rows-only entry, the post-gate fertility addition
-    # (round-8 gate slot 1), and the round-8 addition queued for the
-    # round-9 gate per the documented convention
+    assert names[48:50] == ["token_cms_estimates", "doc_media_features"]
+    for n in names[48:50]:
+        assert newest.get(n) == 6, (
+            f"{n} in the r6-stale pairing slots but its newest driver row "
+            f"is r{newest.get(n)}, not r6"
+        )
+    # cumulative hard verification: rounds 1-8 covered everything except
+    # the documented rows-only entry and the four post-r8-gate additions
+    # now occupying the never-gated slots of the round-9 rotation
     never = set(catalog._QUERIES) - set(newest)
     assert never == {
         "embedding_lsh_topk",
-        "bpe_fertility_by_lang",
+        "doc_stratified_split_exact",
         "lineitem_price_equidepth_hist_ranked",
         "lineitem_quantity_percentiles_ranked",
-        "doc_stratified_split_exact",
+        "lang_token_cms_estimates",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"
