@@ -3308,6 +3308,59 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_price_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY bucket
+    ), c AS (
+      SELECT CAST(bucket * 20000.0 AS DOUBLE) AS lo,
+             CAST((bucket + 1) * 20000.0 AS DOUBLE) AS hi,
+             CAST(n AS DOUBLE) AS bn,
+             CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE) AS cum
+      FROM hist
+    ), c2 AS (
+      SELECT lo, hi, bn, cum, cum - bn AS prev, MAX(cum) OVER () AS total
+      FROM c
+    ), fr AS (
+      SELECT CAST(frac AS DOUBLE) AS frac
+      FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) AS v(frac)
+    )
+    SELECT frac,
+           lo + ((1.0 + frac * (total - 1.0)) - prev) / bn * (hi - lo) AS qvalue
+    FROM fr JOIN c2
+      ON prev < 1.0 + frac * (total - 1.0)
+     AND 1.0 + frac * (total - 1.0) <= cum
+    """,
+)
+def order_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles read off the MERGEABLE equi-width histogram
+    (dataops/quality.py::histogram_quantiles): the streamable arm of the
+    equi-depth family. Exact equi-depth boundaries are non-mergeable
+    (order_price_equidepth_hist recomputes them from raw rows), but the
+    20k-wide histogram is maintained incrementally — by
+    merge_numeric_histograms over slices or histogram_ingest_stream on
+    ingest — and each frac's continuous rank interpolates inside its
+    cumulative-count bucket, with error vs the exact rank-ceil(r) order
+    statistic provably <= one bucket width (20k here).
+    The oracle replays the identical double arithmetic (rank locate +
+    in-bucket interpolation) in SQL, so this is a full value oracle of
+    the approximation itself, not just its error bound. Only the
+    histogram build touches data rows; everything after is
+    bounded-cardinality (<= price-range / 20k buckets)."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    hist = numeric_histogram(o, "o_totalprice", 20000.0)
+    return histogram_quantiles(hist, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+@query(
     "doc_chunks_overlap",
     r"""
     WITH docs AS (

@@ -192,6 +192,90 @@ def numeric_histogram(
     )
 
 
+def merge_numeric_histograms(*hists: DataFrame) -> DataFrame:
+    """Merge partial equi-width histograms (same ``bucket_width`` /
+    ``origin``) by summing counts on the bucket id — the mergeability
+    contract of :func:`numeric_histogram` exposed as a batch helper (the
+    streaming twin is ``streaming/jobs.py::histogram_ingest_stream``'s
+    merge lambda). Shuffle rows = distinct buckets, never data rows."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    out = hists[0].select("bucket", "lo", "hi", "n")
+    for h in hists[1:]:
+        out = out.unionByName(h.select("bucket", "lo", "hi", "n"))
+    return out.groupBy("bucket", "lo", "hi").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def histogram_quantiles(hist: DataFrame, fracs: list[float]) -> DataFrame:
+    """APPROXIMATE quantiles read off a mergeable equi-width histogram:
+    ``(frac, qvalue)`` rows with ``|qvalue - exact quantile| <= one
+    bucket width`` — deterministic, no sampling, no sketch randomness.
+
+    This is the streamable arm of the equi-depth family. Exact
+    equi-depth boundaries are data-derived and non-mergeable
+    (:func:`equidepth_histogram`'s documented limit), but a
+    :func:`numeric_histogram` IS mergeable — and maintained continuously
+    on ingest by ``histogram_ingest_stream`` — so bucket-width-bounded
+    quantiles are readable at ANY time without rescanning history:
+    locate each frac's continuous rank ``r = 1 + f*(N-1)`` in the bucket
+    cumulative counts (the (prev, cum] intervals partition [0, N], so
+    exactly one bucket matches) and interpolate linearly inside the
+    containing bucket, ``qvalue = lo + (r - prev)/n * (hi - lo)``. The
+    exact rank-``ceil(r)`` order statistic (the type-1 quantile at that
+    rank) lies in that SAME bucket, so the error against it is bounded
+    by the bucket width — a knob the CALLER controls, independent of
+    data volume or skew. (Linear-interpolation (type-7) quantiles can
+    differ further by the gap between adjacent order statistics when a
+    frac lands between two values separated by empty buckets — that
+    spread is a property of the data, not of this summary; no histogram
+    can locate a value inside a gap it has no mass in.) All arithmetic
+    is IEEE-double in a fixed order, so
+    the result is bitwise reproducible (and DuckDB-replayable: see
+    catalog ``order_price_histogram_quantiles``).
+
+    Plan shape, scale-first: the histogram frame is BOUNDED
+    (<= value-range / bucket_width rows, independent of data volume), so
+    the global cumulative window and the 1-row total are broadcast-scale
+    no-ops; the only data-scaled work is building the histogram itself —
+    one map-side-combinable pass, already paid (or already maintained by
+    the ingest stream). Empty histogram => empty result. Reference
+    parity: the reference's quantile summaries
+    (``scripts/04_feature_store.py`` describe/approx-quantile calls)
+    rescan raw rows per refresh; this reads a maintained summary."""
+    from pyspark.sql.window import Window
+
+    spark = hist.sparkSession
+    fr = spark.createDataFrame([(float(f),) for f in fracs], "frac double")
+    # ONE pass over the histogram lineage: cumulative counts by bucket,
+    # then the grand total as a whole-frame window max — no second
+    # aggregation branch re-scanning the data that built the histogram.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.select(
+            "bucket",
+            "lo",
+            "hi",
+            F.col("n").cast("double").alias("__n"),
+            F.sum("n").over(w).cast("double").alias("__cum"),
+        )
+        .withColumn("__prev", F.col("__cum") - F.col("__n"))
+        .withColumn("__total", F.max("__cum").over(Window.partitionBy()))
+        .drop("bucket")
+    )
+    rr = F.lit(1.0) + F.col("frac") * (F.col("__total") - F.lit(1.0))
+    return fr.join(
+        F.broadcast(cum), (F.col("__prev") < rr) & (rr <= F.col("__cum"))
+    ).select(
+        "frac",
+        (
+            F.col("lo")
+            + (rr - F.col("__prev")) / F.col("__n") * (F.col("hi") - F.col("lo"))
+        ).alias("qvalue"),
+    )
+
+
 def referential_integrity(
     child: DataFrame,
     fk_cols: list[str],

@@ -852,10 +852,13 @@ def histogram_ingest_stream(
     shape on ingest: fixed-width buckets anchored at ``origin``
     (``dataops/quality.py::numeric_histogram``) are exactly what makes
     partial histograms composable, so each batch's histogram merges into
-    the store by summing counts on the bucket id. (The equi-DEPTH twin
-    is deliberately NOT streamable: its boundaries are data-derived and
-    non-mergeable — recompute it batch-side via equidepth_histogram when
-    boundaries must adapt.) Store size is bounded by value-range /
+    the store by summing counts on the bucket id. (EXACT equi-DEPTH
+    boundaries are deliberately NOT streamable — data-derived and
+    non-mergeable; recompute batch-side via equidepth_histogram when
+    exact boundaries must adapt. But bucket-width-bounded APPROXIMATE
+    quantiles ARE readable off this maintained store at any time via
+    ``dataops/quality.py::histogram_quantiles`` — no history rescan.)
+    Store size is bounded by value-range /
     bucket_width. Skeleton contract: see ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.quality import (
         numeric_histogram,

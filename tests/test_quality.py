@@ -496,3 +496,86 @@ def test_rank_arm_tolerates_non_numeric_shuffle_partitions(spark, monkeypatch):
         for r in exact_percentiles(df, "v", [0.5], route="rank").collect()
     }
     assert got == {(0.5, 49.5)}
+
+
+def test_histogram_quantiles_error_bound_and_edges(spark):
+    """Quantiles read off the mergeable equi-width histogram are within
+    one bucket width of the exact rank-ceil(r) order statistic (the
+    type-1 quantile at the located rank r = 1 + f*(N-1)) — the operator's
+    provable contract — for every frac including the 0/1 endpoints, on a
+    skewed distribution with a gapped tail (where interpolated type-7
+    quantiles legitimately fall in empty buckets)."""
+    import math
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    # skewed: many small values, a long thin tail
+    vals = [float(i) for i in range(100)] + [500.0, 900.0, 990.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    width = 25.0
+    fracs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r.frac: r.qvalue
+        for r in histogram_quantiles(
+            numeric_histogram(df, "v", width), fracs
+        ).collect()
+    }
+    assert set(got) == set(fracs)
+    s = sorted(vals)
+    n = len(s)
+    for f in fracs:
+        r = 1.0 + f * (n - 1)
+        order_stat = s[math.ceil(r) - 1]
+        assert abs(got[f] - order_stat) <= width, (f, got[f], order_stat)
+    # on the dense (gap-free) region, interpolated quantiles also agree
+    # to within a bucket width
+    p = 0.5 * (n - 1)
+    interp = s[int(p)] + (p - int(p)) * (s[int(p) + 1] - s[int(p)])
+    assert abs(got[0.5] - interp) <= width
+
+
+def test_histogram_quantiles_merge_invariance(spark):
+    """The quantile read-off is a pure function of the histogram, and
+    histograms merge losslessly: quantiles from merged slice histograms
+    are BITWISE the quantiles from the full-data histogram — the
+    property that makes equi-depth summaries maintainable on ingest."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        merge_numeric_histograms,
+        numeric_histogram,
+    )
+
+    df = spark.range(1000).select((F.col("id") * F.col("id")).cast("double").alias("v"))
+    a = df.filter(F.col("v") < 300000)
+    b = df.filter(F.col("v") >= 300000)
+    width = 50000.0
+    full = numeric_histogram(df, "v", width)
+    merged = merge_numeric_histograms(
+        numeric_histogram(a, "v", width), numeric_histogram(b, "v", width)
+    )
+    fracs = [0.25, 0.5, 0.75, 0.95]
+    q_full = {r.frac: r.qvalue for r in histogram_quantiles(full, fracs).collect()}
+    q_merged = {
+        r.frac: r.qvalue for r in histogram_quantiles(merged, fracs).collect()
+    }
+    assert q_full == q_merged  # bitwise, not approximately
+
+
+def test_histogram_quantiles_empty_and_single_bucket(spark):
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    assert (
+        histogram_quantiles(numeric_histogram(empty, "v", 10.0), [0.5]).count() == 0
+    )
+    one = spark.createDataFrame([(3.0,), (4.0,)], ["v"])
+    got = histogram_quantiles(numeric_histogram(one, "v", 10.0), [0.0, 1.0]).collect()
+    # both rows land in the single [0, 10) bucket and interpolate inside it
+    for r in got:
+        assert 0.0 <= r.qvalue <= 10.0

@@ -340,6 +340,28 @@ def test_histogram_ingest_stream_sums_buckets(spark, tmp_path):
     }
     assert got == want
 
+    # the equi-depth read-off: quantiles derived from the MAINTAINED
+    # store are bitwise the quantiles from the batch histogram — the
+    # "approximate equi-depth on ingest, no history rescan" contract
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+    )
+
+    fracs = [0.25, 0.5, 0.9]
+    q_stream = {
+        r.frac: r.qvalue
+        for r in histogram_quantiles(
+            VersionedTable(spark, hp).read(), fracs
+        ).collect()
+    }
+    q_batch = {
+        r.frac: r.qvalue
+        for r in histogram_quantiles(
+            numeric_histogram(all_vals, "value", 2.0), fracs
+        ).collect()
+    }
+    assert q_stream == q_batch
+
 
 def test_distinct_bitmap_ingest_stream_exact_counts(spark, tmp_path):
     """Streaming bitmap maintenance == exact COUNT(DISTINCT) over

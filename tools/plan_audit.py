@@ -225,6 +225,10 @@ BOUNDED_GLOBAL_WINDOWS = {
     "rolling_7d_distinct_users",
     # week-over-week series: ≤ ~350 ISO weeks over the TPC-H date span
     "weekly_revenue_growth",
+    # cumulative counts over the equi-width histogram frame: ≤
+    # price-range / 20k buckets (~30 rows), fixed by the bucket width
+    # regardless of SF
+    "order_price_histogram_quantiles",
 }
 
 _SORT_TOKEN = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
