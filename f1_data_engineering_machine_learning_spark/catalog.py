@@ -3361,6 +3361,63 @@ def order_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "priority_price_histogram_quantiles",
+    """
+    WITH hist AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderpriority, bucket
+    ), c AS (
+      SELECT o_orderpriority,
+             CAST(bucket * 20000.0 AS DOUBLE) AS lo,
+             CAST((bucket + 1) * 20000.0 AS DOUBLE) AS hi,
+             CAST(n AS DOUBLE) AS bn,
+             CAST(SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket)
+                  AS DOUBLE) AS cum
+      FROM hist
+    ), c2 AS (
+      SELECT o_orderpriority, lo, hi, bn, cum, cum - bn AS prev,
+             MAX(cum) OVER (PARTITION BY o_orderpriority) AS total
+      FROM c
+    ), fr AS (
+      SELECT CAST(frac AS DOUBLE) AS frac
+      FROM (VALUES (0.5),(0.9),(0.99)) AS v(frac)
+    )
+    SELECT o_orderpriority, frac,
+           lo + ((1.0 + frac * (total - 1.0)) - prev) / bn * (hi - lo) AS qvalue
+    FROM fr JOIN c2
+      ON prev < 1.0 + frac * (total - 1.0)
+     AND 1.0 + frac * (total - 1.0) <= cum
+    """,
+)
+def priority_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantiles off keyed mergeable histograms
+    (dataops/quality.py::histogram_quantiles(key_cols=...)): one
+    independent 20k-wide histogram per order priority built in a single
+    aggregation (the keyed-CMS idiom), each key's p50/p90/p99 read off
+    its own cumulative counts. Keyed mode partitions BOTH windows by the
+    key — per-key state only, no global sort regardless of key count —
+    which is what makes per-segment distribution monitoring (per
+    language, per day, per tenant) maintainable on ingest via
+    histogram_ingest_stream(key_cols=...). Full value oracle: DuckDB
+    replays the identical per-key rank-locate + interpolation."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    hist = numeric_histogram(
+        o, "o_totalprice", 20000.0, key_cols=["o_orderpriority"]
+    )
+    return histogram_quantiles(
+        hist, [0.5, 0.9, 0.99], key_cols=["o_orderpriority"]
+    )
+
+
+@query(
     "doc_chunks_overlap",
     r"""
     WITH docs AS (

@@ -166,20 +166,31 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
 
 
 def numeric_histogram(
-    df: DataFrame, col: str, bucket_width: float, origin: float = 0.0
+    df: DataFrame,
+    col: str,
+    bucket_width: float,
+    origin: float = 0.0,
+    key_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Equi-width histogram: (bucket, lo, hi, n) with fixed-width buckets
     anchored at ``origin`` — one map-side-combinable aggregation, shuffle
     rows = distinct buckets (bounded by range/width, independent of data
     volume). Fixed widths rather than data-derived bounds keep the
     histogram composable: partial histograms from different slices/days
-    merge by summing counts on the bucket id."""
+    merge by summing counts on the bucket id.
+
+    ``key_cols`` builds one INDEPENDENT histogram per key in the same
+    single aggregation (the keyed-CMS idiom, heavyhitters.py): output
+    gains the key columns, shuffle rows = keys x buckets — the
+    per-segment drift-monitor shape."""
+    keys = list(key_cols)
     b = F.floor((F.col(col) - F.lit(origin)) / F.lit(bucket_width)).cast("long")
     return (
         df.filter(F.col(col).isNotNull())
-        .groupBy(b.alias("bucket"))
+        .groupBy(*keys, b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            *keys,
             "bucket",
             (F.lit(origin) + F.col("bucket") * F.lit(bucket_width))
             .cast("double")
@@ -192,23 +203,32 @@ def numeric_histogram(
     )
 
 
-def merge_numeric_histograms(*hists: DataFrame) -> DataFrame:
+def merge_numeric_histograms(
+    *hists: DataFrame, key_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
     """Merge partial equi-width histograms (same ``bucket_width`` /
     ``origin``) by summing counts on the bucket id — the mergeability
     contract of :func:`numeric_histogram` exposed as a batch helper (the
     streaming twin is ``streaming/jobs.py::histogram_ingest_stream``'s
-    merge lambda). Shuffle rows = distinct buckets, never data rows."""
+    merge lambda). Shuffle rows = distinct (key x) buckets, never data
+    rows."""
     if not hists:
         raise ValueError("need at least one histogram")
-    out = hists[0].select("bucket", "lo", "hi", "n")
+    keys = list(key_cols)
+    cols = [*keys, "bucket", "lo", "hi", "n"]
+    out = hists[0].select(*cols)
     for h in hists[1:]:
-        out = out.unionByName(h.select("bucket", "lo", "hi", "n"))
-    return out.groupBy("bucket", "lo", "hi").agg(
+        out = out.unionByName(h.select(*cols))
+    return out.groupBy(*keys, "bucket", "lo", "hi").agg(
         F.sum("n").cast("bigint").alias("n")
     )
 
 
-def histogram_quantiles(hist: DataFrame, fracs: list[float]) -> DataFrame:
+def histogram_quantiles(
+    hist: DataFrame,
+    fracs: list[float],
+    key_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
     """APPROXIMATE quantiles read off a mergeable equi-width histogram:
     ``(frac, qvalue)`` rows with ``|qvalue - exact quantile| <= one
     bucket width`` — deterministic, no sampling, no sketch randomness.
@@ -235,25 +255,40 @@ def histogram_quantiles(hist: DataFrame, fracs: list[float]) -> DataFrame:
     the result is bitwise reproducible (and DuckDB-replayable: see
     catalog ``order_price_histogram_quantiles``).
 
-    Plan shape, scale-first: the histogram frame is BOUNDED
-    (<= value-range / bucket_width rows, independent of data volume), so
-    the global cumulative window and the 1-row total are broadcast-scale
-    no-ops; the only data-scaled work is building the histogram itself —
-    one map-side-combinable pass, already paid (or already maintained by
-    the ingest stream). Empty histogram => empty result. Reference
-    parity: the reference's quantile summaries
-    (``scripts/04_feature_store.py`` describe/approx-quantile calls)
-    rescan raw rows per refresh; this reads a maintained summary."""
+    ``key_cols`` reads each key's quantiles off its own per-key
+    histogram (built with the same ``key_cols`` — the keyed-CMS idiom,
+    heavyhitters.py): output gains the key columns, and BITWISE equals
+    running the unkeyed read-off on each key's filtered histogram
+    (pinned by test).
+
+    Plan shape, scale-first: ONE pass over the histogram lineage —
+    cumulative counts by bucket, then the (per-key) total as a window
+    max; no second aggregation branch re-scanning the data that built
+    the histogram. Unkeyed, the frame is BOUNDED (<= value-range /
+    bucket_width rows, independent of data volume), so the global window
+    is a broadcast-scale no-op; KEYED, both windows partition by key —
+    per-key state only, no single-task global sort no matter how many
+    keys. The tiny fracs frame is the broadcast side of the rank-locate
+    join, so the histogram side streams. The only data-scaled work is
+    building the histogram itself — one map-side-combinable pass,
+    already paid (or already maintained by the ingest stream). Empty
+    histogram => empty result. Reference parity: the reference's
+    quantile summaries (``scripts/04_feature_store.py``
+    describe/approx-quantile calls) rescan raw rows per refresh; this
+    reads a maintained summary."""
     from pyspark.sql.window import Window
 
+    keys = list(key_cols)
     spark = hist.sparkSession
     fr = spark.createDataFrame([(float(f),) for f in fracs], "frac double")
-    # ONE pass over the histogram lineage: cumulative counts by bucket,
-    # then the grand total as a whole-frame window max — no second
-    # aggregation branch re-scanning the data that built the histogram.
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = (
         hist.select(
+            *keys,
             "bucket",
             "lo",
             "hi",
@@ -261,13 +296,14 @@ def histogram_quantiles(hist: DataFrame, fracs: list[float]) -> DataFrame:
             F.sum("n").over(w).cast("double").alias("__cum"),
         )
         .withColumn("__prev", F.col("__cum") - F.col("__n"))
-        .withColumn("__total", F.max("__cum").over(Window.partitionBy()))
+        .withColumn("__total", F.max("__cum").over(Window.partitionBy(*keys)))
         .drop("bucket")
     )
     rr = F.lit(1.0) + F.col("frac") * (F.col("__total") - F.lit(1.0))
-    return fr.join(
-        F.broadcast(cum), (F.col("__prev") < rr) & (rr <= F.col("__cum"))
+    return cum.join(
+        F.broadcast(fr), (F.col("__prev") < rr) & (rr <= F.col("__cum"))
     ).select(
+        *keys,
         "frac",
         (
             F.col("lo")

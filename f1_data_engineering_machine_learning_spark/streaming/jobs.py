@@ -846,6 +846,7 @@ def histogram_ingest_stream(
     value_col: str = "value",
     bucket_width: float = 1.0,
     origin: float = 0.0,
+    key_cols: tuple[str, ...] = (),
     app_id: str = "hist-ingest",
 ):
     """Continuous equi-WIDTH histogram maintenance — the drift-monitor
@@ -858,9 +859,12 @@ def histogram_ingest_stream(
     exact boundaries must adapt. But bucket-width-bounded APPROXIMATE
     quantiles ARE readable off this maintained store at any time via
     ``dataops/quality.py::histogram_quantiles`` — no history rescan.)
-    Store size is bounded by value-range /
+    ``key_cols`` maintains one INDEPENDENT histogram per key (per
+    language, per day — the per-segment drift monitor); merge sums on
+    (key, bucket). Store size is bounded by keys x value-range /
     bucket_width. Skeleton contract: see ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        merge_numeric_histograms,
         numeric_histogram,
     )
 
@@ -868,12 +872,11 @@ def histogram_ingest_stream(
         items_stream,
         hist_path,
         checkpoint_dir,
-        build=lambda b: numeric_histogram(b, value_col, bucket_width, origin),
-        merge=lambda stored, delta: (
-            stored.select("bucket", "lo", "hi", "n")
-            .unionByName(delta)
-            .groupBy("bucket", "lo", "hi")
-            .agg(F.sum("n").cast("bigint").alias("n"))
+        build=lambda b: numeric_histogram(
+            b, value_col, bucket_width, origin, key_cols=key_cols
+        ),
+        merge=lambda stored, delta: merge_numeric_histograms(
+            stored, delta, key_cols=key_cols
         ),
         app_id=app_id,
     )

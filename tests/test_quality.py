@@ -579,3 +579,39 @@ def test_histogram_quantiles_empty_and_single_bucket(spark):
     # both rows land in the single [0, 10) bucket and interpolate inside it
     for r in got:
         assert 0.0 <= r.qvalue <= 10.0
+
+
+def test_histogram_quantiles_keyed_matches_per_key_unkeyed(spark):
+    """key_cols= builds/reads one independent histogram per key in one
+    pass: per-key results are BITWISE the unkeyed read-off on that key's
+    filtered data — and the keyed plan has no global window."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)]
+        + [("b", float(i * i)) for i in range(30)],
+        ["k", "v"],
+    )
+    width = 10.0
+    fracs = [0.1, 0.5, 0.9]
+    keyed = {
+        (r.k, r.frac): r.qvalue
+        for r in histogram_quantiles(
+            numeric_histogram(df, "v", width, key_cols=["k"]),
+            fracs,
+            key_cols=["k"],
+        ).collect()
+    }
+    for k in ("a", "b"):
+        solo = {
+            (k, r.frac): r.qvalue
+            for r in histogram_quantiles(
+                numeric_histogram(df.filter(F.col("k") == k), "v", width), fracs
+            ).collect()
+        }
+        for kk, v in solo.items():
+            assert keyed[kk] == v, (kk, keyed[kk], v)  # bitwise
+    assert len(keyed) == 2 * len(fracs)

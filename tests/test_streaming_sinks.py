@@ -451,3 +451,69 @@ def test_token_counts_ingest_stream_exact(spark, tmp_path):
     }
     want = dict((i, c) for i, c in exact)
     assert all(est[t] >= want[t] for t in want)  # CM never underestimates
+
+
+def test_histogram_ingest_stream_keyed_per_group(spark, tmp_path):
+    """key_cols= maintains one independent histogram per key: the store
+    equals the keyed batch histogram over everything ingested, and
+    per-key quantiles read off the maintained store are bitwise the
+    batch read-off."""
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        numeric_histogram,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        histogram_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    hp = str(tmp_path / "hist")
+
+    def write(rows):
+        spark.createDataFrame(rows, "lang string, value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("lang string, value double").parquet(src)
+
+    write([("en", 0.5), ("en", 1.5), ("fr", 9.9), ("fr", 1.7)])
+    histogram_ingest_stream(
+        stream(), hp, str(tmp_path / "ck"), bucket_width=2.0, key_cols=("lang",)
+    )
+    write([("en", 1.1), ("de", 3.3)])
+    histogram_ingest_stream(
+        stream(), hp, str(tmp_path / "ck"), bucket_width=2.0, key_cols=("lang",)
+    )
+
+    all_rows = spark.createDataFrame(
+        [("en", 0.5), ("en", 1.5), ("fr", 9.9), ("fr", 1.7), ("en", 1.1), ("de", 3.3)],
+        "lang string, value double",
+    )
+    want = {
+        (r.lang, r.bucket, r.lo, r.hi, r.n)
+        for r in numeric_histogram(
+            all_rows, "value", 2.0, key_cols=["lang"]
+        ).collect()
+    }
+    stored = VersionedTable(spark, hp).read()
+    got = {(r.lang, r.bucket, r.lo, r.hi, r.n) for r in stored.collect()}
+    assert got == want
+
+    fracs = [0.5, 1.0]
+    q_stream = {
+        (r.lang, r.frac): r.qvalue
+        for r in histogram_quantiles(stored, fracs, key_cols=["lang"]).collect()
+    }
+    q_batch = {
+        (r.lang, r.frac): r.qvalue
+        for r in histogram_quantiles(
+            numeric_histogram(all_rows, "value", 2.0, key_cols=["lang"]),
+            fracs,
+            key_cols=["lang"],
+        ).collect()
+    }
+    assert q_stream == q_batch
