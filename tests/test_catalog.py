@@ -127,8 +127,10 @@ def test_gate_priority_queries_in_first_50():
             f"is r{newest.get(n)}, not r6"
         )
     # cumulative hard verification: rounds 1-8 covered everything except
-    # the documented rows-only entry and the four post-r8-gate additions
-    # now occupying the never-gated slots of the round-9 rotation
+    # the documented rows-only entry, the four post-r8-gate additions
+    # now occupying the never-gated slots of the round-9 rotation, and
+    # the two histogram-quantile queries added after the r9 gate list
+    # was frozen (full local 3-SF + ANSI evidence; queued for r10)
     never = set(catalog._QUERIES) - set(newest)
     assert never == {
         "embedding_lsh_topk",
@@ -136,6 +138,8 @@ def test_gate_priority_queries_in_first_50():
         "lineitem_price_equidepth_hist_ranked",
         "lineitem_quantity_percentiles_ranked",
         "lang_token_cms_estimates",
+        "order_price_histogram_quantiles",
+        "priority_price_histogram_quantiles",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"

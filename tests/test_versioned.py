@@ -702,3 +702,81 @@ def test_compact_sorted_layout_prunes_files(spark, tmp_path):
     assert {r.id for r in t.read().collect()} == set(ids)
     got = {r.id for r in t.read(prune=("id", 10, 20)).collect()}
     assert got >= set(range(10, 21))  # superset guarantee
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=[x, y]) lays rows along the Morton curve so
+    file min/max stats are tight on BOTH columns: a range prune on
+    EITHER dimension skips files. The lexicographic baseline
+    (sort_by=[x, y]) prunes only its leading column — the trailing
+    column spans every file."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)]
+
+    def build(path):
+        t = VersionedTable(spark, str(tmp_path / path))
+        for b in range(4):
+            t.commit(
+                spark.createDataFrame(rows[b * 1000 : (b + 1) * 1000], "x long, y long"),
+                mode="append" if b else "overwrite",
+                stats_cols=["x", "y"],
+            )
+        return t
+
+    tz = build("tz")
+    v = tz.compact(num_files=16, zorder_by=["x", "y"], stats_cols=["x", "y"])
+    # a thin slice on EACH dimension prunes most of the 16 files
+    kept_x, total = tz.pruned_file_count(v, ("x", 100, 160))
+    kept_y, _ = tz.pruned_file_count(v, ("y", 100, 160))
+    assert total == 16
+    assert kept_x <= total // 2, kept_x
+    assert kept_y <= total // 2, kept_y
+    # row fidelity: compaction is layout-only
+    assert sorted((r.x, r.y) for r in tz.read().collect()) == sorted(rows)
+    # prune superset guarantee on the secondary dimension
+    got = {(r.x, r.y) for r in tz.read(prune=("y", 100, 160)).collect()}
+    assert got >= {(x, y) for (x, y) in rows if 100 <= y <= 160}
+
+    # lexicographic baseline: same data, sort_by=[x, y] — x prunes hard,
+    # y keeps (essentially) everything, which is exactly the gap
+    # z-ordering closes
+    tl = build("tl")
+    vl = tl.compact(num_files=16, sort_by=["x", "y"], stats_cols=["x", "y"])
+    lex_kept_x, _ = tl.pruned_file_count(vl, ("x", 100, 160))
+    lex_kept_y, _ = tl.pruned_file_count(vl, ("y", 100, 160))
+    assert lex_kept_x <= 3
+    assert lex_kept_y == 16  # trailing column: no pruning at all
+    assert kept_y < lex_kept_y
+
+
+def test_zorder_key_edge_cases(spark):
+    """NULLs quantize to 0, constant columns contribute nothing, and the
+    key is deterministic for fixed bounds."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 5.0), (None, 5.0), (100.0, 5.0)], "a double, c double"
+    )
+    z = df.select(
+        zorder_key(["a", "c"], [0.0, 5.0], [100.0, 5.0], bits=8).alias("z")
+    ).collect()
+    vals = [r.z for r in z]
+    # constant c contributes 0 bits; null a -> 0 -> same key as a=0.0
+    assert vals[0] == vals[1] == 0
+    assert vals[2] > 0
+    # interleave of a alone: a=100 quantizes to top=255 -> bits spread
+    # across even positions (j=0 of 2 columns)
+    expect = 0
+    for i in range(8):
+        expect |= 1 << (2 * i)
+    assert vals[2] == expect
