@@ -2097,6 +2097,72 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bottomk_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    ORDER BY md5(CAST(doc_id AS VARCHAR))
+    LIMIT 64
+    """,
+)
+def doc_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample
+    (dataops/sampling.py::bottomk_sample): the 64 docs whose
+    md5(doc_id) ranks smallest — the KMV / bottom-k sketch that replaces
+    reservoir sampling at scale: membership depends only on key bytes
+    (engine-portable, this oracle re-derives it verbatim), the sample is
+    MERGEABLE across slices/micro-batches with k rows of state
+    (streaming/jobs.py::sample_ingest_stream), and the plan is
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bottomk_sample(d.select("doc_id", "lang"), "doc_id", 64).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+@query(
+    "doc_kmv_distinct_estimate",
+    """
+    WITH h AS (
+      SELECT DISTINCT md5(CAST(doc_id AS VARCHAR)) AS hv
+      FROM documents WHERE doc_id IS NOT NULL
+    ), r AS (
+      SELECT hv FROM h ORDER BY hv LIMIT 128
+    ), u AS (
+      SELECT hv,
+             CAST(CAST(('0x' || substr(hv, 1, 13)) AS BIGINT) AS DOUBLE)
+             / 4503599627370496.0 AS uv
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 127.0 / MAX(uv) END AS estimate
+    FROM u
+    """,
+)
+def doc_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate over doc_id
+    (dataops/sampling.py::bottomk_distinct_estimate, k=128): the k-th
+    smallest md5 mapped to (0,1) estimates distinct = (k-1)/h_(k) —
+    the third distinct sketch in the catalog (HLL rollups for speed,
+    exact bitmaps for dense ids, KMV here because it falls out of the
+    maintained bottom-k sample for free and is engine-replayable
+    bit-for-bit: 13 hex chars = 52 bits, exact in a double, identical
+    division in both engines). Exact (= n_seen) below k distinct."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_distinct_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bottomk_distinct_estimate(d, "doc_id", 128)
+
+
+@query(
     "mod_sampled_docs",
     """
     SELECT doc_id, lang, n_chars

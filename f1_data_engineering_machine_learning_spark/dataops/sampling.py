@@ -345,6 +345,82 @@ def split_by_content_hash(
     return df.withColumn(out_col, expr)
 
 
+def bottomk_sample(
+    df: DataFrame, key: Column | str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample — the k rows whose
+    ``md5(salt || key)`` is smallest (KMV / bottom-k sketch): the
+    streaming-era replacement for reservoir sampling. Three properties
+    reservoir sampling lacks:
+
+    - DETERMINISTIC: membership depends only on key bytes (same MD5
+      portability contract as :func:`split_by_content_hash`) — any
+      engine reproduces the exact sample, so it is value-oracle-able
+      and audit-stable across reruns/partitionings.
+    - MERGEABLE: ``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))``
+      — slices/micro-batches maintain the sample with k rows of state
+      (``streaming/jobs.py::sample_ingest_stream``), no history rescan,
+      where a reservoir's merge is not well-defined without row counts
+      and randomness coordination.
+    - UNIFORM over distinct keys: md5 is uniform on its input, so the
+      k smallest hashes are a uniform without-replacement sample of the
+      distinct keys (duplicate keys travel together — sample by doc_id,
+      not by a repeated value).
+
+    NULL keys are excluded (their hash is NULL, and engines disagree on
+    NULL sort position — sample by a non-null key). ``salt``
+    decorrelates independent samples over the same keys. Plan:
+    TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge; no global sort, no full shuffle, scan-speed at any volume.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    return (
+        df.filter(c.isNotNull())
+        .withColumn("__h", h)
+        .orderBy("__h")
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def bottomk_distinct_estimate(
+    df: DataFrame, key: Column | str, k: int, salt: str = ""
+) -> DataFrame:
+    """KMV distinct-count estimator read off the bottom-k sample: with
+    h_(k) = the k-th smallest hash mapped to (0, 1), distinct-count ≈
+    (k - 1) / h_(k) — the classic k-minimum-values sketch (Bar-Yossef et
+    al.), here on the first 13 md5 hex chars (52 bits — exact in a
+    double). ONE row ``(n_seen, estimate)``; when fewer than k distinct
+    keys exist the count is exact (= n_seen). Mergeable the same way the
+    sample is — estimate off the maintained store at any time. Expected
+    relative error ~ 1/sqrt(k-2)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    ranked = (
+        df.select(h.alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+        .orderBy("__h")
+        .limit(k)
+        .select(
+            "__h",
+            (
+                F.conv(F.substring("__h", 1, 13), 16, 10).cast("double")
+                / F.lit(float(16**13))
+            ).alias("__u"),
+        )
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise((F.lit(float(k - 1))) / F.max("__u"))
+        .alias("estimate"),
+    )
+
+
 def exact_stratified_split(
     df: DataFrame,
     strata_cols: list[str],

@@ -882,6 +882,40 @@ def histogram_ingest_stream(
     )
 
 
+def sample_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    k: int = 1000,
+    salt: str = "",
+    app_id: str = "sample-ingest",
+):
+    """Continuous fixed-size uniform sample maintenance — the streaming
+    replacement for reservoir sampling, with none of its merge problems:
+    the bottom-k-by-md5 sample (``dataops/sampling.py::bottomk_sample``)
+    is DETERMINISTIC (membership = key bytes) and MERGEABLE
+    (``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))``), so each
+    batch folds in with exactly k rows of state and the maintained store
+    equals the batch sample over everything ever ingested — bitwise, not
+    statistically. The always-fresh eval/profiling subset at any ingest
+    volume. Skeleton contract: see ``_sketch_ingest_stream``."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+    )
+
+    return _sketch_ingest_stream(
+        items_stream,
+        store_path,
+        checkpoint_dir,
+        build=lambda b: bottomk_sample(b, key_col, k, salt),
+        merge=lambda stored, delta: bottomk_sample(
+            stored.unionByName(delta), key_col, k, salt
+        ),
+        app_id=app_id,
+    )
+
+
 def distinct_bitmap_ingest_stream(
     items_stream: DataFrame,
     store_path: str,

@@ -129,8 +129,9 @@ def test_gate_priority_queries_in_first_50():
     # cumulative hard verification: rounds 1-8 covered everything except
     # the documented rows-only entry, the four post-r8-gate additions
     # now occupying the never-gated slots of the round-9 rotation, and
-    # the two histogram-quantile queries added after the r9 gate list
-    # was frozen (full local 3-SF + ANSI evidence; queued for r10)
+    # the queries added after the r9 gate list was frozen — the
+    # histogram-quantile pair and the bottom-k sampling pair (full local
+    # 3-SF + ANSI evidence; queued for r10)
     never = set(catalog._QUERIES) - set(newest)
     assert never == {
         "embedding_lsh_topk",
@@ -140,6 +141,8 @@ def test_gate_priority_queries_in_first_50():
         "lang_token_cms_estimates",
         "order_price_histogram_quantiles",
         "priority_price_histogram_quantiles",
+        "doc_bottomk_sample",
+        "doc_kmv_distinct_estimate",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"

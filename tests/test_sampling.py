@@ -312,3 +312,52 @@ def test_exact_stratified_split_quotas_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_bottomk_sample_deterministic_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+    )
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    full = {(r.id, r.v) for r in bottomk_sample(df, "id", 20).collect()}
+    assert len(full) == 20
+    # partition-layout invariance
+    again = {
+        (r.id, r.v) for r in bottomk_sample(df.repartition(7), "id", 20).collect()
+    }
+    assert again == full
+    # mergeability: bottomk over slice samples == bottomk over everything
+    a = bottomk_sample(df.filter(F.col("id") < 200), "id", 20)
+    b = bottomk_sample(df.filter(F.col("id") >= 200), "id", 20)
+    merged = {
+        (r.id, r.v) for r in bottomk_sample(a.unionByName(b), "id", 20).collect()
+    }
+    assert merged == full
+    # k >= n: everything (null keys excluded)
+    small = spark.createDataFrame([(1,), (None,), (2,)], "id long")
+    assert {r.id for r in bottomk_sample(small, "id", 10).collect()} == {1, 2}
+    # salt decorrelates
+    other = {(r.id, r.v) for r in bottomk_sample(df, "id", 20, salt="x").collect()}
+    assert other != full
+
+
+def test_bottomk_distinct_estimate_accuracy_and_exact_tail(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_distinct_estimate,
+    )
+
+    # duplicates must not bias the estimate: 5000 distinct ids, x3 rows
+    df = spark.range(5000).select(F.explode(F.array(*[F.col("id")] * 3)).alias("id"))
+    r = bottomk_distinct_estimate(df, "id", 256).collect()[0]
+    assert r.n_seen == 256
+    # expected rel-err ~ 1/sqrt(k-2) ~ 6%; assert a generous 4-sigma band
+    assert abs(r.estimate - 5000) / 5000 < 0.25, r.estimate
+    # below k distinct: exact
+    small = spark.range(50).select(F.col("id"))
+    r2 = bottomk_distinct_estimate(small, "id", 256).collect()[0]
+    assert r2.n_seen == 50 and r2.estimate == 50.0

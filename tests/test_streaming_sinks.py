@@ -517,3 +517,43 @@ def test_histogram_ingest_stream_keyed_per_group(spark, tmp_path):
         ).collect()
     }
     assert q_stream == q_batch
+
+
+def test_sample_ingest_stream_equals_batch_bottomk(spark, tmp_path):
+    """The maintained bottom-k sample == the batch sample over everything
+    ever ingested — BITWISE (determinism + mergeability), with exactly k
+    rows of state once more than k keys have flowed."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        sample_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+
+    def write(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        ).write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    write(0, 300)
+    sample_ingest_stream(stream(), str(tmp_path / "s"), str(tmp_path / "ck"), k=25)
+    write(300, 700)
+    sample_ingest_stream(stream(), str(tmp_path / "s"), str(tmp_path / "ck"), k=25)
+
+    stored = {
+        (r.doc_id, r.text)
+        for r in VersionedTable(spark, str(tmp_path / "s")).read().collect()
+    }
+    batch = spark.range(0, 700).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    want = {(r.doc_id, r.text) for r in bottomk_sample(batch, "doc_id", 25).collect()}
+    assert stored == want and len(stored) == 25
