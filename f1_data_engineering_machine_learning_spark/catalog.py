@@ -2126,6 +2126,34 @@ def doc_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_bottomk_sample",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents WHERE doc_id IS NOT NULL
+    ) WHERE rn <= 16
+    """,
+)
+def lang_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE deterministic uniform sample
+    (dataops/sampling.py::grouped_bottomk_sample): 16 docs per language
+    by smallest md5(doc_id) within the language — the stratified
+    eval-set build, one pass, WindowGroupLimit pushing the k-filter
+    map-side. Engine-portable membership: the oracle re-derives it with
+    the same hash and window."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        grouped_bottomk_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_bottomk_sample(
+        d.select("doc_id", "lang"), "doc_id", 16, ["lang"]
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+@query(
     "doc_kmv_distinct_estimate",
     """
     WITH h AS (

@@ -384,6 +384,42 @@ def bottomk_sample(
     )
 
 
+def grouped_bottomk_sample(
+    df: DataFrame,
+    key: Column | str,
+    k: int,
+    group_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Per-GROUP deterministic bottom-k sample: one k-row uniform sample
+    per group (per language / source / day — the stratified eval-set
+    shape) in a single pass, via row_number over md5(salt || key) within
+    each group (reuses ``operators/windows.py::topk_per_group``; Spark 4
+    plans WindowGroupLimit, pushing the k-filter map-side so only ~k
+    rows per group per partition reach the exchange). Same determinism +
+    mergeability contract as :func:`bottomk_sample`, per group; the
+    sample key should be unique per row (an id) — duplicate keys hash
+    identically and make boundary picks engine-dependent. For the
+    few-groups / giant-group regime use ``topk_per_group_salted`` with
+    the same hash as sort key."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group,
+    )
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    return (
+        topk_per_group(
+            df.filter(c.isNotNull()).withColumn("__h", h),
+            group_cols,
+            [F.col("__h")],
+            k,
+            rn_col="__rn",
+        )
+        .drop("__h", "__rn")
+    )
+
+
 def bottomk_distinct_estimate(
     df: DataFrame, key: Column | str, k: int, salt: str = ""
 ) -> DataFrame:

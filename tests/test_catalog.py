@@ -143,6 +143,7 @@ def test_gate_priority_queries_in_first_50():
         "priority_price_histogram_quantiles",
         "doc_bottomk_sample",
         "doc_kmv_distinct_estimate",
+        "lang_bottomk_sample",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
     assert names[50] == "embedding_lsh_topk"

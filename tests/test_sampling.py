@@ -361,3 +361,35 @@ def test_bottomk_distinct_estimate_accuracy_and_exact_tail(spark):
     small = spark.range(50).select(F.col("id"))
     r2 = bottomk_distinct_estimate(small, "id", 256).collect()[0]
     assert r2.n_seen == 50 and r2.estimate == 50.0
+
+
+def test_grouped_bottomk_sample_per_group_contract(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+        grouped_bottomk_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    got = grouped_bottomk_sample(df, "id", 10, ["g"])
+    rows = [(r.g, r.id) for r in got.collect()]
+    per_group = {}
+    for g, i in rows:
+        per_group.setdefault(g, set()).add(i)
+    assert set(per_group) == {"0", "1", "2"}
+    assert all(len(v) == 10 for v in per_group.values())
+    # per-group membership == unkeyed bottomk on that group's slice
+    for g, ids in per_group.items():
+        solo = {
+            r.id
+            for r in bottomk_sample(df.filter(F.col("g") == g), "id", 10).collect()
+        }
+        assert ids == solo
+    # partition invariance
+    again = {(r.g, r.id) for r in grouped_bottomk_sample(
+        df.repartition(11), "id", 10, ["g"]
+    ).collect()}
+    assert again == set(rows)
