@@ -104,3 +104,18 @@ def test_sketch_stream_soak_state_bounded(spark, tmp_path, mode, docs_per_batch)
     r = _soak(spark, tmp_path, mode, docs_per_batch=docs_per_batch)
     assert r["batches"] == N_BATCHES
     assert r["trend_ratio"] < MAX_TREND, r
+
+
+def test_sample_stream_soak_state_exactly_k(spark, tmp_path):
+    """The bottom-k sample stream's state is EXACTLY k rows no matter how
+    much history flows through: per-batch wall trend-flat, and the store
+    holds k rows at the end of the soak."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    r = _soak(spark, tmp_path, "sample", docs_per_batch=40)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = VersionedTable(spark, str(tmp_path) + "/store_sample").read()
+    assert store.count() == 100  # k

@@ -19,6 +19,8 @@ trend ratio — the evidence that per-batch cost is bounded by BATCH size
   tracking SUMMARY size, not item history.
 - ``bitmap``   — distinct_bitmap_ingest_stream over a growing dense id
   range (store = O(id-range/64) bitmap rows).
+- ``sample``   — sample_ingest_stream (bottom-k-by-md5 uniform sample,
+  k=100): state is exactly k rows no matter how much flows through.
 
 Usage:
     python tools/soak_streams.py --mode dedup --batches 120 \
@@ -183,6 +185,7 @@ def _run_soak_inner(
         dedup_ingest_stream,
         distinct_bitmap_ingest_stream,
         near_dup_ingest_stream,
+        sample_ingest_stream,
     )
 
     if mode in ("dedup", "neardup"):
@@ -240,6 +243,20 @@ def _run_soak_inner(
         q = distinct_bitmap_ingest_stream(stream, store, ckpt)
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode == "sample":
+        schema = "doc_id long, text string"
+        write_batches(
+            spark, src, make_doc_batches(n_batches, docs_per_batch), schema
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = sample_ingest_stream(stream, store, ckpt, key_col="doc_id", k=100)
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -261,7 +278,7 @@ def _run_soak_inner(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["dedup", "neardup", "cms", "bitmap"])
+                    choices=["dedup", "neardup", "cms", "bitmap", "sample"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
