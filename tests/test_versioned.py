@@ -780,3 +780,28 @@ def test_zorder_key_edge_cases(spark):
     for i in range(8):
         expect |= 1 << (2 * i)
     assert vals[2] == expect
+
+
+def test_zorder_key_three_columns_fits_long(spark):
+    """With 3 columns the per-column bit budget clamps to 62//3 = 20
+    bits; keys stay non-negative longs and distinct corners map to
+    distinct keys."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0), (9.0, 0.0, 0.0), (0.0, 9.0, 0.0),
+         (0.0, 0.0, 9.0), (9.0, 9.0, 9.0)],
+        "a double, b double, c double",
+    )
+    z = [
+        r.z
+        for r in df.select(
+            zorder_key(["a", "b", "c"], [0.0] * 3, [9.0] * 3, bits=64).alias("z")
+        ).collect()
+    ]
+    assert all(v >= 0 for v in z)
+    assert len(set(z)) == 5
+    # the all-max corner interleaves 20 ones per column = 60 set bits
+    assert max(z) == (1 << 60) - 1
