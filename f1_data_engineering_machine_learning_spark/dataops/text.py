@@ -109,6 +109,41 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def normalize_unicode_nfc(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Unicode NFC normalization — the multilingual precursor the ASCII
+    ``normalize_text`` chain deliberately omits: web text writes the
+    same grapheme in different codepoint sequences ("é" as U+00E9 or as
+    "e"+U+0301), and byte-level dedup/fingerprinting treats them as
+    different documents until they are canonically composed. NFC (not
+    NFKC) because it is the lossless canonical form — compatibility
+    folding (ligatures, width) changes content and belongs in an
+    explicit cleaning policy, not a normalization default.
+
+    Spark has no built-in normalizer, so this is the documented slow
+    path done right: an Arrow-batched ``pandas_udf`` over
+    ``unicodedata.normalize`` (C-implemented, per-batch Python overhead
+    only) — map-only, streams at scan speed, no shuffle. Cross-engine
+    parity with DuckDB's ``nfc_normalize`` is pinned by test (the
+    testdata corpus is ASCII, where NFC is the identity, so the parity
+    evidence lives in planted-Unicode unit tests rather than a
+    trivially-passing catalog oracle). NULL passes through."""
+    import pandas as pd  # noqa: F401 — the UDF's hints resolve in module globals
+
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def _nfc(s: "pd.Series") -> "pd.Series":
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
+
+
 def content_fingerprint(col: Column | str) -> Column:
     """MD5 of normalized content — the exact-dup fingerprint. MD5 (not
     xxhash64) so external systems/oracles reproduce it byte-for-byte."""
