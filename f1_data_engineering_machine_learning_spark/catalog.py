@@ -7571,7 +7571,7 @@ def _bpe_stages_sql(n_merges: int) -> str:
     parts = ["""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents) t
       WHERE w <> '' GROUP BY w
     ), s0 AS (
       SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
@@ -7651,7 +7651,7 @@ def _bpe_batched_stages_sql(n_scans: int, fetch_k: int) -> str:
     parts = ["""
     WITH words AS (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents) t
       WHERE w <> '' GROUP BY w
     ), s0 AS (
       SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
@@ -7771,7 +7771,7 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, list(sym ORDER BY pos) AS segs FROM s{_BPE_N_MERGES}
       GROUP BY word
     ), tok AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '')
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')
                AS t
       FROM documents
     ), dw AS (
@@ -7819,7 +7819,7 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT word, len(list(sym ORDER BY pos)) AS n_segs
       FROM s{_BPE_BATCH_SCANS} GROUP BY word
     ), tok AS (
-      SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                       w -> w <> '')) AS w
       FROM documents
     )
