@@ -120,6 +120,48 @@ def _merge_schemas(parent_json: str, batch_json: str) -> str:
     return json.dumps(out)
 
 
+def zorder_key_ranked(cols: list[str], boundaries: list[list[float]]):
+    """Rank-quantized Z-order key: each column's bucket id = how many of
+    its equi-DEPTH boundaries the value exceeds (the
+    ``equidepth_histogram`` tagging idiom — an ``F.aggregate`` fold over
+    a literal boundary array, pure JVM), then bit-interleaved as in
+    :func:`zorder_key`. This is the skew-proof arm: linear (min-max)
+    quantization puts 90% of a heavy-tailed column's rows into one
+    bucket — zero z-resolution exactly where the data lives — while
+    rank boundaries give every bucket ~equal mass BY CONSTRUCTION, so
+    file pruning stays effective in the dense region (measured in
+    test_versioned). ``boundaries[i]`` must be sorted ascending; bucket
+    count per column = len(boundaries[i]) + 1, and the bit budget is
+    derived from it (clamped so the key fits a signed long). NULL -> 0."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n == 0 or len(boundaries) != n:
+        raise ValueError("cols and boundaries must align")
+    n_buckets = max(len(b) + 1 for b in boundaries)
+    bits = max(1, min((n_buckets - 1).bit_length(), 62 // n))
+    qcols = []
+    for c, bnds in zip(cols, boundaries):
+        if not bnds:
+            qcols.append(F.lit(0).cast("long"))
+            continue
+        q = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bnds]),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") > b, 1).otherwise(0),
+        )
+        q = F.coalesce(q, F.lit(0)).cast("long")
+        qcols.append(F.least(q, F.lit((1 << bits) - 1)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qcols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
 def zorder_key(cols: list[str], mins: list, maxs: list, bits: int = 16):
     """Z-order (Morton) key expression over numeric columns: each column
     linearly quantized to ``bits`` bits against its [min, max] (NULL ->
@@ -665,6 +707,7 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_quantize: str = "linear",
     ) -> int:
         """Delta OPTIMIZE-style small-file compaction: rewrite the
         CURRENT snapshot into ``num_files`` files and commit it as a new
@@ -700,6 +743,16 @@ class VersionedTable:
         same columns. The z key is a transient column — computed for the
         exchange + in-file sort, dropped before write.
 
+        ``zorder_quantize``: ``"linear"`` (default — one min/max agg,
+        right for roughly-uniform columns) or ``"rank"`` — per-column
+        equi-depth boundaries at 256 quantiles
+        (``dataops/quality.py::exact_percentiles``, adaptive map/rank
+        routing) fed to :func:`zorder_key_ranked`, so every bucket holds
+        ~equal mass. Choose rank for heavy-tailed columns: linear
+        quantization collapses 90% of a skewed column into one bucket
+        and the z key loses resolution exactly where the data (and the
+        queries) live.
+
         CONCURRENCY (Delta OPTIMIZE resolution): compaction rewrites
         the files of the snapshot it READ. An append that lands between
         the read and the commit only ADDS files, so it composes — the
@@ -722,18 +775,39 @@ class VersionedTable:
         base = versions[-1]
         base_m = self._manifest(base)
         df = self.read(version=base)
+        if zorder_quantize not in ("linear", "rank"):
+            raise ValueError("zorder_quantize must be 'linear' or 'rank'")
         if zorder_by:
             from pyspark.sql import functions as F
 
-            bounds = df.agg(
-                *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(zorder_by)],
-                *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(zorder_by)],
-            ).first()
-            zk = zorder_key(
-                zorder_by,
-                [bounds[f"__lo_{i}"] for i in range(len(zorder_by))],
-                [bounds[f"__hi_{i}"] for i in range(len(zorder_by))],
-            )
+            if zorder_quantize == "rank":
+                from f1_data_engineering_machine_learning_spark.dataops.quality import (
+                    exact_percentiles,
+                )
+
+                fracs = [i / 256 for i in range(1, 256)]
+                zk = zorder_key_ranked(
+                    zorder_by,
+                    [
+                        [
+                            float(r["value"])
+                            for r in exact_percentiles(df, c, fracs)
+                            .orderBy("frac")
+                            .collect()
+                        ]
+                        for c in zorder_by
+                    ],
+                )
+            else:
+                bounds = df.agg(
+                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(zorder_by)],
+                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(zorder_by)],
+                ).first()
+                zk = zorder_key(
+                    zorder_by,
+                    [bounds[f"__lo_{i}"] for i in range(len(zorder_by))],
+                    [bounds[f"__hi_{i}"] for i in range(len(zorder_by))],
+                )
             df = (
                 df.withColumn("__z", zk)
                 .repartitionByRange(num_files, "__z")

@@ -805,3 +805,58 @@ def test_zorder_key_three_columns_fits_long(spark):
     assert len(set(z)) == 5
     # the all-max corner interleaves 20 ones per column = 60 set bits
     assert max(z) == (1 << 60) - 1
+
+
+def test_compact_zorder_rank_quantize_beats_linear_on_skew(spark, tmp_path):
+    """Heavy-tailed column: linear min-max quantization collapses ~90% of
+    rows into one z-bucket (no resolution where the data lives), so a
+    dense-region slice keeps most files; rank (equi-depth) boundaries
+    give every bucket ~equal mass and the same slice prunes hard."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (
+            float(rng.uniform(0, 100)) if rng.random() < 0.9
+            else float(rng.uniform(100, 100_000)),
+            rng.randrange(1000),
+        )
+        for _ in range(4000)
+    ]
+
+    def build(path):
+        t = VersionedTable(spark, str(tmp_path / path))
+        for b in range(4):
+            t.commit(
+                spark.createDataFrame(
+                    rows[b * 1000 : (b + 1) * 1000], "x double, y long"
+                ),
+                mode="append" if b else "overwrite",
+                stats_cols=["x", "y"],
+            )
+        return t
+
+    tl = build("lin")
+    vl = tl.compact(num_files=16, zorder_by=["x", "y"], stats_cols=["x", "y"])
+    tr = build("rank")
+    vr = tr.compact(
+        num_files=16,
+        zorder_by=["x", "y"],
+        zorder_quantize="rank",
+        stats_cols=["x", "y"],
+    )
+    # dense-region slice on the skewed column
+    lin_x, total = tl.pruned_file_count(vl, ("x", 20.0, 30.0))
+    rank_x, _ = tr.pruned_file_count(vr, ("x", 20.0, 30.0))
+    assert total == 16
+    assert rank_x < lin_x, (rank_x, lin_x)
+    assert rank_x <= 8, rank_x
+    # the uniform column still prunes under rank mode
+    rank_y, _ = tr.pruned_file_count(vr, ("y", 100, 160))
+    assert rank_y <= 8, rank_y
+    # row fidelity
+    assert sorted((r.x, r.y) for r in tr.read().collect()) == sorted(rows)
