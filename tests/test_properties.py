@@ -304,3 +304,103 @@ def test_session_paths_matches_python(spark, events):
         paths[">".join(cur)] += 1
     want = {p: (n, len(p.split(">"))) for p, n in paths.items()}
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([7.0, 100.0, 12345.0]),
+    fracs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    split_at=st.integers(min_value=0, max_value=60),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_histogram_quantiles_bound_and_merge_property(
+    spark, vals, width, fracs, split_at, parts
+):
+    """For ARBITRARY data, widths, and fracs: (1) the read-off quantile is
+    within one bucket width of the exact rank-ceil(r) order statistic;
+    (2) reading quantiles off merged slice-histograms is BITWISE reading
+    them off the full-data histogram, for any split point and any
+    partitioning."""
+    import math
+
+    from f1_data_engineering_machine_learning_spark.dataops.quality import (
+        histogram_quantiles,
+        merge_numeric_histograms,
+        numeric_histogram,
+    )
+
+    fvals = [float(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in fvals], "v double").repartition(parts)
+    full = numeric_histogram(df, "v", width)
+    got = {r.frac: r.qvalue for r in histogram_quantiles(full, fracs).collect()}
+    s = sorted(fvals)
+    n = len(s)
+    assert set(got) == set(fracs)
+    for f in fracs:
+        r = 1.0 + f * (n - 1)
+        order_stat = s[min(math.ceil(r), n) - 1]
+        assert abs(got[f] - order_stat) <= width, (f, got[f], order_stat, width)
+
+    cut = min(split_at, len(fvals))
+    a = spark.createDataFrame([(v,) for v in fvals[:cut]] or [(None,)], "v double")
+    b = spark.createDataFrame([(v,) for v in fvals[cut:]] or [(None,)], "v double")
+    merged = merge_numeric_histograms(
+        numeric_histogram(a, "v", width), numeric_histogram(b, "v", width)
+    )
+    got_m = {r.frac: r.qvalue for r in histogram_quantiles(merged, fracs).collect()}
+    assert got_m == got  # bitwise
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**6),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=20),
+    split_at=st.integers(min_value=0, max_value=60),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_bottomk_sample_matches_python_md5_and_merges(
+    spark, keys, k, split_at, parts
+):
+    """For ARBITRARY unique keys: membership equals the Python md5
+    ground truth (engine-portability), is partition-invariant, and
+    bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A ∪ B) at any split."""
+    import hashlib
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_sample,
+    )
+
+    df = spark.createDataFrame([(v,) for v in keys], "id long").repartition(parts)
+    got = {r.id for r in bottomk_sample(df, "id", k).collect()}
+    want = set(
+        sorted(keys, key=lambda v: hashlib.md5(str(v).encode()).hexdigest())[:k]
+    )
+    assert got == want
+
+    cut = min(split_at, len(keys))
+    a = spark.createDataFrame([(v,) for v in keys[:cut]] or [(None,)], "id long")
+    b = spark.createDataFrame([(v,) for v in keys[cut:]] or [(None,)], "id long")
+    merged = {
+        r.id
+        for r in bottomk_sample(
+            bottomk_sample(a, "id", k).unionByName(bottomk_sample(b, "id", k)),
+            "id",
+            k,
+        ).collect()
+    }
+    assert merged == want
