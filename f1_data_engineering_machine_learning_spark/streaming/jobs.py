@@ -889,6 +889,7 @@ def sample_ingest_stream(
     key_col: str = "doc_id",
     k: int = 1000,
     salt: str = "",
+    group_cols: tuple[str, ...] = (),
     app_id: str = "sample-ingest",
 ):
     """Continuous fixed-size uniform sample maintenance — the streaming
@@ -899,19 +900,40 @@ def sample_ingest_stream(
     batch folds in with exactly k rows of state and the maintained store
     equals the batch sample over everything ever ingested — bitwise, not
     statistically. The always-fresh eval/profiling subset at any ingest
-    volume. Skeleton contract: see ``_sketch_ingest_stream``."""
+    volume. ``group_cols`` maintains one k-row sample PER GROUP (per
+    language/source — the stratified eval set, k x groups state) via
+    ``grouped_bottomk_sample``, same bitwise contract per group.
+    Skeleton contract: see ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.sampling import (
         bottomk_sample,
+        grouped_bottomk_sample,
     )
+
+    if group_cols:
+        gc = list(group_cols)
+
+        def _build(b):
+            return grouped_bottomk_sample(b, key_col, k, gc, salt)
+
+        def _merge(stored, delta):
+            return grouped_bottomk_sample(
+                stored.unionByName(delta), key_col, k, gc, salt
+            )
+
+    else:
+
+        def _build(b):
+            return bottomk_sample(b, key_col, k, salt)
+
+        def _merge(stored, delta):
+            return bottomk_sample(stored.unionByName(delta), key_col, k, salt)
 
     return _sketch_ingest_stream(
         items_stream,
         store_path,
         checkpoint_dir,
-        build=lambda b: bottomk_sample(b, key_col, k, salt),
-        merge=lambda stored, delta: bottomk_sample(
-            stored.unionByName(delta), key_col, k, salt
-        ),
+        build=_build,
+        merge=_merge,
         app_id=app_id,
     )
 

@@ -557,3 +557,56 @@ def test_sample_ingest_stream_equals_batch_bottomk(spark, tmp_path):
     )
     want = {(r.doc_id, r.text) for r in bottomk_sample(batch, "doc_id", 25).collect()}
     assert stored == want and len(stored) == 25
+
+
+def test_sample_ingest_stream_grouped_per_language(spark, tmp_path):
+    """group_cols= maintains one k-row sample per group: the store
+    bitwise-equals the batch grouped sample over everything ingested,
+    with k rows per group."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        grouped_bottomk_sample,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        sample_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+
+    def write(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' "
+            "ELSE 'de' END AS lang",
+        ).write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema("doc_id long, lang string").parquet(src)
+
+    write(0, 200)
+    sample_ingest_stream(
+        stream(), str(tmp_path / "s"), str(tmp_path / "ck"),
+        k=8, group_cols=("lang",),
+    )
+    write(200, 500)
+    sample_ingest_stream(
+        stream(), str(tmp_path / "s"), str(tmp_path / "ck"),
+        k=8, group_cols=("lang",),
+    )
+
+    stored = {
+        (r.lang, r.doc_id)
+        for r in VersionedTable(spark, str(tmp_path / "s")).read().collect()
+    }
+    batch = spark.range(0, 500).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' "
+        "ELSE 'de' END AS lang",
+    )
+    want = {
+        (r.lang, r.doc_id)
+        for r in grouped_bottomk_sample(batch, "doc_id", 8, ["lang"]).collect()
+    }
+    assert stored == want and len(stored) == 24  # 8 per language
