@@ -43,6 +43,21 @@ def main() -> None:
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Previous committed run (read BEFORE this run overwrites the file):
+    # its per-query warm comparator feeds the mover re-time rule below,
+    # closing the round-9 blind spot where a query drifting under the
+    # absolute re-time threshold (bigram_collocations, 1.08 -> 1.92 s)
+    # was never warm-verified.
+    prev_warm: dict[str, float] = {}
+    try:
+        prev = json.loads((REPO / "bench_full.json").read_text())
+        prev_r = prev.get("rerun_best", {})
+        prev_warm = {
+            n: prev_r.get(n, t) for n, t in prev.get("queries", {}).items()
+        }
+    except Exception:  # noqa: BLE001 - first run / corrupt file: no comparator
+        pass
+
     qs = catalog.queries()
     # Warmup: JVM + whole-stage-codegen compilation is a one-time,
     # data-size-independent cost (generated classes are keyed by plan
@@ -94,16 +109,24 @@ def main() -> None:
     # runs; rerun_best records min(first, reruns) and jit_spikes lists
     # queries whose first run was >= 1.5x their warm best — those are
     # spikes, not regressions. The headline total stays the single-pass
-    # sum (comparable to every earlier round).
+    # sum (comparable to every earlier round). MOVERS — queries whose
+    # first run is >= 1.5x their previous committed warm comparator —
+    # are re-timed too, whatever their absolute time, so sub-threshold
+    # drift is always warm-verified (round-10 rule).
     n_reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
     rerun_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_RERUN_THRESHOLD", "2.5")
     )
+    movers = sorted(
+        n
+        for n, first in timings.items()
+        if n in prev_warm and first >= 1.5 * prev_warm[n]
+    )
     rerun_best: dict[str, float] = {}
     if n_reruns > 0:
         for name, first in sorted(timings.items(), key=lambda kv: -kv[1]):
-            if first < rerun_threshold:
-                break
+            if first < rerun_threshold and name not in movers:
+                continue
             best = first
             for _ in range(n_reruns):
                 t0 = time.time()
@@ -141,6 +164,7 @@ def main() -> None:
         "sf": sf,
         "rerun_best": rerun_best,
         "jit_spikes": jit_spikes,
+        "movers_retimed": movers,
     }
     if warmup_at_full_scale:
         full["warmup_at_full_scale"] = True

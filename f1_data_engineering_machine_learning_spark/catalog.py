@@ -95,88 +95,81 @@ def query(name: str, oracle: str | None = None):
 
 
 #: Queries surfaced FIRST by ``queries()``. The external correctness
-#: gate snapshots the first 50 entries in iteration order; rounds 1-8
-#: hard-verified 192 of 196 distinct queries (every full-oracle entry
-#: except the three added after the r8 gate ran). Round 9 rotates the
-#: gate a seventh time, again by EVIDENCE FRESHNESS — the exact closure
-#: set the round-8 verdict asked for: slots 1-3 are the three
-#: full-oracle queries with NO driver row (added post-r8-gate:
-#: doc_stratified_split_exact, lineitem_price_equidepth_hist_ranked,
-#: lineitem_quantity_percentiles_ranked). Slot 4 is f1_abt_fixture —
-#: the end-to-end F1 pipeline gate query (reference
-#: sql/abt_champions.sql semantics), r6-stale and the r7-verdict
-#: carryover that lost its slot to the r8 stalest-tier rotation.
-#: Slot 5 is lang_token_cms_estimates, NEW this round — the keyed
-#: per-group CMS path (cms_build/cms_estimate key_cols=), previously
-#: unit-tested only. Slots 6-48 are the ENTIRE remaining r5-stale tier
-#: (43 queries: the staleness table's 46 minus the three re-gated in
-#: r8 — order_price_equidepth_hist, part_association_rules,
-#: sole_returning_supplier). Slots 49-50 are r6-stale picks that pair
-#: with round-9 work: token_cms_estimates (the unkeyed CMS twin,
-#: side-by-side with slot 5) and doc_media_features (the multimodal
-#: bitwise path's freshness row). After this gate nothing older than
-#: r6 remains except embedding_lsh_topk, the catalog's one rows-only
-#: entry (MLlib hyperplanes aren't SQL-reproducible; its recall
-#: contract is pytest-oracled), intentionally kept past the cutoff so
-#: every gated row is a full value oracle. Everything not listed keeps
-#: registration (file) order behind these; total content is identical.
+#: gate snapshots the first 50 entries in iteration order; rounds 1-9
+#: hard-verified 196 of 202 distinct queries. Round 10 rotates the
+#: gate an eighth time, again by EVIDENCE FRESHNESS — the exact set
+#: the round-9 verdict prescribed: slots 1-5 are the five full-oracle
+#: queries with NO driver row (added after the r9 gate ran:
+#: the histogram-quantile pair, the bottom-k sampling pair, and the
+#: KMV distinct estimator). Slots 6-50 are 45 of the 46 remaining
+#: r6-stale queries (the staleness table's 49 minus the three gated
+#: in r9 — f1_abt_fixture, token_cms_estimates, doc_media_features),
+#: taken alphabetically; the single alphabetical spill
+#: (weighted_doc_sample) rolls to the r11 gate alongside the round-10
+#: NFC-normalization fixture query. After this gate the only queries
+#: without a driver row are weighted_doc_sample (r6 evidence, spilled
+#: by one slot), any post-r10-gate additions, and embedding_lsh_topk —
+#: the catalog's one rows-only entry (MLlib hyperplanes aren't
+#: SQL-reproducible; its recall contract is pytest-oracled),
+#: intentionally kept past the cutoff so every gated row is a full
+#: value oracle. Everything not listed keeps registration (file)
+#: order behind these; total content is identical.
 _GATE_PRIORITY = [
-    # -- slots 1-3: full-oracle queries with no driver row (post-r8) --
-    "doc_stratified_split_exact",
-    "lineitem_price_equidepth_hist_ranked",
-    "lineitem_quantity_percentiles_ranked",
-    # -- slot 4: the r7-verdict carryover, end-to-end F1 gate (r6) --
-    "f1_abt_fixture",
-    # -- slot 5: keyed per-group CMS, new this round --
-    "lang_token_cms_estimates",
-    # -- slots 6-48: the full remaining r5-stale tier (43 queries) --
-    "benchmark_contamination_docs",
-    "big_quantity_orders",
-    "bigram_collocations",
-    "brand_price_size_slope",
-    "click_next_purchase",
-    "corpus_mixture_sample",
-    "customer_cohort_retention",
-    "customer_order_gaps",
-    "customer_time_weighted_balance",
-    "daily_user_value_gapfill",
-    "daily_user_value_interpolated",
-    "disjunctive_part_revenue",
-    "doc_chunks_overlap",
-    "doc_repetition_profile",
-    "embedding_int8_quantized",
-    "excess_shipper_suppliers",
-    "idle_high_balance_by_nation",
-    "incremental_exact_dedup_docs",
-    "incremental_minhash_pairs_docs",
-    "kanonymity_customer_segments",
-    "late_shipment_priority_counts",
-    "ldiversity_customer_segments",
-    "lineitem_correlation_matrix",
-    "nation_market_share",
-    "nation_year_profit",
-    "orders_in_quarter_ranges",
-    "preferred_daily_event",
-    "promo_revenue_share",
-    "returned_revenue_customers",
-    "segment_priority_chisq",
-    "signup_conversion_lag_quantiles",
-    "signup_purchase_funnel",
-    "similar_customer_names",
-    "sliding_event_counts",
-    "small_lot_part_revenue",
-    "term_posting_lists",
-    "top_parts_per_brand_ranked",
-    "top_supplier_by_revenue",
-    "trending_daily_terms",
-    "unshipped_order_revenue",
-    "user_daily_value_ewma",
-    "user_state_scd2",
-    "weekly_revenue_growth",
-    # -- slots 49-50: r6-stale picks pairing with round-9 work --
-    "token_cms_estimates",
-    "doc_media_features",
-    # -- rows-only entry, intentionally just past the 50-slot cutoff --
+    # -- slots 1-5: full-oracle queries with no driver row (post-r9) --
+    "order_price_histogram_quantiles",
+    "priority_price_histogram_quantiles",
+    "doc_bottomk_sample",
+    "lang_bottomk_sample",
+    "doc_kmv_distinct_estimate",
+    # -- slots 6-50: 45 of the 46 remaining r6-stale queries --
+    "approx_stats_scale_mode",
+    "asof_order_snapshot",
+    "brand_share_of_revenue",
+    "cheapest_supplier_per_part",
+    "churned_customers_except",
+    "conditional_supplier_stats",
+    "corpus_shuffle_assignment",
+    "corpus_token_budget",
+    "cube_order_counts",
+    "current_year_orders",
+    "customer_name_strings",
+    "customer_order_count_distribution",
+    "customer_order_sequence",
+    "customer_revenue_pareto",
+    "customer_scope_fanout",
+    "daily_event_rollup_cascade",
+    "daily_revenue_cusum",
+    "dedup_keep_last_events",
+    "discounted_revenue_probe",
+    "doc_bigram_lm_scores",
+    "doc_long_words",
+    "doc_pii_scan",
+    "doc_token_bloom_fpr",
+    "doc_top_terms_tfidf",
+    "embedding_kmeans_lloyd",
+    "incremental_semantic_dedup_embeddings",
+    "late_line_priority_classes",
+    "lineitem_measures_unpivot",
+    "lineitem_quantity_mad",
+    "nation_pair_trade_volume",
+    "nation_share_of_region_revenue",
+    "order_lineitem_date_audit",
+    "order_price_benford",
+    "order_price_histogram",
+    "order_price_iqr_outliers",
+    "order_status_priority_marginals",
+    "orders_maintained_status_rollup",
+    "orders_price_neighborhood",
+    "part_price_size_skyline",
+    "returnflag_quantity_zscore",
+    "returnflag_weighted_median_price",
+    "session_step_transitions",
+    "significant_parts_by_revenue",
+    "source_lang_gini_impurity",
+    "weekday_revenue_seasonality",
+    # -- alphabetical spill to the r11 gate --
+    "weighted_doc_sample",
+    # -- rows-only entry, intentionally past the 50-slot cutoff --
     "embedding_lsh_topk",
 ]
 
@@ -2163,7 +2156,7 @@ def lang_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT hv FROM h ORDER BY hv LIMIT 128
     ), u AS (
       SELECT hv,
-             CAST(CAST(('0x' || substr(hv, 1, 13)) AS BIGINT) AS DOUBLE)
+             (CAST(CAST(('0x' || substr(hv, 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
              / 4503599627370496.0 AS uv
       FROM r
     )
@@ -2176,7 +2169,7 @@ def lang_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count estimate over doc_id
     (dataops/sampling.py::bottomk_distinct_estimate, k=128): the k-th
-    smallest md5 mapped to (0,1) estimates distinct = (k-1)/h_(k) —
+    smallest md5 mapped to (0,1] estimates distinct = (k-1)/h_(k) —
     the third distinct sketch in the catalog (HLL rollups for speed,
     exact bitmaps for dense ids, KMV here because it falls out of the
     maintained bottom-k sample for free and is engine-replayable
@@ -5360,36 +5353,57 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions. The log is deliberately left off: the ratio is a chain
     of IEEE ops over exact integer counts (bit-identical across engines),
     while log() would hash-drift on libm differences — callers can take
-    the log client-side. One tokenization feeds both the bigram and
-    unigram counts; unigram counts broadcast back onto bigrams (vocab <<
-    corpus — the standard shape at 100 TB), totals ride a 1-row
-    broadcast. Adjacent-pair construction is a map-side higher-order
-    transform, never a self-join on position."""
+    the log client-side.
+
+    Plan shape (round-10 rework — this was the catalog's most
+    exchange-heavy plan at 24 exchanges because the unigram-count
+    subtree was recomputed for each of its three consumers): the corpus
+    is scanned ONCE, each doc exploding a single tagged array carrying
+    both its adjacent-pair structs and its unigram structs, so ONE
+    corpus-wide shuffle produces the combined (is_uni, w1, w2) count
+    table. That table (vocab + distinct-bigram bounded, tiny next to
+    the corpus) is persisted and let-bound: the bigram branch, the two
+    broadcast unigram sides, and the 1-row totals agg all read the
+    cached counts instead of re-tokenizing — at 100 TB that is the
+    difference between one corpus pass and five. Adjacent-pair
+    construction stays a map-side higher-order transform, never a
+    self-join on position."""
     from f1_data_engineering_machine_learning_spark.operators.partitioning import (
         ensure_min_parallelism,
     )
 
     docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.split("text", " ").alias("t"))
-    bg = toks.select(
+    # one tagged explode: is_uni=0 rows are adjacent pairs (identical
+    # expression to the oracle's generate_series construction), is_uni=1
+    # rows are unigrams — the tag (not w2 IS NULL) discriminates, so any
+    # NULL produced by the pair arm stays classified as a pair
+    pairs = toks.select(
         F.explode(
             F.expr(
+                "concat("
                 "transform(sequence(0, size(t) - 2), "
-                "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                "i -> struct(0 AS is_uni, t[i] AS w1, t[i+1] AS w2)), "
+                "transform(t, w -> struct(1 AS is_uni, w AS w1, "
+                "CAST(NULL AS STRING) AS w2)))"
             )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
+        ).alias("p")
+    ).select("p.is_uni", "p.w1", "p.w2")
+    counts = (
+        pairs.groupBy("is_uni", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
-    totals = bgc.agg(F.sum("n_xy").alias("n_bi")).join(
-        uni.agg(F.sum("n_w").alias("n_uni"))
+    bgc = counts.filter(F.col("is_uni") == 0).select(
+        "w1", "w2", F.col("n").alias("n_xy")
     )
-    ux = uni.select(F.col("w").alias("__wx"), F.col("n_w").alias("__nx"))
-    uy = uni.select(F.col("w").alias("__wy"), F.col("n_w").alias("__ny"))
+    uni = counts.filter(F.col("is_uni") == 1).select("w1", "n")
+    totals = counts.agg(
+        F.sum(F.when(F.col("is_uni") == 0, F.col("n"))).alias("n_bi"),
+        F.sum(F.when(F.col("is_uni") == 1, F.col("n"))).alias("n_uni"),
+    )
+    ux = uni.select(F.col("w1").alias("__wx"), F.col("n").alias("__nx"))
+    uy = uni.select(F.col("w1").alias("__wy"), F.col("n").alias("__ny"))
     return (
         bgc.filter(F.col("n_xy") >= 5)
         .join(F.broadcast(ux), F.col("w1") == F.col("__wx"))
@@ -10472,3 +10486,86 @@ def doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.col("val").cast("double").alias("val"),
     )
+
+
+#: committed multi-form Unicode fixture for the NFC-normalization value
+#: oracle — the testdata corpus is pure ASCII (where NFC is the
+#: identity), so like f1_abt_fixture this query carries its own
+#: deterministic input, rendered identically into the Spark DataFrame
+#: and the DuckDB VALUES relation. Cases: composed vs decomposed
+#: accents, ligatures (NFC-invariant — folding them is NFKC's job),
+#: NULL passthrough, Hangul jamo composition, canonical mark
+#: reordering (both source orders must converge), singleton mappings
+#: (OHM SIGN -> GREEK CAPITAL OMEGA, ANGSTROM SIGN -> LATIN A WITH
+#: RING), and plain ASCII identity. All characters are BMP so Spark's
+#: UTF-16 length() == DuckDB's codepoint length().
+_NFC_FIXTURE: list[tuple[int, str | None]] = [
+    (1, "café menu"),         # e + COMBINING ACUTE -> U+00E9
+    (2, "café menu"),          # already composed — identity
+    (3, "ﬁnancial ﬂow"),  # fi/fl ligatures survive NFC
+    (4, None),                      # NULL passes through
+    (5, "각"),      # Hangul jamo -> syllable U+AC01
+    (6, "plain ascii"),             # ASCII identity
+    (7, "q̣̇"),           # marks already in canonical order
+    (8, "q̣̇"),           # same marks, source-swapped -> same NFC
+    (9, "Ω resistance"),       # OHM SIGN singleton -> U+03A9
+    (10, "Ångström"),   # A+ring -> C5, o+diaeresis -> F6
+    (11, "Å sign"),            # ANGSTROM SIGN singleton -> U+00C5
+]
+
+
+def _nfc_oracle() -> str:
+    def lit(t: str | None) -> str:
+        return "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"(CAST({i} AS BIGINT), {lit(t)})" for i, t in _NFC_FIXTURE
+    )
+    return f"""
+    WITH fixture(id, text) AS (VALUES {rows})
+    SELECT id,
+           nfc_normalize(text) AS text_nfc,
+           CAST(COALESCE(length(nfc_normalize(text)), -1) AS INTEGER)
+             AS nfc_len,
+           CAST(CASE WHEN text IS NULL THEN -1
+                     WHEN text <> nfc_normalize(text) THEN 1
+                     ELSE 0 END AS INTEGER) AS changed
+    FROM fixture
+    """
+
+
+@query("nfc_normalized_fixture")
+def nfc_normalized_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under a full value oracle
+    (dataops/text.py::normalize_unicode_nfc — Arrow-batched pandas_udf
+    over unicodedata.normalize, map-only): the committed multi-form
+    fixture above is normalized on Spark while DuckDB replays the
+    identical VALUES relation through its nfc_normalize(), so the value
+    hash pins composed/decomposed convergence, ligature invariance,
+    NULL passthrough, jamo composition, canonical mark reordering, and
+    the two singleton mappings byte-for-byte across engines — the
+    multilingual-dedup precondition the ASCII testdata can't exercise.
+    ``changed`` (did NFC rewrite the string?) and the post-NFC
+    codepoint length ride along so a normalizer that returns its input
+    unchanged cannot pass."""
+    from f1_data_engineering_machine_learning_spark.dataops.text import (
+        normalize_unicode_nfc,
+    )
+
+    df = spark.createDataFrame(_NFC_FIXTURE, "id long, text string")
+    out = normalize_unicode_nfc(df, "text", out_col="text_nfc")
+    # NULL-row dtype parity: non-string outputs are made NON-NULL
+    # (sentinel -1) so neither engine's pandas bridge float-promotes
+    return out.select(
+        "id",
+        "text_nfc",
+        F.coalesce(F.length("text_nfc"), F.lit(-1)).cast("int").alias("nfc_len"),
+        F.when(F.col("text").isNull(), F.lit(-1))
+        .when(F.col("text") != F.col("text_nfc"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("changed"),
+    )
+
+
+_ORACLES["nfc_normalized_fixture"] = _nfc_oracle()

@@ -364,8 +364,15 @@ def bottomk_sample(
       and randomness coordination.
     - UNIFORM over distinct keys: md5 is uniform on its input, so the
       k smallest hashes are a uniform without-replacement sample of the
-      distinct keys (duplicate keys travel together — sample by doc_id,
-      not by a repeated value).
+      distinct keys.
+
+    The determinism/bitwise contract holds for UNIQUE keys (an id).
+    Duplicate keys hash identically, so when the k-th smallest hash is
+    shared by more rows than the remaining budget the ``limit`` cuts
+    within that tie arbitrarily — membership at the boundary becomes
+    partition/engine-dependent. Sample by doc_id, not by a repeated
+    value; if only a non-unique key is available, dropDuplicates on it
+    first and accept one representative row per key.
 
     NULL keys are excluded (their hash is NULL, and engines disagree on
     NULL sort position — sample by a non-null key). ``salt``
@@ -424,13 +431,14 @@ def bottomk_distinct_estimate(
     df: DataFrame, key: Column | str, k: int, salt: str = ""
 ) -> DataFrame:
     """KMV distinct-count estimator read off the bottom-k sample: with
-    h_(k) = the k-th smallest hash mapped to (0, 1), distinct-count ≈
+    h_(k) = the k-th smallest hash mapped to (0, 1], distinct-count ≈
     (k - 1) / h_(k) — the classic k-minimum-values sketch (Bar-Yossef et
     al.), here on the first 13 md5 hex chars (52 bits — exact in a
-    double). ONE row ``(n_seen, estimate)``; when fewer than k distinct
-    keys exist the count is exact (= n_seen). Mergeable the same way the
-    sample is — estimate off the maintained store at any time. Expected
-    relative error ~ 1/sqrt(k-2)."""
+    double; mapped via (v + 1) / 2^52 so an all-zero prefix cannot
+    divide by zero). ONE row ``(n_seen, estimate)``; when fewer than k
+    distinct keys exist the count is exact (= n_seen). Mergeable the
+    same way the sample is — estimate off the maintained store at any
+    time. Expected relative error ~ 1/sqrt(k-2)."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
     ranked = (
@@ -442,7 +450,7 @@ def bottomk_distinct_estimate(
         .select(
             "__h",
             (
-                F.conv(F.substring("__h", 1, 13), 16, 10).cast("double")
+                (F.conv(F.substring("__h", 1, 13), 16, 10).cast("double") + F.lit(1.0))
                 / F.lit(float(16**13))
             ).alias("__u"),
         )

@@ -10,6 +10,7 @@ UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,14 +128,10 @@ def normalize_unicode_nfc(df: DataFrame, text_col: str, out_col: str | None = No
     testdata corpus is ASCII, where NFC is the identity, so the parity
     evidence lives in planted-Unicode unit tests rather than a
     trivially-passing catalog oracle). NULL passes through."""
-    import pandas as pd  # noqa: F401 — the UDF's hints resolve in module globals
-
     from pyspark.sql.functions import pandas_udf
 
-    globals().setdefault("pd", pd)
-
     @pandas_udf("string")
-    def _nfc(s: "pd.Series") -> "pd.Series":
+    def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
         return s.map(

@@ -769,6 +769,8 @@ class VersionedTable:
             raise ValueError("num_files must be >= 1")
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if zorder_quantize != "linear" and not zorder_by:
+            raise ValueError("zorder_quantize requires zorder_by")
         versions = self._versions()
         if not versions:
             raise FileNotFoundError(f"no committed version at {self.path}")

@@ -899,10 +899,13 @@ def sample_ingest_stream(
     (``bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))``), so each
     batch folds in with exactly k rows of state and the maintained store
     equals the batch sample over everything ever ingested — bitwise, not
-    statistically. The always-fresh eval/profiling subset at any ingest
-    volume. ``group_cols`` maintains one k-row sample PER GROUP (per
-    language/source — the stratified eval set, k x groups state) via
-    ``grouped_bottomk_sample``, same bitwise contract per group.
+    statistically, PROVIDED ``key_col`` is unique per row (duplicate
+    keys tie at the k-boundary and the cut within the tie is
+    partition-dependent; see ``bottomk_sample``). The always-fresh
+    eval/profiling subset at any ingest volume. ``group_cols`` maintains
+    one k-row sample PER GROUP (per language/source — the stratified
+    eval set, k x groups state) via ``grouped_bottomk_sample``, same
+    bitwise contract per group, same unique-key proviso.
     Skeleton contract: see ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.sampling import (
         bottomk_sample,

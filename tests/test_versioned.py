@@ -860,3 +860,20 @@ def test_compact_zorder_rank_quantize_beats_linear_on_skew(spark, tmp_path):
     assert rank_y <= 8, rank_y
     # row fidelity
     assert sorted((r.x, r.y) for r in tr.read().collect()) == sorted(rows)
+
+
+def test_compact_zorder_quantize_requires_zorder_by(spark, tmp_path):
+    """zorder_quantize='rank' without zorder_by (including the sort_by
+    path) is a contract error, not a silent no-op."""
+    import pytest
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(10).selectExpr("id AS x"), mode="overwrite")
+    with pytest.raises(ValueError, match="zorder_quantize requires zorder_by"):
+        t.compact(num_files=2, zorder_quantize="rank")
+    with pytest.raises(ValueError, match="zorder_quantize requires zorder_by"):
+        t.compact(num_files=2, sort_by=["x"], zorder_quantize="rank")
