@@ -119,3 +119,61 @@ def test_sample_stream_soak_state_exactly_k(spark, tmp_path):
     assert r["trend_ratio"] < MAX_TREND, r
     store = VersionedTable(spark, str(tmp_path) + "/store_sample").read()
     assert store.count() == 100  # k
+
+
+def test_keyed_histogram_stream_soak_1200_keys(spark, tmp_path):
+    """Keyed-summary soak at REALISTIC key cardinality (round-10 verdict
+    item 5): histogram_ingest_stream(key_cols=) over 1,200 keys x
+    unit-width buckets on [0,20) for 100+ batches. State is keys x
+    buckets (~24k rows, an order of magnitude over a batch delta), so a
+    merge that followed history or exploded per-key would show here
+    where the r9 handful-of-keys soak could not. Asserts trend-flat
+    per-batch cost, the store-size formula (<= keys x 20 buckets, every
+    bucket id in [0,20)), and mass conservation: the summed counts
+    equal every row ever ingested."""
+    import pyspark.sql.functions as F
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    r = _soak(spark, tmp_path, "hist-keyed", docs_per_batch=600)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = VersionedTable(spark, str(tmp_path / "store_hist-keyed")).read()
+    n_rows = store.count()
+    assert n_rows <= soak_streams.HIST_KEYS * 20, n_rows
+    agg = store.agg(
+        F.sum("n").alias("mass"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min("bucket").alias("blo"),
+        F.max("bucket").alias("bhi"),
+    ).first()
+    assert agg.mass == N_BATCHES * 600
+    assert agg.n_keys <= soak_streams.HIST_KEYS
+    assert agg.blo >= 0 and agg.bhi <= 19, (agg.blo, agg.bhi)
+
+
+def test_keyed_sample_stream_soak_1000_groups(spark, tmp_path):
+    """Per-group sample maintenance at real stratification width: 1,000
+    groups x k=4 over 100+ batches. Asserts trend-flat per-batch cost
+    and the exact state formula: every group holds min(k, group's
+    distinct keys) rows — with unique ascending doc_ids and 100x500
+    rows, every touched group saturates at exactly k."""
+    import pyspark.sql.functions as F
+
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    r = _soak(spark, tmp_path, "sample-keyed", docs_per_batch=500)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = VersionedTable(spark, str(tmp_path / "store_sample-keyed")).read()
+    per_group = store.groupBy("grp").count()
+    k = soak_streams.SAMPLE_K
+    # 50k rows over 1,000 groups: every group has >= k distinct keys
+    # with overwhelming probability, so the store is exactly groups x k
+    assert per_group.count() == soak_streams.SAMPLE_GROUPS
+    assert per_group.filter(F.col("count") != k).count() == 0
+    assert store.count() == soak_streams.SAMPLE_GROUPS * k

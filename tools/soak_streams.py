@@ -21,6 +21,13 @@ trend ratio — the evidence that per-batch cost is bounded by BATCH size
   range (store = O(id-range/64) bitmap rows).
 - ``sample``   — sample_ingest_stream (bottom-k-by-md5 uniform sample,
   k=100): state is exactly k rows no matter how much flows through.
+- ``hist-keyed``   — histogram_ingest_stream(key_cols=) at REALISTIC key
+  cardinality (1,200 keys x <=20 buckets: store ~24k rows, >> one
+  batch's delta): merge cost must track the keys-x-buckets summary,
+  not history (round-10 verdict item 5).
+- ``sample-keyed`` — sample_ingest_stream(group_cols=) at 1,000 groups
+  x k=4 (store <=4,000 rows): per-group maintained samples at real
+  stratification width.
 
 Usage:
     python tools/soak_streams.py --mode dedup --batches 120 \
@@ -60,6 +67,12 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 _VOCAB = [f"tok{i:04d}" for i in range(2000)]
+
+#: keyed-soak cardinalities (shared with tests/test_streaming_soak.py so
+#: the pytest store-size formulas stay in lockstep with the generator)
+HIST_KEYS = 1200
+SAMPLE_GROUPS = 1000
+SAMPLE_K = 4
 
 
 def _doc_text(rng: random.Random, n_tokens: int = 30) -> str:
@@ -184,6 +197,7 @@ def _run_soak_inner(
         cms_ingest_stream,
         dedup_ingest_stream,
         distinct_bitmap_ingest_stream,
+        histogram_ingest_stream,
         near_dup_ingest_stream,
         sample_ingest_stream,
     )
@@ -257,6 +271,64 @@ def _run_soak_inner(
         q = sample_ingest_stream(stream, store, ckpt, key_col="doc_id", k=100)
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode == "hist-keyed":
+        # 1,200 keys x 20 unit-width buckets: store bounded at 24k
+        # (key, bucket) rows — an order of magnitude over a batch delta
+        schema = "key string, value double"
+        rng = random.Random(17)
+        batches = [
+            [
+                (f"k{rng.randrange(HIST_KEYS):04d}", rng.uniform(0.0, 20.0))
+                for _ in range(docs_per_batch)
+            ]
+            for _ in range(n_batches)
+        ]
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = histogram_ingest_stream(
+            stream,
+            store,
+            ckpt,
+            value_col="value",
+            bucket_width=1.0,
+            key_cols=("key",),
+        )
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
+    elif mode == "sample-keyed":
+        # 1,000 groups x k=4 per-group samples: store bounded at 4k rows
+        schema = "doc_id long, grp string"
+        rng = random.Random(19)
+        doc_id = 0
+        batches = []
+        for _ in range(n_batches):
+            b = []
+            for _ in range(docs_per_batch):
+                b.append((doc_id, f"g{rng.randrange(SAMPLE_GROUPS):04d}"))
+                doc_id += 1
+            batches.append(b)
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = sample_ingest_stream(
+            stream,
+            store,
+            ckpt,
+            key_col="doc_id",
+            k=SAMPLE_K,
+            group_cols=("grp",),
+        )
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -278,7 +350,8 @@ def _run_soak_inner(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["dedup", "neardup", "cms", "bitmap", "sample"])
+                    choices=["dedup", "neardup", "cms", "bitmap", "sample",
+                             "hist-keyed", "sample-keyed"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
