@@ -2184,6 +2184,45 @@ def doc_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_kmv_distinct_estimates",
+    """
+    WITH h AS (
+      SELECT DISTINCT lang, md5(CAST(doc_id AS VARCHAR)) AS hv
+      FROM documents WHERE doc_id IS NOT NULL
+    ), r AS (
+      SELECT lang, hv,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM h
+    ), u AS (
+      SELECT lang,
+             (CAST(CAST(('0x' || substr(hv, 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
+             / 4503599627370496.0 AS uv
+      FROM r WHERE rn <= 64
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 / MAX(uv) END AS estimate
+    FROM u GROUP BY lang
+    """,
+)
+def lang_kmv_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE KMV distinct-doc estimates
+    (dataops/sampling.py::grouped_bottomk_distinct_estimate, k=64) —
+    the keyed member that completes the keyed summary family (keyed
+    CMS r9, keyed histogram r9, keyed sample r9): one (lang, n_seen,
+    estimate) row per language off the k smallest per-group md5 hashes,
+    WindowGroupLimit map-side k-filter, no global sort. Bit-replayable:
+    the oracle re-derives hash, rank, and the (0,1] division
+    identically."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        grouped_bottomk_distinct_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_bottomk_distinct_estimate(d, "doc_id", 64, ["lang"])
+
+
+@query(
     "mod_sampled_docs",
     """
     SELECT doc_id, lang, n_chars

@@ -465,6 +465,54 @@ def bottomk_distinct_estimate(
     )
 
 
+def grouped_bottomk_distinct_estimate(
+    df: DataFrame,
+    key: Column | str,
+    k: int,
+    group_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Per-GROUP KMV distinct-count estimates — the keyed twin of
+    :func:`bottomk_distinct_estimate`, completing the keyed summary
+    family (keyed CMS / keyed histogram / keyed sample): one
+    ``(group_cols..., n_seen, estimate)`` row per group, estimate =
+    (k-1)/h_(k) off the k smallest distinct ``md5(salt || key)`` hashes
+    WITHIN the group, exact (= n_seen) below k distinct. Same
+    (0, 1] hash mapping and determinism contract as the unkeyed form —
+    engine-replayable bit-for-bit.
+
+    Plan: distinct on (group, hash) then a per-group window top-k
+    (``topk_per_group`` — Spark 4 plans WindowGroupLimit, k-filtering
+    map-side), so cost is one shuffle on the group keys and state is
+    groups x k; no global sort at any group count. The per-group
+    distinct-count shape (docs per language, users per day) at 100 TB
+    without an exact COUNT(DISTINCT) shuffle of every key."""
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group,
+    )
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    hashed = (
+        df.select(*group_cols, h.alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .dropDuplicates([*group_cols, "__h"])
+    )
+    ranked = topk_per_group(
+        hashed, group_cols, [F.col("__h")], k, rn_col="__rn"
+    ).withColumn(
+        "__u",
+        (F.conv(F.substring("__h", 1, 13), 16, 10).cast("double") + F.lit(1.0))
+        / F.lit(float(16**13)),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.max("__u"))
+        .alias("estimate"),
+    )
+
+
 def exact_stratified_split(
     df: DataFrame,
     strata_cols: list[str],

@@ -393,3 +393,38 @@ def test_grouped_bottomk_sample_per_group_contract(spark):
         df.repartition(11), "id", 10, ["g"]
     ).collect()}
     assert again == set(rows)
+
+
+def test_grouped_bottomk_distinct_estimate_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_distinct_estimate,
+        grouped_bottomk_distinct_estimate,
+    )
+
+    # group a: 4000 distinct ids duplicated x2; group b: 30 distinct
+    a = (
+        spark.range(4000)
+        .select(F.explode(F.array(F.col("id"), F.col("id"))).alias("id"))
+        .withColumn("g", F.lit("a"))
+    )
+    b = spark.range(10_000, 10_030).select(
+        F.col("id"), F.lit("b").alias("g")
+    )
+    r = {
+        row.g: row
+        for row in grouped_bottomk_distinct_estimate(
+            a.unionByName(b), "id", 256, ["g"]
+        ).collect()
+    }
+    # group a: estimate within the ~4-sigma band, duplicates unbiased
+    assert r["a"].n_seen == 256
+    assert abs(r["a"].estimate - 4000) / 4000 < 0.25, r["a"].estimate
+    # group b: below k distinct -> exact
+    assert r["b"].n_seen == 30 and r["b"].estimate == 30.0
+    # per-group results equal the unkeyed estimator run on each slice
+    solo = bottomk_distinct_estimate(
+        a.select("id"), "id", 256
+    ).collect()[0]
+    assert (solo.n_seen, solo.estimate) == (r["a"].n_seen, r["a"].estimate)
