@@ -905,7 +905,12 @@ def sample_ingest_stream(
     eval/profiling subset at any ingest volume. ``group_cols`` maintains
     one k-row sample PER GROUP (per language/source — the stratified
     eval set, k x groups state) via ``grouped_bottomk_sample``, same
-    bitwise contract per group, same unique-key proviso.
+    bitwise contract per group, same unique-key proviso. The store is
+    ALSO the KMV sketch state: ``bottomk_distinct_estimate`` /
+    ``grouped_bottomk_distinct_estimate`` over the store equal —
+    bitwise — the same estimators over everything ever ingested
+    (pinned by test), so continuous (per-group) distinct counting
+    falls out of the sample stream for free.
     Skeleton contract: see ``_sketch_ingest_stream``."""
     from f1_data_engineering_machine_learning_spark.dataops.sampling import (
         bottomk_sample,

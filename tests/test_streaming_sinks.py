@@ -610,3 +610,71 @@ def test_sample_ingest_stream_grouped_per_language(spark, tmp_path):
         for r in grouped_bottomk_sample(batch, "doc_id", 8, ["lang"]).collect()
     }
     assert stored == want and len(stored) == 24  # 8 per language
+
+
+def test_kmv_estimate_reads_off_maintained_sample_store(spark, tmp_path):
+    """The maintained bottom-k sample store IS the KMV sketch state:
+    running bottomk_distinct_estimate / grouped_bottomk_distinct_estimate
+    over the store equals — BITWISE — running them over everything ever
+    ingested (the store's k rows are exactly the k smallest hashes of
+    history, and the estimator only reads h_(k)). Continuous distinct
+    counting falls out of the sample stream for free: no second sketch
+    store, no history rescan."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_distinct_estimate,
+        grouped_bottomk_distinct_estimate,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        sample_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+
+    def write(lo, hi):
+        spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang",
+        ).write.mode("append").parquet(src)
+
+    def stream():
+        return spark.readStream.schema("doc_id long, lang string").parquet(src)
+
+    for lo, hi in [(0, 400), (400, 900), (900, 1500)]:
+        write(lo, hi)
+        sample_ingest_stream(
+            stream(), str(tmp_path / "s"), str(tmp_path / "ck"),
+            k=32, group_cols=("lang",),
+        )
+
+    store = VersionedTable(spark, str(tmp_path / "s")).read()
+    history = spark.range(0, 1500).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang",
+    )
+    got = {
+        r.lang: (r.n_seen, r.estimate)
+        for r in grouped_bottomk_distinct_estimate(
+            store, "doc_id", 32, ["lang"]
+        ).collect()
+    }
+    want = {
+        r.lang: (r.n_seen, r.estimate)
+        for r in grouped_bottomk_distinct_estimate(
+            history, "doc_id", 32, ["lang"]
+        ).collect()
+    }
+    assert got == want and set(got) == {"en", "fr"}
+    # unkeyed twin: one group's slice behaves identically
+    solo_store = bottomk_distinct_estimate(
+        store.filter("lang = 'en'"), "doc_id", 32
+    ).collect()[0]
+    solo_hist = bottomk_distinct_estimate(
+        history.filter("lang = 'en'"), "doc_id", 32
+    ).collect()[0]
+    assert (solo_store.n_seen, solo_store.estimate) == (
+        solo_hist.n_seen,
+        solo_hist.estimate,
+    )
