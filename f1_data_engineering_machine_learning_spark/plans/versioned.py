@@ -741,7 +741,13 @@ class VersionedTable:
         its leading column (trailing columns span every file). Mutually
         exclusive with ``sort_by``; pair with ``stats_cols`` over the
         same columns. The z key is a transient column — computed for the
-        exchange + in-file sort, dropped before write.
+        exchange + in-file sort, dropped before write. STRING columns
+        are supported via a lex-sorted dictionary-rank surrogate
+        (broadcast-joined dense rank, <= 65,536 distinct values): files
+        then hold contiguous lexicographic ranges of the string column,
+        which is exactly the form the manifest's min/max skipping
+        prunes — the (lang, score) / (source, day) clustering shape of
+        a training-data lake.
 
         ``zorder_quantize``: ``"linear"`` (default — one min/max agg,
         right for roughly-uniform columns) or ``"rank"`` — per-column
@@ -782,6 +788,50 @@ class VersionedTable:
         if zorder_by:
             from pyspark.sql import functions as F
 
+            # STRING z-order columns get a dictionary-rank surrogate:
+            # the cast-to-double inside the z key would quantize every
+            # string to bucket 0 (silent zero z-resolution). A
+            # lex-sorted distinct dictionary broadcast-joins a dense
+            # rank column in, so files end up holding CONTIGUOUS LEX
+            # RANGES of the string column — exactly what the manifest's
+            # lexicographic min/max skipping prunes on (hash buckets
+            # would cluster but leave min/max spanning the alphabet).
+            # Bounded: categorical clustering columns (lang, source,
+            # split) are low-cardinality by nature; beyond the cap,
+            # cluster on a numeric surrogate instead.
+            orig_cols = list(df.columns)
+            dtypes = dict(df.dtypes)
+            eff_zorder = list(zorder_by)
+            surrogates: list[str] = []
+            for zi, zc in enumerate(eff_zorder):
+                if dtypes.get(zc) != "string":
+                    continue
+                cap = 65_536
+                vals = [
+                    r[0]
+                    for r in df.select(zc)
+                    .filter(F.col(zc).isNotNull())
+                    .distinct()
+                    .orderBy(zc)
+                    .limit(cap + 1)
+                    .collect()
+                ]
+                if len(vals) > cap:
+                    raise ValueError(
+                        f"zorder_by string column {zc!r} exceeds {cap} "
+                        "distinct values; z-order a numeric surrogate "
+                        "(e.g. xxhash64 bucket) instead"
+                    )
+                sname = f"__zdict_{zi}"
+                dim = df.sparkSession.createDataFrame(
+                    [(v, i) for i, v in enumerate(vals)],
+                    f"{zc} string, {sname} long",
+                )
+                df = df.join(F.broadcast(dim), on=zc, how="left").select(
+                    *orig_cols, *surrogates, sname
+                )
+                surrogates.append(sname)
+                eff_zorder[zi] = sname
             if zorder_quantize == "rank":
                 from f1_data_engineering_machine_learning_spark.dataops.quality import (
                     exact_percentiles,
@@ -789,7 +839,7 @@ class VersionedTable:
 
                 fracs = [i / 256 for i in range(1, 256)]
                 zk = zorder_key_ranked(
-                    zorder_by,
+                    eff_zorder,
                     [
                         [
                             float(r["value"])
@@ -797,25 +847,33 @@ class VersionedTable:
                             .orderBy("frac")
                             .collect()
                         ]
-                        for c in zorder_by
+                        for c in eff_zorder
                     ],
                 )
             else:
                 bounds = df.agg(
-                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(zorder_by)],
-                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(zorder_by)],
+                    *[
+                        F.min(c).alias(f"__lo_{i}")
+                        for i, c in enumerate(eff_zorder)
+                    ],
+                    *[
+                        F.max(c).alias(f"__hi_{i}")
+                        for i, c in enumerate(eff_zorder)
+                    ],
                 ).first()
                 zk = zorder_key(
-                    zorder_by,
-                    [bounds[f"__lo_{i}"] for i in range(len(zorder_by))],
-                    [bounds[f"__hi_{i}"] for i in range(len(zorder_by))],
+                    eff_zorder,
+                    [bounds[f"__lo_{i}"] for i in range(len(eff_zorder))],
+                    [bounds[f"__hi_{i}"] for i in range(len(eff_zorder))],
                 )
             df = (
                 df.withColumn("__z", zk)
                 .repartitionByRange(num_files, "__z")
                 .sortWithinPartitions("__z")
-                .drop("__z")
+                .drop("__z", *surrogates)
             )
+            if surrogates:
+                df = df.select(*orig_cols)
         elif sort_by:
             df = df.repartitionByRange(
                 num_files, *sort_by

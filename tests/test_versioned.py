@@ -984,3 +984,72 @@ def test_fuzz_multiwriter_mixed_ops_every_version_consistent(spark, tmp_path):
     v1 = t.commit(spark.range(3), mode="append", txn=("fuzz", 7))
     assert v1 >= 0
     assert t.commit(spark.range(3), mode="append", txn=("fuzz", 7)) == -1
+
+
+def test_compact_zorder_string_column_dictionary_rank(spark, tmp_path):
+    """Z-order over a STRING column (round-10): the lex-sorted
+    dictionary-rank surrogate must (a) leave row content identical,
+    (b) restore the exact table schema (no surrogate leakage), and
+    (c) produce files holding contiguous lex ranges so a string
+    equality/range slice prunes files — while the numeric co-dimension
+    still prunes too (the multi-dim property that motivated z-order)."""
+    import random
+
+    rng = random.Random(23)
+    langs = [f"l{ch}" for ch in "abcdefghijklmnop"]  # 16 values
+    rows = [
+        (rng.choice(langs), float(rng.uniform(0, 100.0)), rng.randrange(10**6))
+        for _ in range(4000)
+    ]
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for b in range(4):
+        t.commit(
+            spark.createDataFrame(
+                rows[b * 1000 : (b + 1) * 1000], "lang string, x double, pad long"
+            ),
+            mode="append" if b else "overwrite",
+            stats_cols=["lang", "x"],
+        )
+    before = sorted(
+        (r.lang, r.x, r.pad) for r in t.read().collect()
+    )
+    v = t.compact(num_files=16, zorder_by=["lang", "x"], stats_cols=["lang", "x"])
+    after_df = t.read(version=v)
+    assert after_df.columns == ["lang", "x", "pad"]  # no surrogate leaked
+    assert sorted((r.lang, r.x, r.pad) for r in after_df.collect()) == before
+    # string slice prunes (single-value slice of a 16-value dim crosses
+    # several z-ranges — geometry bounds it well under all-16)
+    k_lang, total = t.pruned_file_count(v, ("lang", "lh", "lh"))
+    assert total == 16
+    assert k_lang <= 10, k_lang
+    # numeric co-dimension still prunes
+    k_x, _ = t.pruned_file_count(v, ("x", 20.0, 30.0))
+    assert k_x <= 10, k_x
+    # the baseline z-order beats: lexicographic sort on (x, lang) keeps
+    # EVERY file for the trailing string column
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(
+        spark.createDataFrame(rows, "lang string, x double, pad long"),
+        mode="overwrite",
+        stats_cols=["lang", "x"],
+    )
+    v2 = t2.compact(num_files=16, sort_by=["x", "lang"], stats_cols=["lang", "x"])
+    k_lex, _ = t2.pruned_file_count(v2, ("lang", "lh", "lh"))
+    assert k_lex == 16 and k_lang < k_lex
+
+
+def test_compact_zorder_string_cardinality_cap(spark, tmp_path):
+    """A string z-order column beyond 65,536 distinct values is a
+    loud contract error (cluster a numeric surrogate instead), not a
+    silent driver-side dictionary blow-up."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(70_000).selectExpr(
+            "CONCAT('v', LPAD(CAST(id AS STRING), 6, '0')) AS s", "id AS x"
+        ),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="exceeds 65536 distinct"):
+        t.compact(num_files=4, zorder_by=["s"])
