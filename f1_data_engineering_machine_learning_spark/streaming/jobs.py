@@ -946,6 +946,51 @@ def sample_ingest_stream(
     )
 
 
+def weighted_sample_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 1000,
+    group_cols: tuple[str, ...] = (),
+    app_id: str = "wsample-ingest",
+):
+    """Continuous WEIGHTED sample maintenance — the streaming twin of
+    ``dataops/sampling.py::weighted_sample`` (Efraimidis-Spirakis A-ES),
+    completing the sampling family's streaming column (uniform bottom-k
+    landed in r9). The A-ES sample key ``u^(1/w)`` is a pure function of
+    row content (Knuth-hash uniform from the integer key, weight from
+    the row), so top-k by it is MERGEABLE exactly like bottom-k:
+    ``topk(A ∪ B) == topk(topk(A) ∪ topk(B))``, each batch folds in
+    with k rows of state, and the maintained store equals the batch
+    weighted sample over everything ever ingested — bitwise, under the
+    same unique-key proviso as ``sample_ingest_stream`` (equal-score
+    ties at the k boundary, i.e. duplicate (key, weight) rows, cut
+    arbitrarily). ``group_cols`` maintains one weighted k-sample PER
+    GROUP. Rows with weight <= 0 are excluded (A-ES domain). Skeleton
+    contract: see ``_sketch_ingest_stream``."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        weighted_sample,
+    )
+
+    by = list(group_cols) or None
+
+    def _sample(df):
+        return weighted_sample(df, key_col, weight_col, k, by=by).drop(
+            "__skey"
+        )
+
+    return _sketch_ingest_stream(
+        items_stream,
+        store_path,
+        checkpoint_dir,
+        build=_sample,
+        merge=lambda stored, delta: _sample(stored.unionByName(delta)),
+        app_id=app_id,
+    )
+
+
 def distinct_bitmap_ingest_stream(
     items_stream: DataFrame,
     store_path: str,

@@ -678,3 +678,71 @@ def test_kmv_estimate_reads_off_maintained_sample_store(spark, tmp_path):
         solo_hist.n_seen,
         solo_hist.estimate,
     )
+
+
+def test_weighted_sample_ingest_stream_equals_batch(spark, tmp_path):
+    """The maintained A-ES weighted sample == the batch weighted sample
+    over everything ever ingested — BITWISE (the u^(1/w) key is pure
+    row content, so top-k by it merges like bottom-k) — both unkeyed
+    and per-group; zero/negative weights never enter."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        weighted_sample,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        weighted_sample_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 10 = 0 THEN 0.0 ELSE CAST(1 + id % 7 AS DOUBLE) END"
+            " AS weight",
+            "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang",
+        )
+
+    for lo, hi in [(0, 500), (500, 1200)]:
+        mk(lo, hi).write.mode("append").parquet(src)
+        weighted_sample_ingest_stream(
+            spark.readStream.schema(
+                "doc_id long, weight double, lang string"
+            ).parquet(src),
+            str(tmp_path / "s"),
+            str(tmp_path / "ck"),
+            k=40,
+        )
+        weighted_sample_ingest_stream(
+            spark.readStream.schema(
+                "doc_id long, weight double, lang string"
+            ).parquet(src),
+            str(tmp_path / "sg"),
+            str(tmp_path / "ckg"),
+            k=15,
+            group_cols=("lang",),
+        )
+
+    history = mk(0, 1200)
+    stored = {
+        r.doc_id for r in VersionedTable(spark, str(tmp_path / "s")).read().collect()
+    }
+    want = {
+        r.doc_id
+        for r in weighted_sample(history, "doc_id", "weight", 40).collect()
+    }
+    assert stored == want and len(stored) == 40
+    assert not any(d % 10 == 0 for d in stored)  # zero weights excluded
+    stored_g = {
+        (r.lang, r.doc_id)
+        for r in VersionedTable(spark, str(tmp_path / "sg")).read().collect()
+    }
+    want_g = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample(
+            history, "doc_id", "weight", 15, by=["lang"]
+        ).collect()
+    }
+    assert stored_g == want_g and len(stored_g) == 30
