@@ -5899,12 +5899,14 @@ def late_line_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "promo_revenue_share",
     """
-    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT CAST(100 AS DOUBLE)
+           * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l.l_discount AS DECIMAL(4,2))) END)
-                / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS promo_pct
+                  AS VARCHAR) AS DOUBLE) AS promo_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
       AND l.l_shipdate <  TIMESTAMP '1997-07-01'
@@ -5914,8 +5916,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue as a share of one month's total —
     numerator and denominator in ONE aggregation pass (conditional sum
     over the same join), never two scans. The month filter pushes down;
-    part broadcasts. Division order: exact decimal sums, one decimal
-    division, one cast — deterministic on both engines."""
+    part broadcasts. Division order: exact decimal sums, each cast to
+    double EXPLICITLY (JVM decimal->double is correctly rounded; the
+    oracle goes through VARCHAR so strtod correctly rounds too — at
+    sf1 the scaled sums exceed 2^53, where DuckDB's direct
+    decimal->double double-rounds off by 1 ulp, caught by the round-10
+    sf1 value sweep), then identical double arithmetic both engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -5929,10 +5935,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
-                / F.sum(rev)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double")
             )
-            .cast("double")
             .alias("promo_pct")
         )
     )
@@ -6858,7 +6863,8 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS v
       FROM base WHERE vec_id % 10 = 0
     ), allv AS (
-      SELECT * FROM base UNION ALL SELECT * FROM twins
+      SELECT vec_id, v, 'corpus' AS side FROM base
+      UNION ALL SELECT vec_id, v, 'batch' AS side FROM twins
     )
     SELECT t.vec_id AS batch_id, b.vec_id AS match_id,
            CAST(list_reduce(list_transform(list_zip(t.v, b.v),
@@ -6868,10 +6874,9 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * sqrt(list_reduce(list_transform(b.v, x -> x * x),
                                       (x, y) -> x + y)))
                 AS DOUBLE) AS cosine_sim,
-           CASE WHEN b.vec_id >= 10000000 THEN 'batch' ELSE 'corpus' END
-             AS match_side
+           b.side AS match_side
     FROM twins t JOIN allv b
-      ON (b.vec_id < 10000000 OR t.vec_id < b.vec_id)
+      ON (b.side = 'corpus' OR t.vec_id < b.vec_id)
      AND t.vec_id != b.vec_id
     WHERE CAST(list_reduce(list_transform(list_zip(t.v, b.v),
                                           p -> p[1] * p[2]), (x, y) -> x + y)

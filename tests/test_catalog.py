@@ -76,17 +76,17 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 9 rotates by EVIDENCE FRESHNESS per the r8
-    verdict's task 1: slots 1-3 are the full-oracle queries added after
-    the r8 gate ran (no driver row yet), slot 4 the f1_abt_fixture
-    carryover (r6-stale end-to-end F1 gate), slot 5 the new keyed
-    per-group CMS query, slots 6-48 the ENTIRE remaining r5-stale tier
-    (43 queries), slots 49-50 r6-stale picks pairing with round-9 work
-    (the unkeyed CMS twin, the multimodal bitwise path). Every gated
-    entry is value-oracle-paired; the one rows-only entry
-    (embedding_lsh_topk) sits just past the cutoff. Cumulatively,
-    rounds 1-8 hard-verified every catalog query except the rows-only
-    entry and the four post-r8-gate additions in slots 1-3 and 5."""
+    iteration order. Round 10 rotates by EVIDENCE FRESHNESS per the r9
+    verdict's task 1: slots 1-5 are the five full-oracle queries added
+    after the r9 gate ran (no driver row yet — the histogram-quantile
+    pair, the bottom-k sampling pair, the KMV estimate), slots 6-50 are
+    45 of the 46 remaining r6-stale queries taken alphabetically
+    (weighted_doc_sample spills to the r11 gate with the round-10
+    additions). Every gated entry is value-oracle-paired; the one
+    rows-only entry (embedding_lsh_topk) sits past the cutoff.
+    Cumulatively, rounds 1-9 hard-verified every catalog query except
+    the rows-only entry and the five post-r9-gate additions now in
+    slots 1-5."""
     import json
     import os
 
@@ -98,7 +98,7 @@ def test_gate_priority_queries_in_first_50():
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
     newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         p = f"CORRECTNESS_r0{r}.json"
         if os.path.exists(p):
             for q in json.load(open(p)):
@@ -106,47 +106,34 @@ def test_gate_priority_queries_in_first_50():
     for n in names[:50]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
     assert names[:5] == [
-        "doc_stratified_split_exact",
-        "lineitem_price_equidepth_hist_ranked",
-        "lineitem_quantity_percentiles_ranked",
-        "f1_abt_fixture",
-        "lang_token_cms_estimates",
+        "order_price_histogram_quantiles",
+        "priority_price_histogram_quantiles",
+        "doc_bottomk_sample",
+        "lang_bottomk_sample",
+        "doc_kmv_distinct_estimate",
     ]
-    for n in (names[0], names[1], names[2], names[4]):
+    for n in names[:5]:
         assert n not in newest, f"{n} in a never-gated slot but has a driver row"
-    assert newest.get("f1_abt_fixture") == 6  # the r7-verdict carryover
-    for n in names[5:48]:
-        assert newest.get(n) == 5, (
-            f"{n} in the r5-stale slots but its newest driver row is "
-            f"r{newest.get(n)}, not r5"
-        )
-    assert names[48:50] == ["token_cms_estimates", "doc_media_features"]
-    for n in names[48:50]:
-        assert newest.get(n) == 6, (
-            f"{n} in the r6-stale pairing slots but its newest driver row "
-            f"is r{newest.get(n)}, not r6"
-        )
-    # cumulative hard verification: rounds 1-8 covered everything except
-    # the documented rows-only entry, the four post-r8-gate additions
-    # now occupying the never-gated slots of the round-9 rotation, and
-    # the queries added after the r9 gate list was frozen — the
-    # histogram-quantile pair and the bottom-k sampling pair (full local
-    # 3-SF + ANSI evidence; queued for r10)
+    # slots 6-50: exactly the alphabetical r6-stale tier minus the spill
+    r6_tier = sorted(q for q, r in newest.items() if r == 6 and q in catalog._QUERIES)
+    assert names[5:50] == [q for q in r6_tier if q != "weighted_doc_sample"]
+    assert newest.get("weighted_doc_sample") == 6  # documented spill, r11 queue
+    # cumulative hard verification: rounds 1-9 covered everything except
+    # the documented rows-only entry, the five post-r9-gate additions
+    # now occupying slots 1-5, and the two round-10 additions (NFC
+    # fixture, grouped KMV — same-day selfcheck evidence, r11 queue)
     never = set(catalog._QUERIES) - set(newest)
     assert never == {
         "embedding_lsh_topk",
-        "doc_stratified_split_exact",
-        "lineitem_price_equidepth_hist_ranked",
-        "lineitem_quantity_percentiles_ranked",
-        "lang_token_cms_estimates",
         "order_price_histogram_quantiles",
         "priority_price_histogram_quantiles",
         "doc_bottomk_sample",
         "doc_kmv_distinct_estimate",
         "lang_bottomk_sample",
+        "nfc_normalized_fixture",
+        "lang_kmv_distinct_estimates",
     }, never
     assert "embedding_lsh_topk" not in names[:50]
-    assert names[50] == "embedding_lsh_topk"
 
 
 def test_variant_nested_typed_extraction(spark):

@@ -58,14 +58,27 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from f1_data_engineering_machine_learning_spark.session import build_session
 
-    spark = build_session(app_name="selfcheck")
+    # maxResultSize is a HARNESS knob, not an engine one: the value
+    # compare collects full results to pandas, and derived-sf1 pair
+    # queries legitimately return ~100x rows (content-duplicated
+    # copies), tripping the 1g default mid-sweep. Must be set at
+    # session build (immutable at runtime).
+    spark = build_session(
+        app_name="selfcheck",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     if ansi:
         spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duckdb.connect()
     for t in TABLES:
+        # a table may be a single file (driver testdata) or a
+        # Spark-written DIRECTORY of part files (derived sf1) — glob
+        # the directory form for DuckDB; Spark reads either natively
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{src}')"
         )
 
     qs = entrymod.queries()
