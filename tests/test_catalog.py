@@ -76,64 +76,77 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 10 rotates by EVIDENCE FRESHNESS per the r9
-    verdict's task 1: slots 1-5 are the five full-oracle queries added
-    after the r9 gate ran (no driver row yet — the histogram-quantile
-    pair, the bottom-k sampling pair, the KMV estimate), slots 6-50 are
-    45 of the 46 remaining r6-stale queries taken alphabetically
-    (weighted_doc_sample spills to the r11 gate with the round-10
-    additions). Every gated entry is value-oracle-paired; the one
-    rows-only entry (embedding_lsh_topk) sits past the cutoff.
-    Cumulatively, rounds 1-9 hard-verified every catalog query except
-    the rows-only entry and the five post-r9-gate additions now in
-    slots 1-5."""
+    iteration order. Round 11 rotates by EVIDENCE FRESHNESS per the r10
+    verdict's task 1, and — closing its task 6 — the rotation is now
+    MACHINE-DERIVED: GATE_BASIS_r11.json snapshots, for every oracled
+    query in the catalog at rotation time, the newest driver round with
+    a CORRECTNESS row (0 = never gated). The intended gate is exactly
+    the first 50 of that basis sorted by (last_round, name). This test
+    (a) re-validates the basis file against the committed
+    CORRECTNESS_r01..r10.json files, (b) recomputes the gate from the
+    basis and asserts ``_GATE_PRIORITY`` matches, and (c) asserts the
+    gate occupies iteration positions 0-49 of ``queries()`` — so a
+    hand-editing mistake can no longer silently waste a round of driver
+    evidence. Queries added AFTER the rotation are deliberately outside
+    the basis (they queue for the r12 gate, the standing convention)."""
+    import glob
     import json
-    import os
+    import re
 
     from f1_data_engineering_machine_learning_spark import catalog
 
-    names = list(catalog.queries())
+    basis_doc = json.load(open("GATE_BASIS_r11.json"))
+    basis = basis_doc["basis"]
+    n_slots = basis_doc["n_slots"]
+    assert n_slots == 50
+
+    # (a) the basis must agree with the committed driver evidence
+    newest: dict[str, int] = {}
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        r = int(re.search(r"r(\d+)", p).group(1))
+        if r >= basis_doc["round"]:
+            continue  # evidence produced after this rotation
+        for q in json.load(open(p)):
+            newest[q] = max(newest.get(q, 0), r)
     oracles = catalog.oracle_sql()
+    for q, r in basis.items():
+        assert q in oracles, f"basis entry {q} is not an oracled query"
+        assert newest.get(q, 0) == r, f"basis says r{r} for {q}, files say r{newest.get(q, 0)}"
+    # every oracled query present at rotation time is in the basis;
+    # post-rotation additions (r12 queue) are the only permitted gap
+    for q in newest:
+        if q in oracles:
+            assert q in basis, f"{q} has driver evidence but is missing from the basis"
+
+    # (b) the gate is the first 50 of the basis by (staleness, name)
+    expected = sorted(basis, key=lambda n: (basis[n], n))[:n_slots]
+    assert catalog._GATE_PRIORITY[:n_slots] == expected, (
+        "gate drifted from the staleness basis: "
+        f"{set(catalog._GATE_PRIORITY[:n_slots]) ^ set(expected)}"
+    )
+
+    # (c) the gate occupies iteration positions 0..49 and every gated
+    # entry is a full value oracle
+    names = list(catalog.queries())
     for i, n in enumerate(catalog._GATE_PRIORITY):
         assert n in catalog._QUERIES, f"{n} not registered"
         assert names.index(n) == i, f"{n} not at iteration position {i}"
-    newest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        p = f"CORRECTNESS_r0{r}.json"
-        if os.path.exists(p):
-            for q in json.load(open(p)):
-                newest[q] = r
-    for n in names[:50]:
+    for n in names[:n_slots]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
-    assert names[:5] == [
-        "order_price_histogram_quantiles",
-        "priority_price_histogram_quantiles",
-        "doc_bottomk_sample",
-        "lang_bottomk_sample",
-        "doc_kmv_distinct_estimate",
-    ]
-    for n in names[:5]:
-        assert n not in newest, f"{n} in a never-gated slot but has a driver row"
-    # slots 6-50: exactly the alphabetical r6-stale tier minus the spill
-    r6_tier = sorted(q for q, r in newest.items() if r == 6 and q in catalog._QUERIES)
-    assert names[5:50] == [q for q in r6_tier if q != "weighted_doc_sample"]
-    assert newest.get("weighted_doc_sample") == 6  # documented spill, r11 queue
-    # cumulative hard verification: rounds 1-9 covered everything except
-    # the documented rows-only entry, the five post-r9-gate additions
-    # now occupying slots 1-5, and the two round-10 additions (NFC
-    # fixture, grouped KMV — same-day selfcheck evidence, r11 queue)
-    never = set(catalog._QUERIES) - set(newest)
-    assert never == {
-        "embedding_lsh_topk",
-        "order_price_histogram_quantiles",
-        "priority_price_histogram_quantiles",
-        "doc_bottomk_sample",
-        "doc_kmv_distinct_estimate",
-        "lang_bottomk_sample",
+    assert "embedding_lsh_topk" not in names[:n_slots]
+    # slots 1-3 are the r10 verdict's prescribed head: the two round-10
+    # post-gate additions plus the weighted_doc_sample spill
+    assert set(names[:3]) == {
         "nfc_normalized_fixture",
         "lang_kmv_distinct_estimates",
-    }, never
-    assert "embedding_lsh_topk" not in names[:50]
+        "weighted_doc_sample",
+    }
+    # cumulative: after a green r11 gate only the rows-only entry and
+    # post-rotation additions lack driver evidence
+    ungated = {q for q in catalog._QUERIES if newest.get(q, 0) == 0}
+    assert ungated - set(names[:n_slots]) - {"embedding_lsh_topk"} <= (
+        set(catalog._QUERIES) - set(basis)
+    )
 
 
 def test_variant_nested_typed_extraction(spark):
