@@ -47,14 +47,24 @@ def main() -> None:
     # its per-query warm comparator feeds the mover re-time rule below,
     # closing the round-9 blind spot where a query drifting under the
     # absolute re-time threshold (bigram_collocations, 1.08 -> 1.92 s)
-    # was never warm-verified.
+    # was never warm-verified. Round 11 hardens the comparator per the
+    # r10 verdict: instead of the LATEST run's warm times (whose first
+    # run may itself have been a sub-threshold JIT spike, inflating the
+    # comparator — cheapest_supplier_per_part slid at 1.503x vs the r9
+    # canonical because the interim comparator read 1.493 instead of
+    # 1.361), the file now carries ``warm_floor``: the per-query MINIMUM
+    # warm time over ALL recorded runs. A floor can only ratchet down,
+    # so a spike in one run can never mask a later regression; a query
+    # that trips the mover rule every round against its floor is a
+    # CONFIRMED regression to settle in PERF.md, not noise.
     prev_warm: dict[str, float] = {}
     try:
         prev = json.loads((REPO / "bench_full.json").read_text())
         prev_r = prev.get("rerun_best", {})
-        prev_warm = {
-            n: prev_r.get(n, t) for n, t in prev.get("queries", {}).items()
-        }
+        prev_warm = dict(prev.get("warm_floor", {}))
+        for n, t in prev.get("queries", {}).items():
+            w = min(t, prev_r.get(n, t))
+            prev_warm[n] = min(prev_warm.get(n, w), w)
     except Exception:  # noqa: BLE001 - first run / corrupt file: no comparator
         pass
 
@@ -152,7 +162,12 @@ def main() -> None:
     warm_total = round(
         sum(rerun_best.get(n, t) for n, t in timings.items()), 3
     )
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # All-history per-query warm floor (see comparator note above):
+    # min of the carried-forward floor and this run's warm time.
+    warm_floor = {
+        n: round(min(prev_warm.get(n, t), rerun_best.get(n, t), t), 3)
+        for n, t in timings.items()
+    }
     full = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -165,27 +180,47 @@ def main() -> None:
         "rerun_best": rerun_best,
         "jit_spikes": jit_spikes,
         "movers_retimed": movers,
+        "warm_floor": warm_floor,
     }
     if warmup_at_full_scale:
         full["warmup_at_full_scale"] = True
     if errors:
         full["errors"] = errors
     (REPO / "bench_full.json").write_text(json.dumps(full, indent=1))
-    payload = {
-        "metric": "catalog_total_runtime",
-        "value": total,
-        "warm_total": warm_total,
-        "unit": "sec",
-        "queries": slowest,
-        "n": len(timings),
-        "n_errors": len(errors),
-        "sf": sf,
-        "rerun_best": {n: rerun_best[n] for n in slowest if n in rerun_best},
-        "jit_spikes": jit_spikes,
-    }
-    if warmup_at_full_scale:
-        payload["warmup_at_full_scale"] = True
-    print(json.dumps(payload))
+    # The printed line must stay WELL under the driver's 2,000-char
+    # stdout-tail capture or the head of the JSON (metric/value/
+    # warm_total) is truncated and the round records "parsed": null —
+    # exactly what happened in round 10, when 50 jit_spike names pushed
+    # the line past the window. Lists are therefore capped to counts +
+    # a few names, and a shrink loop drops query entries until the
+    # serialized line fits with margin.
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    while True:
+        slowest = dict(top)
+        payload = {
+            "metric": "catalog_total_runtime",
+            "value": total,
+            "warm_total": warm_total,
+            "unit": "sec",
+            "queries": slowest,
+            "n": len(timings),
+            "n_errors": len(errors),
+            "sf": sf,
+            "rerun_best": {
+                n: rerun_best[n] for n in slowest if n in rerun_best
+            },
+            "n_jit_spikes": len(jit_spikes),
+            "jit_spikes_head": jit_spikes[:3],
+            "n_movers_retimed": len(movers),
+            "movers_head": movers[:3],
+        }
+        if warmup_at_full_scale:
+            payload["warmup_at_full_scale"] = True
+        line = json.dumps(payload)
+        if len(line) <= 1500 or not top:
+            break
+        top = top[:-1]
+    print(line)
 
 
 if __name__ == "__main__":
