@@ -5433,10 +5433,19 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.is_uni", "p.w1", "p.w2")
+    # localCheckpoint, not persist: the four consumers below live in ONE
+    # returned (lazy) plan, so there is no post-action seam inside this
+    # function to unpersist from — a persist() here would stay resident
+    # until session end for every caller that doesn't clearCache()
+    # (bench reruns, 200-query selfcheck sweeps). The lazy local
+    # checkpoint materializes the counts once on first use exactly like
+    # the persist did, but the blocks belong to the checkpointed RDD,
+    # which the ContextCleaner frees as soon as the returned DataFrame
+    # is garbage-collected — harness-releasable, no cache-manager entry.
     counts = (
         pairs.groupBy("is_uni", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     bgc = counts.filter(F.col("is_uni") == 0).select(
         "w1", "w2", F.col("n").alias("n_xy")

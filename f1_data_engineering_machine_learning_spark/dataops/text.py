@@ -10,6 +10,10 @@ UDFs.
 
 from __future__ import annotations
 
+# Module-level on purpose: pandas is a declared HARD dependency of this
+# package (pyproject.toml [project].dependencies, "pandas>=2.0" — PySpark
+# itself requires it for every Arrow/pandas-UDF path), so deferring the
+# import would only hide a broken environment until first UDF call.
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

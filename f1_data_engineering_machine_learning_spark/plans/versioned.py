@@ -743,11 +743,16 @@ class VersionedTable:
         same columns. The z key is a transient column — computed for the
         exchange + in-file sort, dropped before write. STRING columns
         are supported via a lex-sorted dictionary-rank surrogate
-        (broadcast-joined dense rank, <= 65,536 distinct values): files
-        then hold contiguous lexicographic ranges of the string column,
-        which is exactly the form the manifest's min/max skipping
-        prunes — the (lang, score) / (source, day) clustering shape of
-        a training-data lake.
+        (broadcast-joined dense rank while <= 65,536 distinct values;
+        above that, sampled lex-quantile boundaries — 256 equi-depth
+        buckets from a deterministic hash-ordered sample, no full
+        dictionary): either way files hold contiguous lexicographic
+        ranges of the string column, which is exactly the form the
+        manifest's min/max skipping prunes — the (lang, score) /
+        (source, day) / (url_host, day) clustering shape of a
+        training-data lake. NULL strings take sentinel rank -1, so
+        NULL-keyed rows collapse deterministically into the z-low
+        files.
 
         ``zorder_quantize``: ``"linear"`` (default — one min/max agg,
         right for roughly-uniform columns) or ``"rank"`` — per-column
@@ -807,6 +812,7 @@ class VersionedTable:
                 if dtypes.get(zc) != "string":
                     continue
                 cap = 65_536
+                sname = f"__zdict_{zi}"
                 vals = [
                     r[0]
                     for r in df.select(zc)
@@ -817,19 +823,68 @@ class VersionedTable:
                     .collect()
                 ]
                 if len(vals) > cap:
-                    raise ValueError(
-                        f"zorder_by string column {zc!r} exceeds {cap} "
-                        "distinct values; z-order a numeric surrogate "
-                        "(e.g. xxhash64 bucket) instead"
+                    # HIGH-CARDINALITY FALLBACK (round-11): above the
+                    # exact-dictionary cap (URL hosts, doc sources at
+                    # 100 TB), rank by SAMPLED LEX QUANTILES instead of
+                    # erroring — same contiguous-lex-range file layout,
+                    # no full dictionary. A deterministic hash-ordered
+                    # top-k (bounded driver collect, 64k rows; in-sample
+                    # multiplicity tracks row frequency, so boundaries
+                    # approximate equi-DEPTH cuts) yields up to 255
+                    # boundary strings; the surrogate is the per-row
+                    # boundary count via the same F.aggregate fold
+                    # zorder_key_ranked uses — constant expression
+                    # size, pure JVM, 256 buckets of ~equal mass. Files
+                    # still hold contiguous lex ranges (bucket order IS
+                    # lex order), which manifest min/max skipping
+                    # prunes; resolution is 256 buckets rather than
+                    # exact ranks — ample next to any realistic
+                    # num_files.
+                    samp = sorted(
+                        r[0]
+                        for r in df.select(zc)
+                        .filter(F.col(zc).isNotNull())
+                        .orderBy(F.xxhash64(F.col(zc)), F.col(zc))
+                        .limit(cap)
+                        .collect()
                     )
-                sname = f"__zdict_{zi}"
-                dim = df.sparkSession.createDataFrame(
-                    [(v, i) for i, v in enumerate(vals)],
-                    f"{zc} string, {sname} long",
-                )
-                df = df.join(F.broadcast(dim), on=zc, how="left").select(
-                    *orig_cols, *surrogates, sname
-                )
+                    n_b = 255
+                    bnds = sorted(
+                        {
+                            samp[(i + 1) * len(samp) // (n_b + 1)]
+                            for i in range(n_b)
+                        }
+                    )
+                    arr = F.array(*[F.lit(b) for b in bnds])
+                    bucket = F.aggregate(
+                        arr,
+                        F.lit(0).cast("long"),
+                        lambda acc, b: acc
+                        + F.when(b <= F.col(zc), 1).otherwise(0),
+                    )
+                    df = df.withColumn(
+                        sname,
+                        F.when(F.col(zc).isNull(), F.lit(-1)).otherwise(
+                            bucket
+                        ),
+                    )
+                else:
+                    dim = df.sparkSession.createDataFrame(
+                        [(v, i) for i, v in enumerate(vals)],
+                        f"{zc} string, {sname} long",
+                    )
+                    df = df.join(F.broadcast(dim), on=zc, how="left").select(
+                        *orig_cols, *surrogates, sname
+                    )
+                    # NULL strings are absent from the dictionary; the
+                    # left join leaves their surrogate NULL. Map them to
+                    # sentinel rank -1 so NULL-keyed rows deterministically
+                    # collapse into the z-low end (below every real rank)
+                    # instead of riding the quantizer's undefined NULL->0
+                    # path — mirroring bottomk_sample's NULL note.
+                    df = df.withColumn(
+                        sname, F.coalesce(F.col(sname), F.lit(-1))
+                    )
                 surrogates.append(sname)
                 eff_zorder[zi] = sname
             if zorder_quantize == "rank":

@@ -87,3 +87,41 @@ def test_triangle_count_hub_graph_and_partition_invariance(spark):
     a = {(r.node, r.n_triangles) for r in triangle_count(df.repartition(7)).collect()}
     b = {(r.node, r.n_triangles) for r in triangle_count(df.repartition(2)).collect()}
     assert a == b == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_triangle_count_disjoint_shifted_copies(spark):
+    """The lemma behind the sf1 value verification of
+    copurchase_triangles (tools/verify_triangles_sf1.py): the sf1
+    derivation is disjoint id-SHIFTED copies of the base tables, no
+    edge crosses copies, and triangle counting is a per-component
+    property — so triangles(union of shifted copies) must equal the
+    shifted union of triangles(base), exactly."""
+    import random
+
+    from f1_data_engineering_machine_learning_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(31)
+    base = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    base = [(u, v) for u, v in base if u != v]
+    df = spark.createDataFrame(base, ["src", "dst"])
+    base_counts = {
+        (r.node, r.n_triangles) for r in triangle_count(df).collect()
+    }
+    offset, copies = 1_000, 3
+    shifted = [
+        (u + i * offset, v + i * offset)
+        for i in range(copies)
+        for u, v in base
+    ]
+    got = {
+        (r.node, r.n_triangles)
+        for r in triangle_count(
+            spark.createDataFrame(shifted, ["src", "dst"])
+        ).collect()
+    }
+    expected = {
+        (n + i * offset, t) for n, t in base_counts for i in range(copies)
+    }
+    assert got == expected

@@ -177,3 +177,67 @@ def test_keyed_sample_stream_soak_1000_groups(spark, tmp_path):
     assert per_group.count() == soak_streams.SAMPLE_GROUPS
     assert per_group.filter(F.col("count") != k).count() == 0
     assert store.count() == soak_streams.SAMPLE_GROUPS * k
+
+
+def test_weighted_sample_stream_soak_state_exactly_k(spark, tmp_path):
+    """Weighted A-ES sample soak (round-10 verdict item 4): 100+
+    batches through weighted_sample_ingest_stream. Asserts trend-flat
+    per-batch cost, state exactly k rows, and the headline merge
+    contract at soak depth: the maintained store bitwise-equals the
+    one-shot batch weighted sample over EVERYTHING ever ingested (the
+    u^(1/w) key is pure row content, so top-k merges losslessly)."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        weighted_sample,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    r = _soak(spark, tmp_path, "wsample", docs_per_batch=40)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = VersionedTable(spark, str(tmp_path / "store_wsample")).read()
+    assert store.count() == 100  # k
+    history = spark.read.parquet(str(tmp_path / "src_wsample"))
+    expected = weighted_sample(history, "doc_id", "weight", 100).drop("__skey")
+    got = {(row.doc_id, row.weight) for row in store.collect()}
+    want = {(row.doc_id, row.weight) for row in expected.collect()}
+    assert got == want
+
+
+def test_weighted_keyed_sample_stream_soak_1000_groups(spark, tmp_path):
+    """Per-group WEIGHTED sample maintenance at real stratification
+    width: 1,000 groups x k=4 over 100+ batches. Asserts trend-flat
+    per-batch cost, the groups-x-k state formula, and full-history
+    bitwise equivalence to the batch per-group weighted sample."""
+    import pyspark.sql.functions as F
+
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        weighted_sample,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    r = _soak(spark, tmp_path, "wsample-keyed", docs_per_batch=500)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = VersionedTable(spark, str(tmp_path / "store_wsample-keyed")).read()
+    k = soak_streams.SAMPLE_K
+    per_group = store.groupBy("grp").count()
+    history = spark.read.parquet(str(tmp_path / "src_wsample-keyed"))
+    # state formula: one entry per TOUCHED group, min(k, group rows) each
+    touched = history.select("grp").distinct().count()
+    assert per_group.count() == touched
+    assert per_group.filter(F.col("count") > k).count() == 0
+    if N_BATCHES >= 100:
+        # 50k rows over 1,000 groups: every group sees >= k rows
+        # w.h.p., so the store is exactly groups x k
+        assert touched == soak_streams.SAMPLE_GROUPS
+        assert store.count() == soak_streams.SAMPLE_GROUPS * k
+    expected = weighted_sample(
+        history, "doc_id", "weight", k, by=["grp"]
+    ).drop("__skey")
+    got = {(row.grp, row.doc_id, row.weight) for row in store.collect()}
+    want = {(row.grp, row.doc_id, row.weight) for row in expected.collect()}
+    assert got == want

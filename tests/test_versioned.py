@@ -1038,18 +1038,54 @@ def test_compact_zorder_string_column_dictionary_rank(spark, tmp_path):
     assert k_lex == 16 and k_lang < k_lex
 
 
-def test_compact_zorder_string_cardinality_cap(spark, tmp_path):
-    """A string z-order column beyond 65,536 distinct values is a
-    loud contract error (cluster a numeric surrogate instead), not a
-    silent driver-side dictionary blow-up."""
-    import pytest
-
+def test_compact_zorder_string_high_cardinality_sampled_boundaries(spark, tmp_path):
+    """A string z-order column beyond 65,536 distinct values (round-11:
+    previously a hard error) falls back to sampled lex-quantile
+    boundaries — 256 equi-depth buckets from a deterministic
+    hash-ordered sample, no full dictionary. The compacted files must
+    still (a) hold every row with the exact table schema and (b) hold
+    contiguous lex ranges, so a narrow string-range probe prunes most
+    files — the url-host / doc-source clustering case a 100 TB table
+    actually has."""
     t = VersionedTable(spark, str(tmp_path / "t"))
     t.commit(
         spark.range(70_000).selectExpr(
             "CONCAT('v', LPAD(CAST(id AS STRING), 6, '0')) AS s", "id AS x"
         ),
         mode="overwrite",
+        stats_cols=["s"],
     )
-    with pytest.raises(ValueError, match="exceeds 65536 distinct"):
-        t.compact(num_files=4, zorder_by=["s"])
+    v = t.compact(num_files=16, zorder_by=["s"], stats_cols=["s"])
+    after = t.read(version=v)
+    assert after.columns == ["s", "x"]  # no surrogate leaked
+    assert after.count() == 70_000
+    assert after.selectExpr("count(DISTINCT s) AS d").first().d == 70_000
+    # a ~5% lex slice must prune well below all-16 (contiguous ranges)
+    k, total = t.pruned_file_count(v, ("s", "v010000", "v013499"))
+    assert total == 16
+    assert k <= 3, k
+
+
+def test_compact_zorder_string_null_sentinel_rank(spark, tmp_path):
+    """NULL values in a string z-order column (round-11, advisory fix):
+    the dictionary join must not leave a NULL surrogate/z-key — NULLs
+    take sentinel rank -1, below every real rank, so they survive the
+    rewrite and collapse deterministically into the z-low files."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"l{i % 8}", float(i)) for i in range(800)]
+    rows += [(None, float(i)) for i in range(100)]
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(rows, "lang string, x double"),
+        mode="overwrite",
+        stats_cols=["lang", "x"],
+    )
+    v = t.compact(num_files=8, zorder_by=["lang", "x"], stats_cols=["lang", "x"])
+    after = t.read(version=v)
+    assert after.count() == 900
+    assert after.filter(F.col("lang").isNull()).count() == 100
+    # content identical, incl. the NULL-keyed rows' payloads
+    keyf = lambda p: (p[0] is not None, p[0] or "", p[1])  # noqa: E731
+    got = sorted(((r.lang, r.x) for r in after.collect()), key=keyf)
+    assert got == sorted(rows, key=keyf)

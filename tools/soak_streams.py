@@ -28,6 +28,13 @@ trend ratio — the evidence that per-batch cost is bounded by BATCH size
 - ``sample-keyed`` — sample_ingest_stream(group_cols=) at 1,000 groups
   x k=4 (store <=4,000 rows): per-group maintained samples at real
   stratification width.
+- ``wsample``      — weighted_sample_ingest_stream (Efraimidis-Spirakis
+  A-ES weighted sample, k=100): the u^(1/w) sample key is pure row
+  content, so the maintained store bitwise-equals the batch weighted
+  sample over all history; state is exactly k rows.
+- ``wsample-keyed`` — weighted_sample_ingest_stream(group_cols=) at
+  1,000 groups x k=4: per-group maintained WEIGHTED samples (round-10
+  verdict item 4's soak sibling).
 
 Usage:
     python tools/soak_streams.py --mode dedup --batches 120 \
@@ -300,6 +307,45 @@ def _run_soak_inner(
         )
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode in ("wsample", "wsample-keyed"):
+        from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+            weighted_sample_ingest_stream,
+        )
+
+        keyed = mode == "wsample-keyed"
+        schema = "doc_id long, weight double" + (
+            ", grp string" if keyed else ""
+        )
+        rng = random.Random(29)
+        doc_id = 0
+        batches = []
+        for _ in range(n_batches):
+            b = []
+            for _ in range(docs_per_batch):
+                row = (doc_id, rng.uniform(0.1, 10.0))
+                if keyed:
+                    row += (f"g{rng.randrange(SAMPLE_GROUPS):04d}",)
+                b.append(row)
+                doc_id += 1
+            batches.append(b)
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = weighted_sample_ingest_stream(
+            stream,
+            store,
+            ckpt,
+            key_col="doc_id",
+            weight_col="weight",
+            k=SAMPLE_K if keyed else 100,
+            group_cols=("grp",) if keyed else (),
+        )
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     elif mode == "sample-keyed":
         # 1,000 groups x k=4 per-group samples: store bounded at 4k rows
         schema = "doc_id long, grp string"
@@ -351,7 +397,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
                     choices=["dedup", "neardup", "cms", "bitmap", "sample",
-                             "hist-keyed", "sample-keyed"])
+                             "hist-keyed", "sample-keyed",
+                             "wsample", "wsample-keyed"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
