@@ -1089,3 +1089,40 @@ def test_compact_zorder_string_null_sentinel_rank(spark, tmp_path):
     keyf = lambda p: (p[0] is not None, p[0] or "", p[1])  # noqa: E731
     got = sorted(((r.lang, r.x) for r in after.collect()), key=keyf)
     assert got == sorted(rows, key=keyf)
+
+
+def test_compact_zorder_string_fallback_nulls_and_skew(spark, tmp_path):
+    """The sampled-boundary fallback under its two hostile inputs at
+    once: NULL strings (must take sentinel rank -1 and survive) and a
+    heavy-hitter value holding ~half the rows (the hash-ordered sample
+    is frequency-weighted, so boundary dedup collapses around the hot
+    value — bucketing must stay correct, merely coarser there)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(140_000).selectExpr(
+            # ids 0..69,999 -> 70k distinct (over the cap); the rest all
+            # collapse onto one hot value; every 70th row NULL
+            "CASE WHEN id % 70 = 69 THEN NULL "
+            "WHEN id < 70000 THEN CONCAT('v', LPAD(CAST(id AS STRING), 6, '0')) "
+            "ELSE 'hot-value' END AS s",
+            "id AS x",
+        ),
+        mode="overwrite",
+        stats_cols=["s"],
+    )
+    total_rows = 140_000
+    n_null = 140_000 // 70
+    v = t.compact(num_files=16, zorder_by=["s"], stats_cols=["s"])
+    after = t.read(version=v)
+    assert after.count() == total_rows
+    assert after.filter(F.col("s").isNull()).count() == n_null
+    assert (
+        after.filter(F.col("s") == "hot-value").count()
+        == 70_000 - 70_000 // 70
+    )
+    # a narrow lex slice still prunes despite the skewed sample
+    k, total = t.pruned_file_count(v, ("s", "v010000", "v013499"))
+    assert total == 16
+    assert k <= 4, k
