@@ -54,9 +54,13 @@ def main() -> None:
     # canonical because the interim comparator read 1.493 instead of
     # 1.361), the file now carries ``warm_floor``: the per-query MINIMUM
     # warm time over ALL recorded runs. A floor can only ratchet down,
-    # so a spike in one run can never mask a later regression; a query
-    # that trips the mover rule every round against its floor is a
-    # CONFIRMED regression to settle in PERF.md, not noise.
+    # so a spike in one run can never mask a later regression. Read
+    # trips with the box state in mind: a contended run re-times many
+    # queries whose WARM times also sit above floor (measured round 11:
+    # 28 movers on the noisy run, none >=1.5x-floor-with->0.5s-excess
+    # on the same-code quiet run) — a regression is confirmed only when
+    # the QUIET-box canonical runs trip the floor round after round;
+    # settle those in PERF.md.
     prev_warm: dict[str, float] = {}
     try:
         prev = json.loads((REPO / "bench_full.json").read_text())
