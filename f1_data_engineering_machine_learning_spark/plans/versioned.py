@@ -752,7 +752,11 @@ class VersionedTable:
         (source, day) / (url_host, day) clustering shape of a
         training-data lake. NULL strings take sentinel rank -1, so
         NULL-keyed rows collapse deterministically into the z-low
-        files.
+        files. DATE / TIMESTAMP columns z-order through an
+        order-preserving epoch surrogate (``unix_date`` /
+        ``unix_micros``, pure JVM); NULL dates keep the quantizer's
+        NULL->bucket-0 semantics and isoformat manifest stats prune the
+        original column unchanged.
 
         ``zorder_quantize``: ``"linear"`` (default — one min/max agg,
         right for roughly-uniform columns) or ``"rank"`` — per-column
@@ -809,10 +813,31 @@ class VersionedTable:
             eff_zorder = list(zorder_by)
             surrogates: list[str] = []
             for zi, zc in enumerate(eff_zorder):
-                if dtypes.get(zc) != "string":
+                dt = dtypes.get(zc)
+                sname = f"__zdict_{zi}"
+                # DATE/TIMESTAMP z-order columns (round-11): the (source,
+                # day) layout is THE canonical lake clustering shape, but
+                # date types don't cast to double for the quantizer —
+                # attach the order-preserving epoch surrogate instead
+                # (days / microseconds since epoch, pure JVM). NULLs keep
+                # zorder_key's existing NULL->bucket-0 semantics; manifest
+                # min/max pruning on the original column is unaffected
+                # (isoformat strings compare in date order).
+                if dt == "date":
+                    df = df.withColumn(sname, F.unix_date(F.col(zc)))
+                    surrogates.append(sname)
+                    eff_zorder[zi] = sname
+                    continue
+                if dt is not None and dt.startswith("timestamp"):
+                    df = df.withColumn(
+                        sname, F.unix_micros(F.col(zc).cast("timestamp"))
+                    )
+                    surrogates.append(sname)
+                    eff_zorder[zi] = sname
+                    continue
+                if dt != "string":
                     continue
                 cap = 65_536
-                sname = f"__zdict_{zi}"
                 vals = [
                     r[0]
                     for r in df.select(zc)

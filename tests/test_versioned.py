@@ -1126,3 +1126,41 @@ def test_compact_zorder_string_fallback_nulls_and_skew(spark, tmp_path):
     k, total = t.pruned_file_count(v, ("s", "v010000", "v013499"))
     assert total == 16
     assert k <= 4, k
+
+
+def test_compact_zorder_date_and_timestamp_columns(spark, tmp_path):
+    """Z-order over DATE / TIMESTAMP columns (round-11): the (source,
+    day) layout is the canonical lake clustering shape, but date types
+    don't cast to double for the Morton quantizer — an epoch surrogate
+    (unix_date / unix_micros, order-preserving) must make both a date
+    AND its numeric co-dimension prune, NULL dates must survive with
+    zorder_key's NULL->bucket-0 semantics, and the rewrite must restore
+    the exact schema."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(2000).select(
+        F.expr(
+            "CASE WHEN id % 100 = 99 THEN CAST(NULL AS DATE) "
+            "ELSE date_add(DATE'2024-01-01', CAST(id % 365 AS INT)) END"
+        ).alias("day"),
+        F.expr(
+            "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS LONG))"
+        ).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    t.commit(df, mode="overwrite", stats_cols=["day", "x"])
+    v = t.compact(
+        num_files=8, zorder_by=["day", "x"], stats_cols=["day", "x"]
+    )
+    after = t.read(version=v)
+    assert after.columns == ["day", "ts", "x"]  # no surrogate leaked
+    assert after.count() == 2000
+    assert after.filter(F.col("day").isNull()).count() == 20
+    # both clustered dimensions prune on narrow slices
+    k_day, total = t.pruned_file_count(v, ("day", "2024-02-01", "2024-02-15"))
+    k_x, _ = t.pruned_file_count(v, ("x", 10.0, 20.0))
+    assert total == 8 and k_day < 8 and k_x < 8, (k_day, k_x)
+    # timestamp z-order column alone: epoch-micros surrogate path
+    v2 = t.compact(num_files=4, zorder_by=["ts"], stats_cols=["ts"])
+    assert t.read(version=v2).count() == 2000
