@@ -275,9 +275,15 @@ class VersionedTable:
             src = os.path.join(stage, f)
             md = pq.ParquetFile(src).metadata
             n_rows += md.num_rows
+            # "__rows" (reserved key — never a real column) makes the
+            # per-file row count part of the manifest, so maintenance
+            # commits (replace_where / merge_upsert) can account for
+            # carried-over files from METADATA instead of re-scanning
+            # them — at 100 TB a daily slice reload must not count the
+            # whole table to fill in n_rows.
+            fstats: dict[str, object] = {"__rows": md.num_rows}
             if stats_cols:
                 col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                fstats: dict[str, dict] = {}
                 for c in stats_cols:
                     if c not in col_idx:
                         continue
@@ -292,8 +298,7 @@ class VersionedTable:
                         hi = mx if hi is None or mx > hi else hi
                     if lo is not None:
                         fstats[c] = {"min": _jsonable(lo), "max": _jsonable(hi)}
-                if fstats:
-                    stats[name] = fstats
+            stats[name] = fstats
             os.replace(src, os.path.join(self._ddir, name))
             names.append(name)
         import shutil
@@ -514,6 +519,21 @@ class VersionedTable:
         ]
         return len(kept), len(m["files"])
 
+    def _kept_rows(self, keep: list, stats: dict) -> int:
+        """Row total of carried-over files, from manifest metadata when
+        every file carries the "__rows" footer count (all tables written
+        since round 11), falling back to one Spark count for manifests
+        predating it — maintenance commits must not re-scan untouched
+        data at 100 TB just to fill in ``n_rows``."""
+        if not keep:
+            return 0
+        rows = [stats.get(f, {}).get("__rows") for f in keep]
+        if all(r is not None for r in rows):
+            return sum(rows)
+        return self.spark.read.parquet(
+            *[os.path.join(self._ddir, f) for f in keep]
+        ).count()
+
     def replace_where(
         self,
         df: DataFrame,
@@ -580,9 +600,7 @@ class VersionedTable:
                 rw_names, rw_rows, rw_stats = self._write_data_files(
                     remainder, s_cols
                 )
-            kept_rows = self.spark.read.parquet(
-                *[os.path.join(self._ddir, f) for f in keep]
-            ).count() if keep else 0
+            kept_rows = self._kept_rows(keep, stats)
             files = keep + rw_names + new_names
             all_stats = {
                 **{f: stats[f] for f in keep if f in stats},
@@ -669,13 +687,7 @@ class VersionedTable:
                 rw_names, rw_rows, rw_stats = self._write_data_files(
                     remainder, s_cols
                 )
-            kept_rows = (
-                self.spark.read.parquet(
-                    *[os.path.join(self._ddir, f) for f in keep]
-                ).count()
-                if keep
-                else 0
-            )
+            kept_rows = self._kept_rows(keep, stats)
             v = parent + 1
             manifest = {
                 "version": v,

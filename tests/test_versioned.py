@@ -1164,3 +1164,50 @@ def test_compact_zorder_date_and_timestamp_columns(spark, tmp_path):
     # timestamp z-order column alone: epoch-micros surrogate path
     v2 = t.compact(num_files=4, zorder_by=["ts"], stats_cols=["ts"])
     assert t.read(version=v2).count() == 2000
+
+
+def test_manifest_per_file_rows_and_metadata_accounting(spark, tmp_path):
+    """Round-11: every written file carries its footer row count in the
+    manifest ("__rows"), n_rows always equals their sum, and
+    maintenance commits (replace_where / merge_upsert) account for
+    carried-over files from that metadata — with a working count
+    fallback for pre-round-11 manifests that lack it."""
+    import json as _json
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(1000).repartitionByRange(4, "id"), stats_cols=["id"]
+    )
+    m0 = t._manifest(0)
+    assert all("__rows" in m0["stats"][f] for f in m0["files"])
+    assert sum(m0["stats"][f]["__rows"] for f in m0["files"]) == m0["n_rows"] == 1000
+
+    # replace_where: kept files accounted from metadata, totals exact
+    t.replace_where(
+        spark.range(200, 300).select("id"), "id", 200, 299, stats_cols=["id"]
+    )
+    m1 = t._manifest(1)
+    assert m1["n_rows"] == 1000
+    assert sum(m1["stats"][f]["__rows"] for f in m1["files"]) == 1000
+    assert _ids(t.read()) == list(range(1000))
+
+    # merge_upsert keeps the invariant
+    t.merge_upsert(spark.range(990, 1010).select("id"), "id")
+    m2 = t._manifest(2)
+    assert m2["n_rows"] == 1010
+    assert sum(m2["stats"][f]["__rows"] for f in m2["files"]) == 1010
+
+    # fallback: a manifest stripped of __rows (pre-round-11 shape) still
+    # replace_where's correctly via the one-count fallback
+    mpath = t._mdir + f"/v{2:08d}.json"
+    m = _json.load(open(mpath))
+    for f in m["stats"]:
+        m["stats"][f].pop("__rows", None)
+    _json.dump(m, open(mpath, "w"))
+    t2 = VersionedTable(spark, str(tmp_path / "t"))
+    t2.replace_where(
+        spark.range(0, 50).select("id"), "id", 0, 49, stats_cols=["id"]
+    )
+    m3 = t2._manifest(3)
+    assert m3["n_rows"] == 1010
+    assert _ids(t2.read()) == list(range(1010))
