@@ -1058,6 +1058,112 @@ def bitmap_distinct_counts(
     return stored.groupBy(*keys).agg(agg) if keys else stored.agg(agg)
 
 
+MG_DECR_KEY = "__mg_decr__"
+
+
+def misra_gries_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    item_col: str = "token",
+    k: int = 64,
+    app_id: str = "mg-ingest",
+):
+    """Continuous Misra-Gries heavy-hitter maintenance — the k-counter
+    deterministic summary's streaming twin, completing the frequency
+    column of the summary-stream family (CMS = fixed-size probabilistic,
+    token_counts = exact-but-vocabulary-sized, MG = fixed-size
+    DETERMINISTIC bound; batch op ``heavyhitters.misra_gries_candidates``).
+
+    Store layout: at most ``k`` ``(item, cnt)`` rows plus ONE reserved
+    accounting row (``item = '__mg_decr__'``) carrying the cumulative
+    decrement ``D``. Invariants maintained for every item after every
+    batch (the classical guarantees, surviving merge by the Agarwal et
+    al. "Mergeable Summaries" sum-then-subtract-(k+1)-th rule):
+
+    - ``stored_cnt <= true_cnt <= stored_cnt + D`` — so stored counts
+      never overestimate and the error bound rides IN the store;
+    - any item with ``true_cnt > D`` is guaranteed present (in
+      particular every item with frequency share > 1/(k+1) of the
+      ingested total).
+
+    Each merge is one summary-sized groupBy-sum, a top-(k+1) threshold
+    probe (TakeOrdered over <= k + batch-distinct rows), and a
+    broadcast subtract — per-batch cost tracks batch + summary size,
+    never history. Items are keyed as strings (the reserved key lives
+    in the item domain). Deterministic: threshold ties break on
+    (cnt DESC, item). Skeleton contract (exactly-once txn, single
+    writer): see ``_sketch_ingest_stream``."""
+
+    def _counts(b: DataFrame) -> DataFrame:
+        return (
+            b.select(F.col(item_col).cast("string").alias("item"))
+            .filter(F.col("item").isNotNull())
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def _summarize(counts: DataFrame, decr: DataFrame) -> DataFrame:
+        """Prune an (item, cnt) table to the MG invariant: subtract the
+        (k+1)-th largest count (0 if <= k items) from every row, drop
+        the non-positive, and fold the subtraction into the decrement
+        row. ``decr`` holds 0..n prior decrement rows (summed here)."""
+        thr = (
+            counts.orderBy(F.desc("cnt"), "item")
+            .limit(k + 1)
+            .agg(
+                F.when(F.count(F.lit(1)) > k, F.min("cnt"))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("__c")
+            )
+        )
+        pruned = (
+            counts.join(F.broadcast(thr))
+            .select(
+                "item",
+                (F.col("cnt") - F.col("__c")).cast("bigint").alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        decr_row = (
+            decr.select("item", "cnt")
+            .unionByName(
+                thr.select(
+                    F.lit(MG_DECR_KEY).alias("item"),
+                    F.col("__c").alias("cnt"),
+                )
+            )
+            .groupBy("item")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        return pruned.unionByName(decr_row)
+
+    def build(b: DataFrame) -> DataFrame:
+        no_decr = b.sparkSession.createDataFrame([], "item string, cnt bigint")
+        return _summarize(_counts(b), no_decr)
+
+    def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+        is_decr = F.col("item") == MG_DECR_KEY
+        merged = (
+            stored.select("item", "cnt")
+            .filter(~is_decr)
+            .unionByName(delta.filter(~is_decr).select("item", "cnt"))
+            .groupBy("item")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        decrs = (
+            stored.select("item", "cnt")
+            .filter(is_decr)
+            .unionByName(delta.filter(is_decr).select("item", "cnt"))
+        )
+        return _summarize(merged, decrs)
+
+    return _sketch_ingest_stream(
+        items_stream, store_path, checkpoint_dir, build, merge, app_id
+    )
+
+
 def token_counts_ingest_stream(
     items_stream: DataFrame,
     store_path: str,

@@ -746,3 +746,75 @@ def test_weighted_sample_ingest_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert stored_g == want_g and len(stored_g) == 30
+
+
+def test_misra_gries_ingest_stream_bounds_and_state(spark, tmp_path):
+    """Streaming Misra-Gries maintenance: after multiple batches of a
+    skewed token stream, the store holds <= k items + the decrement
+    row, and the classical guarantees hold against EXACT counts over
+    everything ever ingested: stored <= true <= stored + D for every
+    stored item, and every item with true > D is present — in
+    particular the planted heavy hitters. A fresh-checkpoint replay
+    with the same app_id is a no-op (txn skip)."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        MG_DECR_KEY,
+        misra_gries_ingest_stream,
+    )
+
+    import random
+
+    rng = random.Random(37)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+    k = 8
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.3:
+                rows.append("hot-a")      # ~30% share
+            elif r < 0.5:
+                rows.append("hot-b")      # ~20% share
+            else:
+                rows.append(f"tail{rng.randrange(200):03d}")
+        return rows
+
+    def write(rows):
+        spark.createDataFrame([(t,) for t in rows], "token string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("token string").parquet(src)
+
+    history = []
+    for _ in range(3):
+        b = batch(400)
+        history.extend(b)
+        write(b)
+        misra_gries_ingest_stream(stream(), st, str(tmp_path / "ck1"), k=k)
+
+    store = {r.item: r.cnt for r in VersionedTable(spark, st).read().collect()}
+    decr = store.pop(MG_DECR_KEY)
+    assert len(store) <= k
+    assert decr >= 0
+    true = {}
+    for t in history:
+        true[t] = true.get(t, 0) + 1
+    for item, cnt in store.items():
+        assert cnt <= true[item] <= cnt + decr, (item, cnt, true[item], decr)
+    for item, n in true.items():
+        if n > decr:
+            assert item in store, (item, n, decr)
+    assert "hot-a" in store and "hot-b" in store
+    # MG error bound: total decrement <= n / (k+1)
+    assert decr <= len(history) / (k + 1) + 1e-9
+
+    # fresh checkpoint, same app_id: replayed batches skip via txn
+    misra_gries_ingest_stream(stream(), st, str(tmp_path / "ck2"), k=k)
+    again = {r.item: r.cnt for r in VersionedTable(spark, st).read().collect()}
+    assert again == {**store, MG_DECR_KEY: decr}

@@ -241,3 +241,33 @@ def test_weighted_keyed_sample_stream_soak_1000_groups(spark, tmp_path):
     got = {(row.grp, row.doc_id, row.weight) for row in store.collect()}
     want = {(row.grp, row.doc_id, row.weight) for row in expected.collect()}
     assert got == want
+
+
+def test_misra_gries_stream_soak_state_bounded(spark, tmp_path):
+    """MG heavy-hitter soak: 100+ batches of a skewed token mix through
+    misra_gries_ingest_stream. Trend-flat per-batch cost, state <= k
+    items + the decrement row, planted heavy hitters present, and the
+    classical decrement bound D <= n/(k+1) holding at soak depth."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        MG_DECR_KEY,
+    )
+
+    r = _soak(spark, tmp_path, "mg", docs_per_batch=200)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+    store = {
+        row.item: row.cnt
+        for row in VersionedTable(spark, str(tmp_path / "store_mg")).read().collect()
+    }
+    decr = store.pop(MG_DECR_KEY)
+    assert len(store) <= 64
+    assert "hot-a" in store and "hot-b" in store
+    n = r["rows_ingested"]
+    assert 0 <= decr <= n / 65 + 1e-9
+    # the two planted hitters hold ~30%/20% shares; their MG counts
+    # must sit within the decrement band of those shares
+    assert store["hot-a"] >= 0.3 * n - decr - 3 * n ** 0.5
+    assert store["hot-b"] >= 0.2 * n - decr - 3 * n ** 0.5

@@ -35,6 +35,9 @@ trend ratio — the evidence that per-batch cost is bounded by BATCH size
 - ``wsample-keyed`` — weighted_sample_ingest_stream(group_cols=) at
   1,000 groups x k=4: per-group maintained WEIGHTED samples (round-10
   verdict item 4's soak sibling).
+- ``mg``           — misra_gries_ingest_stream (k=64 deterministic
+  heavy-hitter summary over a zipf-ish token mix): state <= k+1 rows,
+  per-batch merge cost tracks the summary, never history.
 
 Usage:
     python tools/soak_streams.py --mode dedup --batches 120 \
@@ -307,6 +310,35 @@ def _run_soak_inner(
         )
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode == "mg":
+        from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+            misra_gries_ingest_stream,
+        )
+
+        schema = "token string"
+        rng = random.Random(41)
+        batches = []
+        for _ in range(n_batches):
+            b = []
+            for _ in range(docs_per_batch):
+                r = rng.random()
+                if r < 0.3:
+                    b.append(("hot-a",))
+                elif r < 0.5:
+                    b.append(("hot-b",))
+                else:
+                    b.append((rng.choice(_VOCAB),))
+            batches.append(b)
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = misra_gries_ingest_stream(stream, store, ckpt, k=64)
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     elif mode in ("wsample", "wsample-keyed"):
         from f1_data_engineering_machine_learning_spark.streaming.jobs import (
             weighted_sample_ingest_stream,
@@ -398,7 +430,7 @@ def main() -> None:
     ap.add_argument("--mode", required=True,
                     choices=["dedup", "neardup", "cms", "bitmap", "sample",
                              "hist-keyed", "sample-keyed",
-                             "wsample", "wsample-keyed"])
+                             "wsample", "wsample-keyed", "mg"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
