@@ -1067,6 +1067,7 @@ def misra_gries_ingest_stream(
     checkpoint_dir: str,
     item_col: str = "token",
     k: int = 64,
+    key_cols: tuple[str, ...] = (),
     app_id: str = "mg-ingest",
 ):
     """Continuous Misra-Gries heavy-hitter maintenance — the k-counter
@@ -1092,70 +1093,102 @@ def misra_gries_ingest_stream(
     broadcast subtract — per-batch cost tracks batch + summary size,
     never history. Items are keyed as strings (the reserved key lives
     in the item domain). Deterministic: threshold ties break on
-    (cnt DESC, item). Skeleton contract (exactly-once txn, single
-    writer): see ``_sketch_ingest_stream``."""
+    (cnt DESC, item). ``key_cols`` maintains one independent k-counter
+    summary PER GROUP (per-language heavy hitters — the keyed-CMS /
+    keyed-histogram idiom): every invariant above holds per group with
+    that group's own decrement row, state is groups x (k+1) rows, and
+    the threshold probe becomes a WindowGroupLimit top-(k+1) per group
+    — one shuffle on the group keys. Skeleton contract (exactly-once
+    txn, single writer): see ``_sketch_ingest_stream``."""
+
+    keys = list(key_cols)
+    cols = [*keys, "item", "cnt"]
+    empty_schema = (
+        ", ".join(f"{c} string" for c in keys) + (", " if keys else "")
+        + "item string, cnt bigint"
+    )
 
     def _counts(b: DataFrame) -> DataFrame:
         return (
-            b.select(F.col(item_col).cast("string").alias("item"))
+            b.select(
+                *[F.col(c).cast("string").alias(c) for c in keys],
+                F.col(item_col).cast("string").alias("item"),
+            )
             .filter(F.col("item").isNotNull())
-            .groupBy("item")
+            .groupBy(*keys, "item")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         )
 
     def _summarize(counts: DataFrame, decr: DataFrame) -> DataFrame:
-        """Prune an (item, cnt) table to the MG invariant: subtract the
-        (k+1)-th largest count (0 if <= k items) from every row, drop
-        the non-positive, and fold the subtraction into the decrement
-        row. ``decr`` holds 0..n prior decrement rows (summed here)."""
-        thr = (
-            counts.orderBy(F.desc("cnt"), "item")
-            .limit(k + 1)
-            .agg(
-                F.when(F.count(F.lit(1)) > k, F.min("cnt"))
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias("__c")
+        """Prune a (*keys, item, cnt) table to the MG invariant per
+        group: subtract the group's (k+1)-th largest count (0 if <= k
+        items) from its rows, drop the non-positive, and fold the
+        subtraction into the group's decrement row. ``decr`` holds
+        0..n prior decrement rows (summed here, per group)."""
+        if keys:
+            from pyspark.sql import Window
+
+            win = Window.partitionBy(*keys).orderBy(F.desc("cnt"), "item")
+            thr = (
+                counts.withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") <= k + 1)
+                .groupBy(*keys)
+                .agg(
+                    F.when(F.count(F.lit(1)) > k, F.min("cnt"))
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    .alias("__c")
+                )
             )
-        )
-        pruned = (
-            counts.join(F.broadcast(thr))
-            .select(
-                "item",
-                (F.col("cnt") - F.col("__c")).cast("bigint").alias("cnt"),
+            joined = counts.join(F.broadcast(thr), keys)
+        else:
+            thr = (
+                counts.orderBy(F.desc("cnt"), "item")
+                .limit(k + 1)
+                .agg(
+                    F.when(F.count(F.lit(1)) > k, F.min("cnt"))
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    .alias("__c")
+                )
             )
-            .filter(F.col("cnt") > 0)
-        )
+            joined = counts.join(F.broadcast(thr))
+        pruned = joined.select(
+            *keys,
+            "item",
+            (F.col("cnt") - F.col("__c")).cast("bigint").alias("cnt"),
+        ).filter(F.col("cnt") > 0)
         decr_row = (
-            decr.select("item", "cnt")
+            decr.select(*cols)
             .unionByName(
                 thr.select(
+                    *keys,
                     F.lit(MG_DECR_KEY).alias("item"),
                     F.col("__c").alias("cnt"),
                 )
             )
-            .groupBy("item")
+            .groupBy(*keys, "item")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
         return pruned.unionByName(decr_row)
 
     def build(b: DataFrame) -> DataFrame:
-        no_decr = b.sparkSession.createDataFrame([], "item string, cnt bigint")
+        no_decr = b.sparkSession.createDataFrame([], empty_schema)
         return _summarize(_counts(b), no_decr)
 
     def merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
         is_decr = F.col("item") == MG_DECR_KEY
         merged = (
-            stored.select("item", "cnt")
+            stored.select(*cols)
             .filter(~is_decr)
-            .unionByName(delta.filter(~is_decr).select("item", "cnt"))
-            .groupBy("item")
+            .unionByName(delta.filter(~is_decr).select(*cols))
+            .groupBy(*keys, "item")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
         decrs = (
-            stored.select("item", "cnt")
+            stored.select(*cols)
             .filter(is_decr)
-            .unionByName(delta.filter(is_decr).select("item", "cnt"))
+            .unionByName(delta.filter(is_decr).select(*cols))
         )
         return _summarize(merged, decrs)
 

@@ -818,3 +818,75 @@ def test_misra_gries_ingest_stream_bounds_and_state(spark, tmp_path):
     misra_gries_ingest_stream(stream(), st, str(tmp_path / "ck2"), k=k)
     again = {r.item: r.cnt for r in VersionedTable(spark, st).read().collect()}
     assert again == {**store, MG_DECR_KEY: decr}
+
+
+def test_misra_gries_ingest_stream_keyed_per_group(spark, tmp_path):
+    """Keyed MG maintenance (key_cols=): one independent k-counter
+    summary per group, each with its own decrement row — per-language
+    heavy hitters on ingest. All classical invariants hold PER GROUP
+    against exact per-group history counts, and state is bounded by
+    groups x (k+1)."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        MG_DECR_KEY,
+        misra_gries_ingest_stream,
+    )
+
+    import random
+
+    rng = random.Random(43)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+    k = 4
+    langs = ["en", "de", "fr"]
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            lang = rng.choice(langs)
+            r = rng.random()
+            tok = f"hot-{lang}" if r < 0.35 else f"t{rng.randrange(60):02d}"
+            rows.append((lang, tok))
+        return rows
+
+    def write(rows):
+        spark.createDataFrame(rows, "lang string, token string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("lang string, token string").parquet(src)
+
+    history = []
+    for _ in range(3):
+        b = batch(300)
+        history.extend(b)
+        write(b)
+        misra_gries_ingest_stream(
+            stream(), st, str(tmp_path / "ck1"), k=k, key_cols=("lang",)
+        )
+
+    rows = VersionedTable(spark, st).read().collect()
+    store: dict = {}
+    decr: dict = {}
+    for r in rows:
+        if r.item == MG_DECR_KEY:
+            decr[r.lang] = r.cnt
+        else:
+            store.setdefault(r.lang, {})[r.item] = r.cnt
+    true: dict = {}
+    for lang, tok in history:
+        true.setdefault(lang, {})[tok] = true.get(lang, {}).get(tok, 0) + 1
+    assert set(decr) == set(langs)
+    for lang in langs:
+        n_lang = sum(true[lang].values())
+        assert len(store[lang]) <= k
+        assert 0 <= decr[lang] <= n_lang / (k + 1) + 1e-9
+        for item, cnt in store[lang].items():
+            assert cnt <= true[lang][item] <= cnt + decr[lang]
+        for item, n in true[lang].items():
+            if n > decr[lang]:
+                assert item in store[lang], (lang, item, n, decr[lang])
+        assert f"hot-{lang}" in store[lang]
