@@ -1211,3 +1211,49 @@ def test_manifest_per_file_rows_and_metadata_accounting(spark, tmp_path):
     m3 = t2._manifest(3)
     assert m3["n_rows"] == 1010
     assert _ids(t2.read()) == list(range(1010))
+
+
+def test_replace_where_and_merge_upsert_on_date_keys(spark, tmp_path):
+    """Date-typed maintenance keys across the triad (round-11 seam
+    audit, companion to the date z-order fix): replace_where over a
+    calendar-month slice and merge_upsert keyed on a date column must
+    resolve files through the isoformat manifest stats, keep totals
+    exact, and land the new rows."""
+    import datetime
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(365).select(
+        F.expr("date_add(DATE'2024-01-01', CAST(id AS INT))").alias("day"),
+        F.col("id").alias("v"),
+    )
+    t.commit(df.repartitionByRange(6, "day"), stats_cols=["day"])
+
+    repl = spark.range(31).select(
+        F.expr("date_add(DATE'2024-03-01', CAST(id AS INT))").alias("day"),
+        (F.col("id") + 1000).alias("v"),
+    )
+    v1 = t.replace_where(
+        repl,
+        "day",
+        datetime.date(2024, 3, 1),
+        datetime.date(2024, 3, 31),
+        stats_cols=["day"],
+    )
+    assert t._manifest(v1)["n_rows"] == 365 == t.read().count()
+    march = t.read().filter(
+        (F.col("day") >= F.lit("2024-03-01"))
+        & (F.col("day") <= F.lit("2024-03-31"))
+    )
+    assert march.count() == 31
+    assert march.agg(F.min("v")).first()[0] == 1000  # replaced values
+
+    # merge_upsert keyed on the date: 4 updates + 1 brand-new day
+    up = spark.range(5).select(
+        F.expr("date_add(DATE'2024-12-27', CAST(id AS INT))").alias("day"),
+        (F.col("id") + 5000).alias("v"),
+    )
+    v2 = t.merge_upsert(up, "day", stats_cols=["day"])
+    assert t._manifest(v2)["n_rows"] == 366 == t.read().count()
+    assert (
+        t.read().filter(F.col("day") == F.lit("2024-12-31")).first().v == 5004
+    )
