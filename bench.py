@@ -62,13 +62,21 @@ def main() -> None:
     # the QUIET-box canonical runs trip the floor round after round;
     # settle those in PERF.md.
     prev_warm: dict[str, float] = {}
+    prev_spikes: list[str] = []
     try:
         prev = json.loads((REPO / "bench_full.json").read_text())
-        prev_r = prev.get("rerun_best", {})
-        prev_warm = dict(prev.get("warm_floor", {}))
-        for n, t in prev.get("queries", {}).items():
-            w = min(t, prev_r.get(n, t))
-            prev_warm[n] = min(prev_warm.get(n, w), w)
+        # The floor is only meaningful at the SAME scale factor: a run
+        # at sf0.01 would otherwise ratchet every sf0.1 floor down
+        # ~10x and flag the entire next canonical run as movers.
+        # Cross-sf runs start with a fresh comparator (and the written
+        # file then carries that sf's own floors going forward).
+        if prev.get("sf") == sf:
+            prev_r = prev.get("rerun_best", {})
+            prev_warm = dict(prev.get("warm_floor", {}))
+            for n, t in prev.get("queries", {}).items():
+                w = min(t, prev_r.get(n, t))
+                prev_warm[n] = min(prev_warm.get(n, w), w)
+            prev_spikes = list(prev.get("jit_spikes", []))
     except Exception:  # noqa: BLE001 - first run / corrupt file: no comparator
         pass
 
@@ -101,6 +109,25 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warmup must never sink the run
             pass
         spark.catalog.clearCache()
+    # Second-stage warmup AT sf_dir for the previous run's JIT-spike
+    # list (round-11 verdict task 8): sf0.001 warming compiles each
+    # plan family's codegen once, but at sf_dir AQE can pick DIFFERENT
+    # physical plans (broadcast vs sort-merge, coalesced exchanges), so
+    # a handful of queries still first-touch-compile in the timed pass
+    # — 35 of them read ~30 s over warm on the r11 driver box. Warming
+    # exactly the prior run's spike set at sf_dir pre-compiles the
+    # full-scale plan shapes; the list is self-updating (carried in
+    # bench_full.json), costs one untimed warm-speed execution per
+    # spike-prone query, and leaves the timed loop untouched.
+    if not warmup_at_full_scale:
+        for warm_q in prev_spikes:
+            if warm_q not in qs:
+                continue
+            try:
+                _force(qs[warm_q](spark, sf_dir))
+            except Exception:  # noqa: BLE001 - warmup must never sink the run
+                pass
+            spark.catalog.clearCache()
     warmup_sec = round(time.time() - t_warm, 3)
 
     timings: dict[str, float] = {}

@@ -260,6 +260,16 @@ class VersionedTable:
         owns the names. Row counts and per-file min/max column stats
         come from the PARQUET FOOTERS via pyarrow — zero extra Spark
         jobs, the same metadata Delta/Iceberg harvest at commit."""
+        if stats_cols and "__rows" in stats_cols:
+            # "__rows" is the manifest's reserved per-file row-count key
+            # (below); a real column by that name in stats_cols would
+            # clobber the count with a min/max dict and crash
+            # _kept_rows later. Fail loudly at commit time instead.
+            raise ValueError(
+                "'__rows' is a reserved manifest key and cannot be a "
+                "stats column; rename the column or drop it from "
+                "stats_cols"
+            )
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         os.makedirs(self._ddir, exist_ok=True)

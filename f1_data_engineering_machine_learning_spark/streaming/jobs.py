@@ -1091,8 +1091,10 @@ def misra_gries_ingest_stream(
     Each merge is one summary-sized groupBy-sum, a top-(k+1) threshold
     probe (TakeOrdered over <= k + batch-distinct rows), and a
     broadcast subtract — per-batch cost tracks batch + summary size,
-    never history. Items are keyed as strings (the reserved key lives
-    in the item domain). Deterministic: threshold ties break on
+    never history. Items are keyed as strings; input items equal to the
+    reserved accounting key and rows with NULL items or NULL group keys
+    are dropped at ingest (see ``_counts``). Deterministic: threshold
+    ties break on
     (cnt DESC, item). ``key_cols`` maintains one independent k-counter
     summary PER GROUP (per-language heavy hitters — the keyed-CMS /
     keyed-histogram idiom): every invariant above holds per group with
@@ -1109,14 +1111,26 @@ def misra_gries_ingest_stream(
     )
 
     def _counts(b: DataFrame) -> DataFrame:
-        return (
-            b.select(
-                *[F.col(c).cast("string").alias(c) for c in keys],
-                F.col(item_col).cast("string").alias("item"),
-            )
-            .filter(F.col("item").isNotNull())
-            .groupBy(*keys, "item")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # Domain guards, applied symmetrically at EVERY ingest point so
+        # the invariants can't be corrupted by hostile input:
+        # - NULL items are dropped (as in every summary-stream sibling);
+        # - NULL group keys are dropped EXPLICITLY: the threshold join
+        #   below is null-unsafe on ``keys``, so without this filter a
+        #   NULL-keyed group would silently lose its rows each batch
+        #   while still emitting a spurious decrement row. Callers that
+        #   need a NULL bucket should coalesce keys upstream.
+        # - items equal to the reserved accounting key (MG_DECR_KEY,
+        #   '__mg_decr__') are dropped: the reserved key lives in the
+        #   item domain, and a real token colliding with it would
+        #   corrupt both its stored count and the error bound D.
+        out = b.select(
+            *[F.col(c).cast("string").alias(c) for c in keys],
+            F.col(item_col).cast("string").alias("item"),
+        ).filter(F.col("item").isNotNull() & (F.col("item") != MG_DECR_KEY))
+        for c in keys:
+            out = out.filter(F.col(c).isNotNull())
+        return out.groupBy(*keys, "item").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
         )
 
     def _summarize(counts: DataFrame, decr: DataFrame) -> DataFrame:

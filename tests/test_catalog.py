@@ -76,26 +76,26 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 11 rotates by EVIDENCE FRESHNESS per the r10
-    verdict's task 1, and — closing its task 6 — the rotation is now
-    MACHINE-DERIVED: GATE_BASIS_r11.json snapshots, for every oracled
+    iteration order. Round 12 rotates by EVIDENCE FRESHNESS (the
+    standing convention since r10); the rotation is MACHINE-DERIVED:
+    GATE_BASIS_r12.json snapshots, for every oracled
     query in the catalog at rotation time, the newest driver round with
     a CORRECTNESS row (0 = never gated). The intended gate is exactly
     the first 50 of that basis sorted by (last_round, name). This test
     (a) re-validates the basis file against the committed
-    CORRECTNESS_r01..r10.json files, (b) recomputes the gate from the
+    CORRECTNESS_r01..r11.json files, (b) recomputes the gate from the
     basis and asserts ``_GATE_PRIORITY`` matches, and (c) asserts the
     gate occupies iteration positions 0-49 of ``queries()`` — so a
     hand-editing mistake can no longer silently waste a round of driver
     evidence. Queries added AFTER the rotation are deliberately outside
-    the basis (they queue for the r12 gate, the standing convention)."""
+    the basis (they queue for the r13 gate, the standing convention)."""
     import glob
     import json
     import re
 
     from f1_data_engineering_machine_learning_spark import catalog
 
-    basis_doc = json.load(open("GATE_BASIS_r11.json"))
+    basis_doc = json.load(open("GATE_BASIS_r12.json"))
     basis = basis_doc["basis"]
     n_slots = basis_doc["n_slots"]
     assert n_slots == 50
@@ -134,12 +134,12 @@ def test_gate_priority_queries_in_first_50():
     for n in names[:n_slots]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
     assert "embedding_lsh_topk" not in names[:n_slots]
-    # slots 1-3 are the r10 verdict's prescribed head: the two round-10
-    # post-gate additions plus the weighted_doc_sample spill
+    # slots 1-3 are the r11 verdict's prescribed head: the three-query
+    # r7-tier alphabetical spill from the round-11 gate
     assert set(names[:3]) == {
-        "nfc_normalized_fixture",
-        "lang_kmv_distinct_estimates",
-        "weighted_doc_sample",
+        "union_order_year_slices",
+        "user_session_incident_overlaps",
+        "vocabulary_top_terms",
     }
     # cumulative: after a green r11 gate only the rows-only entry and
     # post-rotation additions lack driver evidence
@@ -200,3 +200,50 @@ def test_all_queries_execute_under_ansi_session(spark, sf_dir):
         assert not failures, "\n".join(failures)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_bigram_collocations_checkpoint_blocks_released(spark, sf_dir):
+    """Round-12 advisory-loop closer: bigram_collocations caches its
+    combined count table with localCheckpoint(eager=False); the
+    docstring argues the ContextCleaner frees those blocks once the
+    returned DataFrame is garbage-collected (unlike a persist(), which
+    would stay resident for the whole 204-query selfcheck session).
+    Pin that with evidence: invoke the query repeatedly, drop the
+    references, force Python + JVM GC, and assert resident cached-RDD
+    storage returns to baseline."""
+    import gc
+    import time
+
+    from f1_data_engineering_machine_learning_spark import catalog
+
+    sc = spark.sparkContext
+
+    def resident() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    # settle to a clean baseline first (earlier tests may hold caches)
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(0.5)
+    base = resident()
+
+    for _ in range(3):
+        df = catalog.bigram_collocations(spark, sf_dir)
+        assert df.count() >= 0
+        # while the DataFrame is alive its checkpoint blocks may be
+        # resident — that's the intended materialize-once behavior
+        del df
+
+    # release: Python GC drops the py4j refs, JVM GC queues the RDD
+    # weak references, the ContextCleaner unpersists asynchronously
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        gc.collect()
+        spark._jvm.System.gc()
+        if resident() <= base:
+            break
+        time.sleep(1.0)
+    assert resident() <= base, (
+        f"checkpoint blocks not released: baseline {base}, "
+        f"resident {resident()}"
+    )

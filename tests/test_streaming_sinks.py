@@ -890,3 +890,66 @@ def test_misra_gries_ingest_stream_keyed_per_group(spark, tmp_path):
             if n > decr[lang]:
                 assert item in store[lang], (lang, item, n, decr[lang])
         assert f"hot-{lang}" in store[lang]
+
+
+def test_misra_gries_ingest_stream_domain_guards(spark, tmp_path):
+    """Hostile-input guards at the MG ingest seam (round-12 advisory
+    fixes): (1) rows whose item collides with the reserved accounting
+    key ('__mg_decr__') are DROPPED — they may not corrupt a stored
+    count or the error bound D; (2) rows with NULL group keys are
+    dropped explicitly (the threshold join is null-unsafe, so without
+    the guard they'd vanish from the summary while still emitting a
+    spurious decrement row); (3) NULL items are dropped as in every
+    summary-stream sibling. Invariants must hold on the CLEAN subset of
+    history afterwards."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        MG_DECR_KEY,
+        misra_gries_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+    k = 4
+
+    rows = (
+        [("en", "hot")] * 30
+        + [("en", MG_DECR_KEY)] * 50       # reserved-key collision: dropped
+        + [(None, "hot")] * 40             # NULL group key: dropped
+        + [("en", None)] * 20              # NULL item: dropped
+        + [("en", f"t{i}") for i in range(6)]
+    )
+    spark.createDataFrame(rows, "lang string, token string").write.mode(
+        "append"
+    ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("lang string, token string").parquet(src)
+
+    misra_gries_ingest_stream(
+        stream(), st, str(tmp_path / "ck"), k=k, key_cols=("lang",)
+    )
+    got = VersionedTable(spark, st).read().collect()
+    # no NULL-keyed group rows, no NULL items
+    assert all(r.lang == "en" and r.item is not None for r in got)
+    store = {r.item: r.cnt for r in got}
+    decr = store.pop(MG_DECR_KEY)
+    # the reserved key entry is PURE accounting: 106 dirty rows dropped,
+    # clean history = 30x hot + 6 singletons -> hot must be stored with
+    # the classical bound against CLEAN counts only
+    assert len(store) <= k
+    assert "hot" in store
+    assert store["hot"] <= 30 <= store["hot"] + decr
+    assert decr <= 36 / (k + 1) + 1e-9
+
+    # unkeyed variant applies the same item-domain guards
+    st2 = str(tmp_path / "store2")
+    misra_gries_ingest_stream(stream(), st2, str(tmp_path / "ck2"), k=k)
+    got2 = {r.item: r.cnt for r in VersionedTable(spark, st2).read().collect()}
+    decr2 = got2.pop(MG_DECR_KEY)
+    assert None not in got2
+    assert "hot" in got2
+    # unkeyed: NULL lang doesn't matter -> 70 clean 'hot' rows
+    assert got2["hot"] <= 70 <= got2["hot"] + decr2

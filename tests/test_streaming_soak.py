@@ -54,10 +54,20 @@ def _soak(spark, tmp_path, mode: str, docs_per_batch: int) -> dict:
         # retry, while state assertions keep reading the FIRST run's
         # store under tmp_path — both runs ingest identical seeded
         # batches, so that store is fully valid for content checks.
+        # The first run's ratio is kept in the returned dict
+        # (first_trend_ratio) so persistent near-threshold drift stays
+        # visible in soak artifacts instead of being discarded by the
+        # retry (round-12 advisory).
+        first_ratio = r["trend_ratio"]
         retry_dir = tmp_path / "retry"
         retry_dir.mkdir(exist_ok=True)
         r = soak_streams.run_soak(
             spark, mode, str(retry_dir), N_BATCHES, docs_per_batch
+        )
+        r["first_trend_ratio"] = first_ratio
+        print(
+            f"[soak-retry] {mode}: first trend_ratio={first_ratio:.3f} "
+            f"(>= {MAX_TREND}), retry trend_ratio={r['trend_ratio']:.3f}"
         )
     return r
 
@@ -192,11 +202,16 @@ def test_keyed_sample_stream_soak_1000_groups(spark, tmp_path):
     store = VersionedTable(spark, str(tmp_path / "store_sample-keyed")).read()
     per_group = store.groupBy("grp").count()
     k = soak_streams.SAMPLE_K
-    # 50k rows over 1,000 groups: every group has >= k distinct keys
-    # with overwhelming probability, so the store is exactly groups x k
-    assert per_group.count() == soak_streams.SAMPLE_GROUPS
-    assert per_group.filter(F.col("count") != k).count() == 0
-    assert store.count() == soak_streams.SAMPLE_GROUPS * k
+    # no group ever exceeds k rows of state
+    assert per_group.filter(F.col("count") > k).count() == 0
+    if N_BATCHES >= 100:
+        # 50k rows over 1,000 groups: every group has >= k distinct keys
+        # with overwhelming probability, so the store is exactly
+        # groups x k (at a CI-shortened batch count a few groups may
+        # legitimately go untouched — the siblings guard the same way)
+        assert per_group.count() == soak_streams.SAMPLE_GROUPS
+        assert per_group.filter(F.col("count") != k).count() == 0
+        assert store.count() == soak_streams.SAMPLE_GROUPS * k
 
 
 def test_weighted_sample_stream_soak_state_exactly_k(spark, tmp_path):
@@ -291,3 +306,63 @@ def test_misra_gries_stream_soak_state_bounded(spark, tmp_path):
     # must sit within the decrement band of those shares
     assert store["hot-a"] >= 0.3 * n - decr - 3 * n ** 0.5
     assert store["hot-b"] >= 0.2 * n - decr - 3 * n ** 0.5
+
+
+def test_misra_gries_keyed_stream_soak_realistic_key_width(spark, tmp_path):
+    """Round-12 verdict task 3: keyed MG soak at the key width its
+    summary-family siblings run at — 1,000 groups x k=8 over 100+
+    batches (the r11 soak used 200 unkeyed rows/batch). Asserts
+    trend-flat per-batch cost, the groups x (k+1) state formula, every
+    group's own decrement row within the classical n_g/(k+1) bound, and
+    the per-group planted ~35%-share heavy hitter present."""
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        MG_DECR_KEY,
+    )
+
+    k = soak_streams.MG_K
+    groups = soak_streams.MG_GROUPS
+    r = _soak(spark, tmp_path, "mg-keyed", docs_per_batch=500)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+
+    rows = VersionedTable(spark, str(tmp_path / "store_mg-keyed")).read().collect()
+    store: dict = {}
+    decr: dict = {}
+    for row in rows:
+        if row.item == MG_DECR_KEY:
+            decr[row.grp] = row.cnt
+        else:
+            store.setdefault(row.grp, {})[row.item] = row.cnt
+    # state formula: <= groups x (k+1) rows total, <= k items per group
+    assert len(rows) <= groups * (k + 1), len(rows)
+    assert all(len(v) <= k for v in store.values())
+    if N_BATCHES >= 100:
+        # 50k rows over 1,000 groups: every group ingests w.h.p.
+        assert len(decr) == groups
+    # per-group classical bound and hitter presence on exact history
+    history = spark.read.parquet(str(tmp_path / "src_mg-keyed"))
+    n_g = {row.grp: row.n for row in history.groupBy("grp").count()
+           .withColumnRenamed("count", "n").collect()}
+    for g, n in n_g.items():
+        d = decr.get(g, 0)
+        assert 0 <= d <= n / (k + 1) + 1e-9, (g, d, n)
+    # spot-check one group's full stored <= true <= stored + D band
+    # exactly; for the rest, presence follows from share > 1/(k+1)
+    # (35% >> 1/9) and is asserted in bulk below
+    g0 = "g0000"
+    if g0 in n_g:
+        hot_true = history.filter(
+            (history.grp == g0) & (history.token == f"hot-{g0}")
+        ).count()
+        d0 = decr.get(g0, 0)
+        if hot_true > d0:
+            assert f"hot-{g0}" in store.get(g0, {}), (hot_true, d0)
+            assert store[g0][f"hot-{g0}"] <= hot_true <= store[g0][f"hot-{g0}"] + d0
+    if N_BATCHES >= 100:
+        n_present = sum(1 for g in n_g if f"hot-{g}" in store.get(g, {}))
+        # every group whose hitter exceeded its decrement must hold it;
+        # at ~35% share w.h.p. that's essentially all 1,000 groups
+        assert n_present >= 0.99 * groups, n_present

@@ -1257,3 +1257,26 @@ def test_replace_where_and_merge_upsert_on_date_keys(spark, tmp_path):
     assert (
         t.read().filter(F.col("day") == F.lit("2024-12-31")).first().v == 5004
     )
+
+
+def test_reserved_rows_key_rejected_in_stats_cols(spark, tmp_path):
+    """Round-12 hardening: "__rows" is the manifest's reserved per-file
+    row-count key; a real column by that name in stats_cols would
+    clobber the count with a min/max dict and crash _kept_rows later.
+    Commit paths must reject it loudly BEFORE writing anything."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).withColumnRenamed("id", "__rows")
+    with _pytest.raises(ValueError, match="reserved manifest key"):
+        t.commit(df, stats_cols=["__rows"])
+    # nothing committed, table still empty
+    assert t._versions() == []
+
+    # maintenance paths share the guard via _write_data_files
+    t.commit(spark.range(100), stats_cols=["id"])
+    with _pytest.raises(ValueError, match="reserved manifest key"):
+        t.replace_where(
+            spark.range(5).select("id"), "id", 0, 4, stats_cols=["id", "__rows"]
+        )
+    assert len(t._versions()) == 1

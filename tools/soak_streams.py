@@ -83,6 +83,8 @@ _VOCAB = [f"tok{i:04d}" for i in range(2000)]
 HIST_KEYS = 1200
 SAMPLE_GROUPS = 1000
 SAMPLE_K = 4
+MG_GROUPS = 1000
+MG_K = 8
 
 
 def _doc_text(rng: random.Random, n_tokens: int = 30) -> str:
@@ -339,6 +341,40 @@ def _run_soak_inner(
         q = misra_gries_ingest_stream(stream, store, ckpt, k=64)
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode == "mg-keyed":
+        # realistic key width (round-11 verdict task 3): 1,000 groups x
+        # k=8 — store bounded at groups x (k+1) = 9,000 rows, an order
+        # of magnitude over a batch delta, matching the cardinality the
+        # keyed-histogram and keyed-sample soaks run at. Each group
+        # carries its own planted ~35%-share heavy hitter.
+        from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+            misra_gries_ingest_stream,
+        )
+
+        schema = "grp string, token string"
+        rng = random.Random(47)
+        batches = []
+        for _ in range(n_batches):
+            b = []
+            for _ in range(docs_per_batch):
+                g = f"g{rng.randrange(MG_GROUPS):04d}"
+                tok = (
+                    f"hot-{g}" if rng.random() < 0.35 else rng.choice(_VOCAB)
+                )
+                b.append((g, tok))
+            batches.append(b)
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = misra_gries_ingest_stream(
+            stream, store, ckpt, k=MG_K, key_cols=("grp",)
+        )
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     elif mode in ("wsample", "wsample-keyed"):
         from f1_data_engineering_machine_learning_spark.streaming.jobs import (
             weighted_sample_ingest_stream,
@@ -430,7 +466,7 @@ def main() -> None:
     ap.add_argument("--mode", required=True,
                     choices=["dedup", "neardup", "cms", "bitmap", "sample",
                              "hist-keyed", "sample-keyed",
-                             "wsample", "wsample-keyed", "mg"])
+                             "wsample", "wsample-keyed", "mg", "mg-keyed"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
