@@ -2221,6 +2221,172 @@ def lang_kmv_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_vocab_overlap_kmv",
+    """
+    WITH sig0 AS (
+      SELECT DISTINCT lang AS lab, md5(tok) AS hv
+      FROM (SELECT lang,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok IS NOT NULL AND lang IS NOT NULL
+    ), sig AS (
+      SELECT lab, hv FROM (
+        SELECT lab, hv, ROW_NUMBER() OVER (PARTITION BY lab ORDER BY hv) AS rn
+        FROM sig0
+      ) WHERE rn <= 64
+    ), labs AS (
+      SELECT DISTINCT lab FROM sig
+    ), pairs AS (
+      SELECT a.lab AS label_a, b.lab AS label_b
+      FROM labs a JOIN labs b ON a.lab < b.lab
+    ), flags AS (
+      SELECT label_a, label_b, hv,
+             MAX(CASE WHEN lab = label_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN lab = label_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs JOIN sig ON sig.lab = pairs.label_a OR sig.lab = pairs.label_b
+      GROUP BY label_a, label_b, hv
+    ), sk AS (
+      SELECT label_a, label_b, in_a, in_b,
+             (CAST(CAST(('0x' || substr(hv, 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
+             / 4503599627370496.0 AS uv
+      FROM (
+        SELECT label_a, label_b, hv, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY label_a, label_b ORDER BY hv)
+               AS rn
+        FROM flags
+      ) WHERE rn <= 64
+    )
+    SELECT label_a, label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS k_inter,
+           CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 63.0 / MAX(uv) END AS union_est,
+           CASE WHEN COUNT(*) < 64
+                THEN CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST(SUM(in_a * in_b) AS DOUBLE) / 64.0 END AS jaccard_est,
+           (CASE WHEN COUNT(*) < 64
+                 THEN CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 ELSE CAST(SUM(in_a * in_b) AS DOUBLE) / 64.0 END)
+           * (CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE 63.0 / MAX(uv) END) AS inter_est
+    FROM sk GROUP BY label_a, label_b
+    """,
+)
+def lang_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY overlap between languages from bottom-k
+    signatures (dataops/sampling.py::bottomk_pairwise_overlap, k=64):
+    per language pair, the KMV union-size estimate, the k_inter/k
+    Jaccard estimate, and their product estimating the shared-token
+    count — the "how much does slice A share with slice B" corpus
+    question answered from 64 hashes per slice, no distinct-join of
+    the full vocabularies. Bit-replayable end-to-end (md5 + 13-hex-char
+    (0,1] mapping, rank tie-break on the hash itself), so the full
+    estimator pipeline — signatures, union sketch, membership flags,
+    the CASE-exact below-k arm — is value-oracled, not just row-counted."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_pairwise_overlap,
+    )
+    from f1_data_engineering_machine_learning_spark.dataops.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens("text")).alias("token"))
+    return bottomk_pairwise_overlap(toks, "token", 64, "lang")
+
+
+@query(
+    "order_price_mrl_quantiles",
+    """
+    WITH o AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    )
+    SELECT 0.1 AS q, CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n,
+           (SELECT quantile_cont(v, 0.1) FROM o) AS exact_p,
+           TRUE AS mrl_rank_ok
+    UNION ALL SELECT 0.25, CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+           (SELECT quantile_cont(v, 0.25) FROM o), TRUE
+    UNION ALL SELECT 0.5, CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+           (SELECT quantile_cont(v, 0.5) FROM o), TRUE
+    UNION ALL SELECT 0.75, CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+           (SELECT quantile_cont(v, 0.75) FROM o), TRUE
+    UNION ALL SELECT 0.9, CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+           (SELECT quantile_cont(v, 0.9) FROM o), TRUE
+    """,
+)
+def order_price_mrl_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL mergeable quantile summary graded against exact truth
+    IN-QUERY (dataops/quantiles.py — the summary family's rank member:
+    deterministic Manku-Rajagopalan-Lindsay collapse ladder, k=512,
+    state k x (levels+2) over an UNKNOWN value range where the
+    equi-width histogram needs fixed buckets). Same contract shape as
+    approx_stats_scale_mode: the oracle carries the exact
+    ``quantile_cont`` values (real value oracle) plus the CLAIM
+    (mrl_rank_ok = TRUE); Spark computes the FACT — for each q, the
+    true rank interval of the ladder's estimate, widened by the
+    classical bound ``levels * n / (2k) + k``, must contain the target
+    rank q*n. A ladder regression flips a boolean the driver hashes.
+    The rank-audit crossJoin (data x 5 quantiles, map-side broadcast)
+    is the VALIDATION arm only; production reads come straight off the
+    k x (levels+2)-value summary."""
+    from f1_data_engineering_machine_learning_spark.dataops.quantiles import (
+        mrl_build,
+        mrl_quantiles,
+    )
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("value")
+    )
+    k = 512
+    # localCheckpoint(eager=False): the summary feeds three consumers
+    # (read-off, max-level, rank audit) — materialize the 2k-row ladder
+    # once; blocks GC-release with the DataFrame (bigram convention,
+    # pinned by test_bigram_collocations_checkpoint_blocks_released)
+    s = mrl_build(o, "value", k).localCheckpoint(eager=False)
+    ests = mrl_quantiles(s, qs)
+    lv = s.agg(
+        F.max(
+            F.when(F.col("level") >= 0, F.col("level")).otherwise(0)
+        ).alias("max_level")
+    )
+    ranks = (
+        o.crossJoin(F.broadcast(ests))
+        .groupBy("q", "est")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") < F.col("est")).cast("long")).alias("lo"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("hi"),
+        )
+    )
+    exact = o.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("eps")
+    ).select(F.posexplode("eps").alias("pos", "exact_p"))
+    exact = exact.select(
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in qs]), F.col("pos") + 1
+        ).alias("q"),
+        "exact_p",
+    )
+    bound = (
+        F.col("max_level").cast("double") * F.col("n") / F.lit(2.0 * k)
+        + F.lit(float(k))
+    )
+    target = F.col("q") * F.col("n")
+    return (
+        ranks.crossJoin(F.broadcast(lv))
+        .join(exact, "q")
+        .select(
+            "q",
+            "n",
+            "exact_p",
+            (
+                (target >= F.col("lo").cast("double") - bound)
+                & (target <= F.col("hi").cast("double") + bound)
+            ).alias("mrl_rank_ok"),
+        )
+    )
+
+
+@query(
     "mod_sampled_docs",
     """
     SELECT doc_id, lang, n_chars

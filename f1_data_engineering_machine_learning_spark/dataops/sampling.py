@@ -659,3 +659,126 @@ def contrastive_negatives(
             F.col("__rn").cast("int").alias(rank_col),
         )
     )
+
+
+def bottomk_pairwise_overlap(
+    df: DataFrame,
+    key: Column | str,
+    k: int,
+    label_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between labeled slices off their
+    bottom-k signatures (Beyer et al. 2007, "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations") — the corpus
+    question "how much does crawl A share with crawl B?" answered from
+    k hashes per slice instead of a distinct-join of the full slices —
+    a beyond-reference training-data operator (the reference's surface
+    stops at exact GROUP BY profiling; SURVEY.md extension family).
+
+    For each unordered label pair (a, b), with L_a / L_b the k smallest
+    distinct ``md5(salt || key)`` hashes within each label:
+
+    - the k smallest of ``L_a ∪ L_b`` are EXACTLY the union's bottom-k
+      signature (mergeability), so ``union_est = (k-1)/h_(k)`` is the
+      KMV distinct estimate of ``|A ∪ B|``;
+    - ``k_inter`` = how many of those union-sketch hashes appear in
+      BOTH L_a and L_b; ``jaccard_est = k_inter / k`` is the classic
+      unbiased Jaccard estimator (each of the union's k smallest
+      distinct values is a uniform draw; it lands in both slices with
+      probability J);
+    - ``inter_est = jaccard_est * union_est`` estimates ``|A ∩ B|``.
+
+    When the union sketch holds fewer than k hashes the pair's numbers
+    are EXACT (both sides were retained in full): union_est = n_sketch,
+    jaccard_est = k_inter / n_sketch. Deterministic and bit-replayable
+    like every bottom-k member (md5 over key bytes, 13-hex-char (0, 1]
+    mapping — identical in any engine), so the whole estimator is
+    value-oracle-able. Relative error ~ 1/sqrt(k) per pair.
+
+    Returns one row per unordered pair: ``(label_a, label_b, n_sketch,
+    k_inter, union_est, jaccard_est, inter_est)`` with label_a <
+    label_b. NULL keys and NULL labels are excluded.
+
+    Plan shape (the 100 TB contract): one shuffle builds per-label
+    signatures (distinct on (label, hash), then WindowGroupLimit top-k
+    — map-side k-filter, no global sort); the pair table (labels²/2
+    rows — labels are sources/languages, tens not millions) is
+    BROADCAST into two hash-join expansions bounded by labels x k x
+    (labels-1) rows; one more (pair, hash) shuffle + WindowGroupLimit
+    forms the union sketches. Data-sized cost is the signature build;
+    everything after is sketch-sized.
+    """
+    from f1_data_engineering_machine_learning_spark.operators.windows import (
+        topk_per_group,
+    )
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary"))
+    sigs = (
+        df.select(F.col(label_col).alias("__lab"), h.alias("__h"))
+        .filter(F.col("__h").isNotNull() & F.col("__lab").isNotNull())
+        .dropDuplicates(["__lab", "__h"])
+    )
+    sigs = topk_per_group(
+        sigs, ["__lab"], [F.col("__h")], k, rn_col="__rn"
+    ).drop("__rn")
+
+    labs = sigs.select("__lab").distinct()
+    pairs = labs.select(F.col("__lab").alias("label_a")).join(
+        labs.select(F.col("__lab").alias("label_b")),
+        F.col("label_a") < F.col("label_b"),
+    )
+    # two broadcast EQUI-joins, not one OR-predicate nested loop: each
+    # signature row fans out only to the pairs its label leads/trails
+    exp_a = sigs.join(
+        F.broadcast(pairs), sigs["__lab"] == pairs["label_a"]
+    ).select(
+        "label_a",
+        "label_b",
+        "__h",
+        F.lit(1).alias("__in_a"),
+        F.lit(0).alias("__in_b"),
+    )
+    exp_b = sigs.join(
+        F.broadcast(pairs), sigs["__lab"] == pairs["label_b"]
+    ).select(
+        "label_a",
+        "label_b",
+        "__h",
+        F.lit(0).alias("__in_a"),
+        F.lit(1).alias("__in_b"),
+    )
+    flags = (
+        exp_a.unionByName(exp_b)
+        .groupBy("label_a", "label_b", "__h")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    sketch = topk_per_group(
+        flags, ["label_a", "label_b"], [F.col("__h")], k, rn_col="__rn"
+    )
+    u = (
+        F.conv(F.substring("__h", 1, 13), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**13))
+    agg = sketch.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.sum((F.col("__in_a") * F.col("__in_b")).cast("long")).alias("k_inter"),
+        F.max(u).alias("__u_max"),
+    )
+    n = F.col("n_sketch")
+    ki = F.col("k_inter")
+    union_est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("__u_max")
+    )
+    jaccard_est = F.when(n < k, ki.cast("double") / n.cast("double")).otherwise(
+        ki.cast("double") / F.lit(float(k))
+    )
+    return agg.select(
+        "label_a",
+        "label_b",
+        "n_sketch",
+        "k_inter",
+        union_est.alias("union_est"),
+        jaccard_est.alias("jaccard_est"),
+        (jaccard_est * union_est).alias("inter_est"),
+    )

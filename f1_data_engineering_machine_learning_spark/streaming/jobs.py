@@ -882,6 +882,57 @@ def histogram_ingest_stream(
     )
 
 
+def quantile_ingest_stream(
+    values_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    k: int = 256,
+    key_cols: tuple[str, ...] = (),
+    app_id: str = "mrl-ingest",
+):
+    """Continuous QUANTILE-summary maintenance over an UNKNOWN value
+    range — the rank member of the summary-stream family
+    (``dataops/quantiles.py``: deterministic MRL collapse ladder).
+    The maintained histogram stream needs a fixed bucket width/origin
+    up front; this one doesn't: each micro-batch builds its own ladder
+    (batch-sized sort within groups) and ``mrl_merge`` folds it into
+    the store binary-counter style — the ladder IS mergeable, so state
+    stays ``k x (levels + 2)`` values per group (levels ~ log2(n / k))
+    while the value domain drifts freely. Quantiles read off the store
+    at any time via ``mrl_quantiles`` — no history rescan — with the
+    classical rank-error guarantee ``levels * W / (2k) + k`` pinned in
+    tests against exact history. Deterministic: the stream replays to
+    the same stored bits (same batches -> same ladder). NULL values
+    carry no rank and NULL group keys no identity — both dropped at
+    ingest, as in the histogram / Misra-Gries siblings. ``key_cols``
+    maintains one independent ladder per group (per-language length
+    quantiles, per-source score quantiles — one shuffle on the group
+    keys per batch). Skeleton contract (exactly-once txn, single
+    writer): see ``_sketch_ingest_stream``."""
+    from f1_data_engineering_machine_learning_spark.dataops.quantiles import (
+        mrl_build,
+        mrl_merge,
+    )
+
+    keys = list(key_cols)
+
+    def _build(b: DataFrame) -> DataFrame:
+        df = b.select(*keys, F.col(value_col).alias("value"))
+        for c in keys:
+            df = df.filter(F.col(c).isNotNull())
+        return mrl_build(df, "value", k, keys or None)
+
+    return _sketch_ingest_stream(
+        values_stream,
+        store_path,
+        checkpoint_dir,
+        build=_build,
+        merge=lambda stored, delta: mrl_merge(stored, delta, k, keys or None),
+        app_id=app_id,
+    )
+
+
 def sample_ingest_stream(
     items_stream: DataFrame,
     store_path: str,

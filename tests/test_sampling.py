@@ -428,3 +428,75 @@ def test_grouped_bottomk_distinct_estimate_per_group(spark):
         a.select("id"), "id", 256
     ).collect()[0]
     assert (solo.n_seen, solo.estimate) == (r["a"].n_seen, r["a"].estimate)
+
+
+def test_bottomk_pairwise_overlap_exact_below_k(spark):
+    """Below k distinct in the union the estimator is EXACT: three
+    labeled slices with known overlaps; every pair's union, Jaccard,
+    and intersection must come out exactly."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_pairwise_overlap,
+    )
+
+    # a = {0..59}, b = {30..89} (|ab overlap| = 30), c = {200..219}
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(i, "b") for i in range(30, 90)]
+        + [(i, "c") for i in range(200, 220)]
+    )
+    df = spark.createDataFrame(rows, "id long, lab string")
+    r = {
+        (row.label_a, row.label_b): row
+        for row in bottomk_pairwise_overlap(df, "id", 256, "lab").collect()
+    }
+    assert set(r) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = r[("a", "b")]
+    assert (ab.n_sketch, ab.k_inter) == (90, 30)
+    assert ab.union_est == 90.0
+    assert ab.jaccard_est == 30.0 / 90.0
+    assert ab.inter_est == (30.0 / 90.0) * 90.0
+    ac = r[("a", "c")]
+    assert (ac.n_sketch, ac.k_inter) == (80, 0)
+    assert ac.union_est == 80.0 and ac.jaccard_est == 0.0
+
+
+def test_bottomk_pairwise_overlap_estimates_and_determinism(spark):
+    """Above k the estimator must (a) be partition-invariant bit-for-bit,
+    (b) land within a ~4-sigma relative band of the true union /
+    Jaccard / intersection (k=256 -> sigma ~ 1/16), and (c) drop NULL
+    keys and NULL labels."""
+    from f1_data_engineering_machine_learning_spark.dataops.sampling import (
+        bottomk_pairwise_overlap,
+    )
+
+    # |A| = 6000, |B| = 6000, |A ∩ B| = 2000, |A ∪ B| = 10000, J = 0.2
+    a = spark.range(0, 6000).select(
+        F.col("id"), F.lit("a").alias("lab")
+    )
+    b = spark.range(4000, 10_000).select(
+        F.col("id"), F.lit("b").alias("lab")
+    )
+    nulls = spark.createDataFrame(
+        [(None, "a"), (1, None)], "id long, lab string"
+    )
+    df = a.unionByName(b).unionByName(nulls)
+    k = 256
+    out = bottomk_pairwise_overlap(df, "id", k, "lab").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.label_a, r.label_b, r.n_sketch) == ("a", "b", k)
+    assert abs(r.union_est - 10_000) / 10_000 < 0.25, r.union_est
+    assert abs(r.jaccard_est - 0.2) < 0.12, r.jaccard_est
+    assert abs(r.inter_est - 2000) / 2000 < 0.6, r.inter_est
+    # partition invariance: identical bits on a different layout
+    r2 = bottomk_pairwise_overlap(df.repartition(13), "id", k, "lab").collect()[0]
+    assert (r2.n_sketch, r2.k_inter) == (r.n_sketch, r.k_inter)
+    assert (r2.union_est, r2.jaccard_est, r2.inter_est) == (
+        r.union_est,
+        r.jaccard_est,
+        r.inter_est,
+    )
+    # duplicates don't bias: doubling every A row changes nothing
+    dup = a.unionByName(a).unionByName(b)
+    r3 = bottomk_pairwise_overlap(dup, "id", k, "lab").collect()[0]
+    assert (r3.union_est, r3.jaccard_est) == (r.union_est, r.jaccard_est)

@@ -953,3 +953,166 @@ def test_misra_gries_ingest_stream_domain_guards(spark, tmp_path):
     assert "hot" in got2
     # unkeyed: NULL lang doesn't matter -> 70 clean 'hot' rows
     assert got2["hot"] <= 70 <= got2["hot"] + decr2
+
+
+def test_quantile_ingest_stream_maintains_mrl_ladder(spark, tmp_path):
+    """Streaming MRL quantile maintenance: the stored ladder must (a)
+    satisfy the classical rank-error guarantee against EXACT full
+    history after every run, (b) keep state within the k x (levels+2)
+    formula, (c) replay deterministically (same batches -> same stored
+    bits), and (d) drop NULL values and NULL group keys at ingest."""
+    import bisect
+    import random
+
+    from f1_data_engineering_machine_learning_spark.dataops.quantiles import (
+        CARRY_LEVEL,
+        mrl_quantiles,
+        mrl_rank_error_bound,
+        mrl_state_bound,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        quantile_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+    k = 64
+    rng = random.Random(31)
+    history = []
+    batches = []
+
+    def write(n, shift):
+        vals = [rng.gauss(shift, 10) for _ in range(n)] + [None] * 3
+        history.extend(v for v in vals if v is not None)
+        batches.append(vals)
+        spark.createDataFrame([(v,) for v in vals], "value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("value double").parquet(src)
+
+    # the value domain DRIFTS between runs — the case fixed-range
+    # histograms can't serve
+    write(900, 0)
+    quantile_ingest_stream(stream(), st, str(tmp_path / "ck"), k=k)
+    write(700, 500)
+    quantile_ingest_stream(stream(), st, str(tmp_path / "ck"), k=k)
+
+    rows = VersionedTable(spark, st).read().collect()
+    max_level = max((r.level for r in rows), default=CARRY_LEVEL)
+    assert len(rows) <= mrl_state_bound(k, max(max_level, 0))
+    w = sum(1.0 if r.level == CARRY_LEVEL else 2.0 ** r.level for r in rows)
+    assert w == len(history)
+
+    sv = sorted(history)
+    bound = mrl_rank_error_bound(k, max(max_level, 0), len(sv))
+    summary = VersionedTable(spark, st).read()
+    for r in mrl_quantiles(summary, [0.1, 0.5, 0.9]).collect():
+        lo = bisect.bisect_left(sv, r.est)
+        hi = bisect.bisect_right(sv, r.est)
+        t = r.q * len(sv)
+        err = 0.0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
+        assert err <= bound, (r.q, err, bound)
+
+    # deterministic replay: the SAME two-batch sequence into a fresh
+    # store must produce the same stored bits (chunk boundaries depend
+    # on the batch split, so the replay repeats the split, not a
+    # one-shot ingest of the union)
+    src2 = str(tmp_path / "src2")
+    st2 = str(tmp_path / "store2")
+
+    def replay(batch):
+        spark.createDataFrame(
+            [(v,) for v in batch], "value double"
+        ).write.mode("append").parquet(src2)
+        quantile_ingest_stream(
+            spark.readStream.schema("value double").parquet(src2),
+            st2,
+            str(tmp_path / "ck2"),
+            k=k,
+        )
+
+    replay(batches[0])
+    replay(batches[1])
+    got = sorted(map(tuple, VersionedTable(spark, st2).read().collect()))
+    want = sorted(map(tuple, rows))
+    assert got == want
+
+
+def test_quantile_ingest_stream_keyed_per_group(spark, tmp_path):
+    """key_cols: one independent ladder per group, per-group guarantee
+    against each group's exact history, NULL-keyed rows dropped."""
+    import bisect
+    import random
+
+    from f1_data_engineering_machine_learning_spark.dataops.quantiles import (
+        CARRY_LEVEL,
+        mrl_quantiles,
+        mrl_rank_error_bound,
+        mrl_state_bound,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+    from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+        quantile_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "store")
+    k = 32
+    rng = random.Random(41)
+    hist: dict = {"en": [], "fr": []}
+
+    def write(n):
+        rows = []
+        for _ in range(n):
+            g = rng.choice(["en", "fr"])
+            v = rng.uniform(0, 100 if g == "en" else 10_000)
+            hist[g].append(v)
+            rows.append((g, v))
+        rows.append((None, 1.0))
+        spark.createDataFrame(rows, "lang string, value double").write.mode(
+            "append"
+        ).parquet(src)
+
+    def stream():
+        return spark.readStream.schema("lang string, value double").parquet(src)
+
+    write(600)
+    quantile_ingest_stream(
+        stream(), st, str(tmp_path / "ck"), k=k, key_cols=("lang",)
+    )
+    write(500)
+    quantile_ingest_stream(
+        stream(), st, str(tmp_path / "ck"), k=k, key_cols=("lang",)
+    )
+
+    summary = VersionedTable(spark, st).read()
+    rows = summary.collect()
+    assert {r.lang for r in rows} == {"en", "fr"}
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append(r)
+    ests = {}
+    for r in mrl_quantiles(summary, [0.25, 0.5, 0.9], ["lang"]).collect():
+        ests.setdefault(r.lang, {})[r.q] = r.est
+    for g in ("en", "fr"):
+        sv = sorted(hist[g])
+        max_level = max((r.level for r in per[g]), default=CARRY_LEVEL)
+        assert len(per[g]) <= mrl_state_bound(k, max(max_level, 0))
+        w = sum(
+            1.0 if r.level == CARRY_LEVEL else 2.0 ** r.level for r in per[g]
+        )
+        assert w == len(sv), g
+        bound = mrl_rank_error_bound(k, max(max_level, 0), len(sv))
+        for q, est in ests[g].items():
+            lo = bisect.bisect_left(sv, est)
+            hi = bisect.bisect_right(sv, est)
+            t = q * len(sv)
+            err = 0.0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
+            assert err <= bound, (g, q, err, bound)
