@@ -59,7 +59,10 @@ def _summary_cols(group_cols: list[str]) -> list[str]:
 
 
 def _collapse_to_ladder(
-    rows: DataFrame, k: int, group_cols: list[str]
+    rows: DataFrame,
+    k: int,
+    group_cols: list[str],
+    assume_crowded: bool = False,
 ) -> DataFrame:
     """Collapse (group, level, buf, slot, value) rows until every
     (group, level >= 0) holds at most one full buffer. ``buf`` ids need
@@ -79,16 +82,26 @@ def _collapse_to_ladder(
     rnd = 0
     while True:
         rnd += 1
-        crowded = (
-            rows.filter(F.col("level") >= 0)
-            .select(*group_cols, "level", "buf")
-            .distinct()
-            .groupBy(*group_cols, "level")
-            .agg(F.count(F.lit(1)).alias("nb"))
-            .filter(F.col("nb") >= 2)
-            .limit(1)
-            .count()
-        )
+        # assume_crowded skips the FIRST probe only: the probe on round
+        # 1 would execute the entire (un-materialized) entry DAG once
+        # just to answer yes — a merge caller already knows both ladders
+        # populate overlapping levels. A wrongly-assumed round is
+        # harmless: every buffer ranks as an unpaired single and passes
+        # through unchanged.
+        if assume_crowded:
+            assume_crowded = False
+            crowded = 1
+        else:
+            crowded = (
+                rows.filter(F.col("level") >= 0)
+                .select(*group_cols, "level", "buf")
+                .distinct()
+                .groupBy(*group_cols, "level")
+                .agg(F.count(F.lit(1)).alias("nb"))
+                .filter(F.col("nb") >= 2)
+                .limit(1)
+                .count()
+            )
         if crowded == 0:
             return rows.select(
                 *g,
@@ -298,7 +311,7 @@ def _ingest(
             "value",
         )
     )
-    return _collapse_to_ladder(rows, k, group_cols)
+    return _collapse_to_ladder(rows, k, group_cols, assume_crowded=True)
 
 
 def mrl_build(

@@ -723,6 +723,14 @@ def bottomk_pairwise_overlap(
     sigs = topk_per_group(
         sigs, ["__lab"], [F.col("__h")], k, rn_col="__rn"
     ).drop("__rn")
+    # the signature frame (labels x k rows) feeds FOUR consumers (labs,
+    # both pair expansions, and through them the union sketch); without
+    # materialization Catalyst re-executes the data-sized signature
+    # build per consumer. localCheckpoint(eager=False) computes it once
+    # and releases with the DataFrame via the ContextCleaner (same
+    # convention as bigram_collocations, GC-release pinned by
+    # test_bigram_collocations_checkpoint_blocks_released).
+    sigs = sigs.localCheckpoint(eager=False)
 
     labs = sigs.select("__lab").distinct()
     pairs = labs.select(F.col("__lab").alias("label_a")).join(

@@ -366,3 +366,57 @@ def test_misra_gries_keyed_stream_soak_realistic_key_width(spark, tmp_path):
         # every group whose hitter exceeded its decrement must hold it;
         # at ~35% share w.h.p. that's essentially all 1,000 groups
         assert n_present >= 0.99 * groups, n_present
+
+
+def test_mrl_quantile_stream_soak_drifting_domain(spark, tmp_path):
+    """Round-12 addition: soak the MRL quantile-ladder stream (keyed,
+    200 groups x k=16) under a DRIFTING value domain — the case the
+    fixed-range histogram stream cannot serve. Asserts trend-flat
+    per-batch cost, the k x (levels+2) per-group state formula, exact
+    weight conservation per group, and the classical rank-error
+    guarantee for the median against each group's exact history."""
+    import bisect
+
+    from f1_data_engineering_machine_learning_spark.dataops.quantiles import (
+        CARRY_LEVEL,
+        mrl_quantiles,
+        mrl_rank_error_bound,
+        mrl_state_bound,
+    )
+    from f1_data_engineering_machine_learning_spark.plans.versioned import (
+        VersionedTable,
+    )
+
+    k = soak_streams.MRL_K
+    groups = soak_streams.MRL_GROUPS
+    r = _soak(spark, tmp_path, "mrl-keyed", docs_per_batch=600)
+    assert r["batches"] == N_BATCHES
+    assert r["trend_ratio"] < MAX_TREND, r
+
+    summary = VersionedTable(spark, str(tmp_path / "store_mrl-keyed")).read()
+    rows = summary.collect()
+    per: dict = {}
+    for row in rows:
+        per.setdefault(row.grp, []).append(row)
+    history = spark.read.parquet(str(tmp_path / "src_mrl-keyed"))
+    hist: dict = {}
+    for row in history.collect():
+        hist.setdefault(row.grp, []).append(row.value)
+    assert set(per) == set(hist)
+    ests = {}
+    for row in mrl_quantiles(summary, [0.5], ["grp"]).collect():
+        ests[row.grp] = row.est
+    for g, vals in hist.items():
+        sv = sorted(vals)
+        max_level = max((x.level for x in per[g]), default=CARRY_LEVEL)
+        assert len(per[g]) <= mrl_state_bound(k, max(max_level, 0)), g
+        w = sum(
+            1.0 if x.level == CARRY_LEVEL else 2.0 ** x.level for x in per[g]
+        )
+        assert w == len(sv), g
+        bound = mrl_rank_error_bound(k, max(max_level, 0), len(sv))
+        lo = bisect.bisect_left(sv, ests[g])
+        hi = bisect.bisect_right(sv, ests[g])
+        t = 0.5 * len(sv)
+        err = 0.0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
+        assert err <= bound, (g, err, bound)

@@ -85,6 +85,8 @@ SAMPLE_GROUPS = 1000
 SAMPLE_K = 4
 MG_GROUPS = 1000
 MG_K = 8
+MRL_GROUPS = 200
+MRL_K = 16
 
 
 def _doc_text(rng: random.Random, n_tokens: int = 30) -> str:
@@ -375,6 +377,45 @@ def _run_soak_inner(
         )
         wall = time.time() - t0
         rows = n_batches * docs_per_batch
+    elif mode in ("mrl", "mrl-keyed"):
+        # MRL quantile ladder: state is k x (levels+2) values (per
+        # group), levels growing only as log2(n/k) — the soak watches
+        # that per-batch cost tracks batch + summary size while the
+        # ingested value distribution DRIFTS (mean walks upward across
+        # batches: the fixed-range-histogram-killer case).
+        from f1_data_engineering_machine_learning_spark.streaming.jobs import (
+            quantile_ingest_stream,
+        )
+
+        keyed = mode == "mrl-keyed"
+        schema = ("grp string, " if keyed else "") + "value double"
+        rng = random.Random(53)
+        batches = []
+        for i in range(n_batches):
+            b = []
+            for _ in range(docs_per_batch):
+                v = rng.gauss(i * 3.0, 10.0)  # drifting domain
+                if keyed:
+                    b.append((f"g{rng.randrange(MRL_GROUPS):03d}", v))
+                else:
+                    b.append((v,))
+            batches.append(b)
+        write_batches(spark, src, batches, schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = quantile_ingest_stream(
+            stream,
+            store,
+            ckpt,
+            k=MRL_K,
+            key_cols=("grp",) if keyed else (),
+        )
+        wall = time.time() - t0
+        rows = n_batches * docs_per_batch
     elif mode in ("wsample", "wsample-keyed"):
         from f1_data_engineering_machine_learning_spark.streaming.jobs import (
             weighted_sample_ingest_stream,
@@ -466,7 +507,8 @@ def main() -> None:
     ap.add_argument("--mode", required=True,
                     choices=["dedup", "neardup", "cms", "bitmap", "sample",
                              "hist-keyed", "sample-keyed",
-                             "wsample", "wsample-keyed", "mg", "mg-keyed"])
+                             "wsample", "wsample-keyed", "mg", "mg-keyed",
+                             "mrl", "mrl-keyed"])
     ap.add_argument("--batches", type=int, default=120)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--workdir", default=None)
