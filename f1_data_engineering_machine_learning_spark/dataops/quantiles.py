@@ -183,11 +183,24 @@ def _ingest(
     values: DataFrame,
     k: int,
     group_cols: list[str],
+    unkeyed: bool = False,
 ) -> DataFrame:
     """Add raw (group..., value) rows to a ladder summary (or build one
     from scratch when ``summary`` is None). Chunk carry+new values into
     weight-1 buffers of exactly k, leave the remainder as the new
-    carry, then collapse."""
+    carry, then collapse.
+
+    ``unkeyed``: the caller's group column is the module's constant
+    ``__g`` marker — ONE logical group holding everything, where a
+    per-group window would funnel the whole dataset through a single
+    task. The global sorted rank is computed with
+    ``operators/windows.py::range_partitioned_rank`` instead (range
+    exchange + per-partition sorts + lazy offset join — the largest
+    task holds ~N/partitions rows). Keyed summaries keep the per-group
+    window: a group is a language/source/day slice sized for one
+    task's spillable sort, the same contract as every grouped summary
+    sibling (grouped bottom-k, keyed histogram); for a single giant
+    group, build unkeyed."""
     g = [F.col(c) for c in group_cols]
     carry = (
         summary.filter(F.col("level") == CARRY_LEVEL)
@@ -202,20 +215,35 @@ def _ingest(
     )
     if carry is not None:
         raw = raw.unionByName(carry.select(*group_cols, "value"))
-    ranked = raw.withColumn(
-        "vrn",
-        (
-            F.row_number().over(
-                Window.partitionBy(*group_cols).orderBy("value")
-            )
-            - 1
-        ).cast("long"),
-    ).withColumn(
-        "vn",
-        F.count(F.lit(1))
-        .over(Window.partitionBy(*group_cols))
-        .cast("long"),
-    )
+    if unkeyed:
+        from f1_data_engineering_machine_learning_spark.operators.windows import (
+            range_partitioned_rank,
+        )
+
+        ranked = range_partitioned_rank(
+            raw, ["value"], row_number_col="__vrn1"
+        ).select(
+            *group_cols,
+            "value",
+            (F.col("__vrn1") - 1).cast("long").alias("vrn"),
+        )
+        total = raw.agg(F.count(F.lit(1)).cast("long").alias("vn"))
+        ranked = ranked.crossJoin(F.broadcast(total))
+    else:
+        ranked = raw.withColumn(
+            "vrn",
+            (
+                F.row_number().over(
+                    Window.partitionBy(*group_cols).orderBy("value")
+                )
+                - 1
+            ).cast("long"),
+        ).withColumn(
+            "vn",
+            F.count(F.lit(1))
+            .over(Window.partitionBy(*group_cols))
+            .cast("long"),
+        )
     # CLOSED-FORM ladder construction — one pass, branch-free:
     # write n = k * m + r and decompose m in binary; the sorted order is
     # cut into one contiguous slice per set bit (descending level, slice
@@ -330,7 +358,7 @@ def mrl_build(
     vals = df.select(*gc, c.alias("value"))
     if not gc:
         vals = vals.withColumn("__g", F.lit(0))
-        out = _ingest(None, vals, k, ["__g"])
+        out = _ingest(None, vals, k, ["__g"], unkeyed=True)
         return out.drop("__g")
     return _ingest(None, vals, k, gc)
 
@@ -378,7 +406,7 @@ def mrl_merge(
             )
         )
     )
-    out = _ingest(base, carries, k, gc)
+    out = _ingest(base, carries, k, gc, unkeyed=tmp)
     return out.drop("__g") if tmp else out
 
 
