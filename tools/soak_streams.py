@@ -38,6 +38,12 @@ trend ratio — the evidence that per-batch cost is bounded by BATCH size
 - ``mg``           — misra_gries_ingest_stream (k=64 deterministic
   heavy-hitter summary over a zipf-ish token mix): state <= k+1 rows,
   per-batch merge cost tracks the summary, never history.
+- ``mg-keyed``     — the per-group twin at 1,000 groups x k=8 (state
+  bounded at groups x (k+1) rows).
+- ``mrl`` / ``mrl-keyed`` — quantile_ingest_stream (MRL quantile
+  ladder, 200 groups x k=16 keyed) under a DRIFTING value domain
+  (batch means walk upward): state k x (levels+2) per group, levels ~
+  log2(n/k).
 
 Usage:
     python tools/soak_streams.py --mode dedup --batches 120 \
