@@ -229,6 +229,13 @@ BOUNDED_GLOBAL_WINDOWS = {
     # price-range / 20k buckets (~30 rows), fixed by the bucket width
     # regardless of SF
     "order_price_histogram_quantiles",
+    # MRL ladder read-off: cumulative weight over the SUMMARY frame —
+    # k x (levels + 2) rows by construction (k=512: ~3.5k rows even at
+    # sf1000, levels grow only as log2(n/k)), never the raw data. The
+    # unkeyed read-off partitions by the module's constant __g marker,
+    # which Catalyst folds away, leaving a syntactically global window
+    # over the provably bounded frame.
+    "order_price_mrl_quantiles",
 }
 
 _SORT_TOKEN = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
