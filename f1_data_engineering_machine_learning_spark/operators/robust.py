@@ -34,9 +34,22 @@ def winsorize(
     ``__p_lo``/``__p_hi`` bounds for auditability)."""
     out_col = out_col or f"{value_col}_wins"
     group_cols = list(group_cols)
-    bounds = df.groupBy(*group_cols).agg(
-        F.percentile(value_col, F.lit(lower)).alias("__p_lo"),
-        F.percentile(value_col, F.lit(upper)).alias("__p_hi"),
+    # one array-fraction percentile per group: both bounds read off a
+    # single value->count map instead of building the map twice
+    # (bitwise-same values; dataops/quality.py::exact_percentiles has
+    # the measured multi-fraction numbers)
+    bounds = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.percentile(
+                value_col, F.array(F.lit(float(lower)), F.lit(float(upper)))
+            ).alias("__p")
+        )
+        .select(
+            *group_cols,
+            F.col("__p")[0].alias("__p_lo"),
+            F.col("__p")[1].alias("__p_hi"),
+        )
     )
     j = df.join(F.broadcast(bounds), group_cols)
     clipped = F.least(F.greatest(F.col(value_col), F.col("__p_lo")), F.col("__p_hi"))
