@@ -62,7 +62,6 @@ def main() -> None:
     # the QUIET-box canonical runs trip the floor round after round;
     # settle those in PERF.md.
     prev_warm: dict[str, float] = {}
-    prev_spikes: list[str] = []
     try:
         prev = json.loads((REPO / "bench_full.json").read_text())
         # The floor is only meaningful at the SAME scale factor: a run
@@ -76,7 +75,6 @@ def main() -> None:
             for n, t in prev.get("queries", {}).items():
                 w = min(t, prev_r.get(n, t))
                 prev_warm[n] = min(prev_warm.get(n, w), w)
-            prev_spikes = list(prev.get("jit_spikes", []))
     except Exception:  # noqa: BLE001 - first run / corrupt file: no comparator
         pass
 
@@ -109,25 +107,14 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warmup must never sink the run
             pass
         spark.catalog.clearCache()
-    # Second-stage warmup AT sf_dir for the previous run's JIT-spike
-    # list (round-11 verdict task 8): sf0.001 warming compiles each
-    # plan family's codegen once, but at sf_dir AQE can pick DIFFERENT
-    # physical plans (broadcast vs sort-merge, coalesced exchanges), so
-    # a handful of queries still first-touch-compile in the timed pass
-    # — 35 of them read ~30 s over warm on the r11 driver box. Warming
-    # exactly the prior run's spike set at sf_dir pre-compiles the
-    # full-scale plan shapes; the list is self-updating (carried in
-    # bench_full.json), costs one untimed warm-speed execution per
-    # spike-prone query, and leaves the timed loop untouched.
-    if not warmup_at_full_scale:
-        for warm_q in prev_spikes:
-            if warm_q not in qs:
-                continue
-            try:
-                _force(qs[warm_q](spark, sf_dir))
-            except Exception:  # noqa: BLE001 - warmup must never sink the run
-                pass
-            spark.catalog.clearCache()
+    # The round-12 second-stage warmup (re-running the PREVIOUS run's
+    # JIT-spike list at sf_dir, round-11 verdict task 8) is REVERTED in
+    # round 13: it cost ~264 s of untimed wall per bench for zero
+    # measured benefit — the spike set is box-state-specific, so warming
+    # the committed list did not predict (or prevent) the driver box's
+    # spikes (n_jit_spikes went 35 -> 72 with the warmup in place,
+    # round-12 PERF). Spike robustness comes from the warm re-time loop
+    # below, not from pre-warming.
     warmup_sec = round(time.time() - t_warm, 3)
 
     timings: dict[str, float] = {}
@@ -199,11 +186,19 @@ def main() -> None:
         n: round(min(prev_warm.get(n, t), rerun_best.get(n, t), t), 3)
         for n, t in timings.items()
     }
+    # Master/parallelism stamped on the output so the driver can verify
+    # the core-count contract (local[$SPARK_GRAFT_CPUS]) from the JSON
+    # line itself — the round-12 scaling probe flagged
+    # `suspect_cpus_ignored` only because the line omitted them.
+    cpus = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
     full = {
         "metric": "catalog_total_runtime",
         "value": total,
         "warm_total": warm_total,
         "unit": "sec",
+        "cpus": cpus,
+        "master": master,
         "queries": timings,
         "n": len(timings),
         "warmup_sec": warmup_sec,
@@ -233,6 +228,8 @@ def main() -> None:
             "value": total,
             "warm_total": warm_total,
             "unit": "sec",
+            "cpus": cpus,
+            "master": master,
             "queries": slowest,
             "n": len(timings),
             "n_errors": len(errors),

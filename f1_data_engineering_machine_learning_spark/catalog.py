@@ -2353,6 +2353,17 @@ def order_price_mrl_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once; blocks GC-release with the DataFrame (bigram convention,
     # pinned by test_bigram_collocations_checkpoint_blocks_released)
     s = mrl_build(o, "value", k).localCheckpoint(eager=False)
+    # Round-13 note: merging the rank audit and the exact-percentile
+    # truth into ONE aggregate (ests collected — or lazily pivoted — to
+    # literals/columns, lo/hi as conditional sums next to the array
+    # percentile) was built, value-verified equal, and A/B-measured at
+    # sf0.1: old 3.87s vs merged 4.58s median (collect variant) and
+    # 5.51 vs 6.78 (lazy-pivot variant, 6 alternating rounds each) —
+    # SLOWER, because the exact arm currently runs CONCURRENTLY with the
+    # ladder build in the one action, while any merged shape chains it
+    # behind the build's range exchange. The 3-scan shape is the
+    # measured local optimum; at cluster saturation the 2-scan merged
+    # shape wins on total work and is recorded in OPTIMIZATION_r13.md.
     ests = mrl_quantiles(s, qs)
     lv = s.agg(
         F.max(

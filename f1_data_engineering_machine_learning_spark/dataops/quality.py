@@ -518,9 +518,9 @@ def category_drift(
     return gapped.drop("__ta", "__tb").crossJoin(tvd)
 
 
-def _rank_percentile_bounds(
+def _rank_order_stats(
     rows: DataFrame, col: str, fracs: list[float]
-) -> DataFrame:
+) -> tuple[DataFrame, list[float], float, float] | None:
     """Exact percentile boundaries WITHOUT the value->count map: the
     two-pass range-partitioned ORDER-STATISTICS path for
     unbounded-cardinality columns. Pass 1 range-partitions the column
@@ -534,8 +534,13 @@ def _rank_percentile_bounds(
     interpolation is exact this arm is BITWISE the map arm — pinned by
     ``tests/test_quality.py``. Memory per task is one range partition's
     sorted run (spillable sort, streamed Arrow batches) regardless of
-    distinct-value count. Returns the same one-row
-    (__bounds, __min, __max) frame the map arm aggregates."""
+    distinct-value count.
+
+    Returns ``(ranged, bounds, vmin, vmax)`` — ``ranged`` is the
+    MATERIALIZED (lineage-cut) range-partitioned frame holding the
+    cast column as ``__v``, which callers needing a subsequent full
+    pass (the equi-depth bin count) reuse instead of re-scanning the
+    source — or ``None`` on empty input."""
     import bisect
     import math
 
@@ -560,10 +565,8 @@ def _rank_percentile_bounds(
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
     by_pid = sorted((int(r["__pid"]), int(r["__c"])) for r in counts)
     total = sum(c for _, c in by_pid)
-    schema = "__bounds array<double>, __min double, __max double"
     if total == 0:
-        # the map arm's global agg yields one all-null row on empty input
-        return spark.createDataFrame([(None, None, None)], schema)
+        return None
     starts: dict[int, int] = {}
     cum = []
     acc = 0
@@ -619,7 +622,23 @@ def _rank_percentile_bounds(
             bnds.append(vals[lo_i])  # Spark's no-interpolation shortcut
         else:
             bnds.append((hi_i - p) * vals[lo_i] + (p - lo_i) * vals[hi_i])
-    return spark.createDataFrame([(bnds, vals[0], vals[total - 1])], schema)
+    return ranged, bnds, vals[0], vals[total - 1]
+
+
+def _rank_percentile_bounds(
+    rows: DataFrame, col: str, fracs: list[float]
+) -> DataFrame:
+    """:func:`_rank_order_stats` packaged as the one-row
+    (__bounds, __min, __max) frame the map arm aggregates — the shared
+    downstream shape of :func:`exact_percentiles`."""
+    spark = rows.sparkSession
+    schema = "__bounds array<double>, __min double, __max double"
+    info = _rank_order_stats(rows, col, fracs)
+    if info is None:
+        # the map arm's global agg yields one all-null row on empty input
+        return spark.createDataFrame([(None, None, None)], schema)
+    _, bnds, vmin, vmax = info
+    return spark.createDataFrame([(bnds, vmin, vmax)], schema)
 
 
 def exact_percentiles(
@@ -731,7 +750,42 @@ def equidepth_histogram(
         ndv = rows.agg(F.approx_count_distinct(col).alias("__d")).first()["__d"]
         route = "map" if int(ndv) <= distinct_threshold else "rank"
     if route == "rank":
-        bounds = _rank_percentile_bounds(rows, col, fracs)
+        # The rank arm's boundaries are DRIVER-SIDE floats and the range
+        # pass has already materialized the cast column (lineage-cut
+        # ``ranged``). The count pass therefore (a) reuses that
+        # materialization instead of a second full scan of the source,
+        # and (b) assigns bins with a chain of literal comparisons —
+        # whole-stage-codegen'd — instead of the broadcast-array HOF
+        # fold, which Spark evaluates interpreted per row. Bin ids and
+        # counts are identical (same ``__v > boundary`` predicates in
+        # the same order); lo/hi come from the same driver floats the
+        # one-row bounds frame would carry — bitwise-equal output,
+        # pinned by the map/rank equivalence tests.
+        info = _rank_order_stats(rows, col, fracs)
+        if info is None:  # empty input: zero bins, like the map arm
+            return df.sparkSession.createDataFrame(
+                [], "bin int, lo double, hi double, n bigint"
+            )
+        ranged, bnds, vmin, vmax = info
+        bin_expr = F.lit(0)
+        for b in bnds:
+            bin_expr = bin_expr + F.when(F.col("__v") > F.lit(b), 1).otherwise(0)
+        counted = ranged.groupBy(bin_expr.alias("__bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        lo_arr = F.array(*[F.lit(float(b)) for b in bnds])
+        return counted.select(
+            F.col("__bin").cast("int").alias("bin"),
+            F.when(F.col("__bin") == 0, F.lit(float(vmin)))
+            .otherwise(F.element_at(lo_arr, F.col("__bin")))
+            .cast("double")
+            .alias("lo"),
+            F.when(F.col("__bin") == F.lit(len(fracs)), F.lit(float(vmax)))
+            .otherwise(F.element_at(lo_arr, F.col("__bin") + 1))
+            .cast("double")
+            .alias("hi"),
+            "n",
+        )
     else:
         # single array-fraction percentile: one value->count map + one
         # sort for ALL boundaries (see exact_percentiles; measured 5.4x

@@ -220,15 +220,18 @@ def _ingest(
             range_partitioned_rank,
         )
 
+        # vn rides out of the rank operator's own offsets plan
+        # (total_col) — the previous separate raw.agg(count) was a
+        # SECOND full scan of the input per unkeyed ingest, plus a
+        # broadcast exchange, for a number the rank pass already had
         ranked = range_partitioned_rank(
-            raw, ["value"], row_number_col="__vrn1"
+            raw, ["value"], row_number_col="__vrn1", total_col="vn"
         ).select(
             *group_cols,
             "value",
             (F.col("__vrn1") - 1).cast("long").alias("vrn"),
+            "vn",
         )
-        total = raw.agg(F.count(F.lit(1)).cast("long").alias("vn"))
-        ranked = ranked.crossJoin(F.broadcast(total))
     else:
         ranked = raw.withColumn(
             "vrn",

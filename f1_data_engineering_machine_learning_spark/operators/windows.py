@@ -87,6 +87,7 @@ def range_partitioned_rank(
     ntile_col: str = "ntile",
     tiebreak: Sequence[str] = (),
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """GLOBAL rank / percent_rank / cume_dist / ntile without the
     single-task global window (``Window.orderBy`` with no partitionBy
@@ -222,6 +223,12 @@ def range_partitioned_rank(
             )
         )
         out = out.withColumn(ntile_col, tile.cast("int"))
+    if total_col:
+        # the global row count rides the offsets broadcast already joined
+        # onto every row — exposing it costs nothing, while the caller's
+        # alternative is a SECOND full scan of the input just to count it
+        # (the shape _ingest's unkeyed arm paid before round 13)
+        out = out.withColumn(total_col, F.col("__n").cast("long"))
     return out.drop("__pid", "__lo", "__hi", "__n", "__cnt")
 
 
