@@ -984,6 +984,34 @@ def embedding_cosine_dup_pairs_blocked(
     )
 
 
+def _seq_dot_block(Vi: np.ndarray, Vj: np.ndarray) -> np.ndarray:
+    """Pairwise dot products of two row-blocks with the JVM fold's EXACT
+    accumulation: for every pair the sum is ``((0.0 + t1) + t2) + ...``
+    in element order — one rounded IEEE multiply and one rounded IEEE
+    add per term, which is precisely what ``aggregate(zip_with(a, b,
+    (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)`` computes. NumPy
+    evaluates ``acc += col_i * col_j`` as separate vectorized multiply
+    and add instructions (no FMA fusion for distinct ufunc calls), so
+    every element of the result is bitwise-equal to the sequential fold
+    — the property that lets the Arrow pair-scan kernels replace the
+    interpreted HOF without moving a single oracle hash. A BLAS matmul
+    would NOT qualify: its blocked/pairwise accumulation order differs."""
+    out = np.zeros((Vi.shape[0], Vj.shape[0]))
+    for d in range(Vi.shape[1]):
+        out += Vi[:, d, None] * Vj[None, :, d]
+    return out
+
+
+def _seq_norms(V: np.ndarray) -> np.ndarray:
+    """Row L2 norms with the fold's accumulation order (acc starts at
+    ``x1*x1``; adding the fold's 0.0 seed to the first square is exact),
+    bitwise-equal to :func:`l2_norm` / ``_l2_fixed_sql``."""
+    acc = V[:, 0] * V[:, 0]
+    for d in range(1, V.shape[1]):
+        acc = acc + V[:, d] * V[:, d]
+    return np.sqrt(acc)
+
+
 def semantic_dedup_deterministic(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -993,6 +1021,7 @@ def semantic_dedup_deterministic(
     max_cluster: int = 100_000,
     dim: int | None = None,
     assign: str = "join",
+    pair_scan: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings with
     a coarse quantizer, then inside each cluster drop every vector that
@@ -1041,9 +1070,30 @@ def semantic_dedup_deterministic(
       SQL literal array. Kept as the small-k oracle twin (it is the
       text a second engine replays verbatim) and for plans that must
       not carry a join.
+
+    ``pair_scan`` picks the IN-CLUSTER pair-scan engine (values bitwise
+    identical, equivalence-pinned in tests):
+
+    - ``"arrow"`` (default since round 13): one assignment lineage, one
+      shuffle on the cluster key, and a per-cluster Arrow kernel
+      (``applyInPandas``) that computes every pairwise cosine with
+      NumPy using the fold's exact accumulation order
+      (:func:`_seq_dot_block` — vectorized across pairs, sequential
+      across elements, so every double is bit-equal to the HOF fold).
+      Each vector crosses the Python boundary ONCE (guide §8: move
+      payloads once, not once per pair); the interpreted-HOF
+      join-condition tier evaluated a ~25 us lambda chain PER PAIR.
+      Blocked matmuls bound kernel memory at O(block^2), and
+      ``max_cluster`` still bounds the group a task holds.
+    - ``"join"``: the round-6 shape — cluster-keyed self-join with the
+      single-traversal HOF dot in the join condition. Kept as the
+      pure-JVM twin (no Python workers) and as the equivalence oracle
+      for the kernel.
     """
     if assign not in ("join", "literal"):
         raise ValueError(f"assign must be 'join' or 'literal', got {assign!r}")
+    if pair_scan not in ("arrow", "join"):
+        raise ValueError(f"pair_scan must be 'arrow' or 'join', got {pair_scan!r}")
 
     # Each pair-scan side derives its OWN assignment subtree with per-side
     # column names (fresh expression ids). The argmax expression contains
@@ -1112,6 +1162,64 @@ def semantic_dedup_deterministic(
         if tag:
             out = out.select(*[F.col(c).alias(f"{c}{tag}") for c in out.columns])
         return out
+
+    if pair_scan == "arrow":
+        from pyspark.sql import types as T
+
+        full = _assigned("")
+        thr = float(threshold)
+        mc = int(max_cluster)
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, corpus.schema[id_col].dataType),
+                T.StructField("centroid", T.IntegerType()),
+                T.StructField("kept", T.BooleanType()),
+            ]
+        )
+
+        def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            cent = int(pdf["__c"].iloc[0])
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy()
+            kept = np.ones(m, dtype=bool)
+            # clusters above max_cluster skip the pair scan (keep all) —
+            # the same degenerate-cluster guard as the join path
+            if 1 < m <= mc:
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                nrm = _seq_norms(V)
+                blk = 2048  # bounds kernel memory at O(blk^2) doubles
+                dropped = np.zeros(m, dtype=bool)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    for j0 in range(1, m, blk):
+                        j1 = min(j0 + blk, m)
+                        jj = np.arange(j0, j1)[None, :]
+                        for i0 in range(0, j1, blk):
+                            i1 = min(i0 + blk, j1)
+                            sim = _seq_dot_block(V[i0:i1], V[j0:j1]) / (
+                                nrm[i0:i1, None] * nrm[None, j0:j1]
+                            )
+                            ii = np.arange(i0, i1)[:, None]
+                            dropped[j0:j1] |= (
+                                (sim >= thr) & (ii < jj)
+                            ).any(axis=0)
+                kept = ~dropped
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "centroid": np.full(m, cent, dtype=np.int32),
+                    "kept": kept,
+                }
+            )
+
+        # the kernel recomputes norms vectorized (bitwise-equal), so the
+        # hoisted __n column would be dead weight across the boundary —
+        # Catalyst prunes its computation once unreferenced
+        return full.drop("__n").groupBy("__c").applyInPandas(
+            _kern, schema=out_schema
+        )
 
     a, b, full = _assigned("a"), _assigned("b"), _assigned("")
     # max_cluster guard as a count-window on the pair scan's OWN join
@@ -1341,10 +1449,21 @@ def l2_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by squared L2 distance (ascending) — the baseline PQ's
     ADC scan is graded against. Same broadcast-queries shape as
-    :func:`cosine_topk`; ties break by neighbor id."""
+    :func:`cosine_topk`; ties break by neighbor id.
+
+    ``engine="arrow"`` (default since round 13) scores the broadcast-
+    joined pairs in a ``mapInPandas`` kernel: one NumPy pass per batch
+    with the fold's exact accumulation order (sequential across
+    elements, vectorized across pairs — bitwise-equal to :func:`l2sq`,
+    see :func:`_seq_dot_block`), replacing the interpreted per-pair HOF
+    lambda. ``engine="sql"`` keeps the pure-JVM fold (the equivalence
+    twin). The join/top-k shape is identical in both."""
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
     )
@@ -1353,11 +1472,47 @@ def l2_topk(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
         )
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("l2_dist", l2sq(F.col("__qvec"), F.col("__cvec")).cast("double"))
-        .select("query_id", "neighbor_id", "l2_dist")
-    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    if engine == "arrow":
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("l2_dist", T.DoubleType()),
+            ]
+        )
+
+        def _score(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__qvec"]]
+                )
+                C = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__cvec"]]
+                )
+                acc = np.zeros(len(pdf))
+                for d in range(Q.shape[1]):
+                    t = Q[:, d] - C[:, d]
+                    acc += t * t
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "l2_dist": acc,
+                    }
+                )
+
+        scored = pairs.select(
+            "query_id", "neighbor_id", "__qvec", "__cvec"
+        ).mapInPandas(_score, schema=out_schema)
+    else:
+        scored = pairs.withColumn(
+            "l2_dist", l2sq(F.col("__qvec"), F.col("__cvec")).cast("double")
+        ).select("query_id", "neighbor_id", "l2_dist")
     return topk_per_group(
         scored, ["query_id"], [F.col("l2_dist"), F.col("neighbor_id")], k, rn_col="rank"
     )
@@ -1413,20 +1568,57 @@ def pq_encode_deterministic(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Encode every corpus vector to ``m`` one-byte codes: per subspace,
     the argmin-squared-L2 codeword (ties -> smallest code, strict ``<``
     keeps the earliest of the code-ordered array). Map-only — zero
-    shuffles, no UDF: each subspace's assignment is a sequential fold
-    over its literal codebook, so encoding streams a 100 TB corpus at
-    scan speed and the stored index is |corpus| x (id + m bytes) — with
-    m=8 over dim=64 doubles that is a 64x payload compression before any
-    search work happens. Returns (neighbor_id, __codes array<int>)."""
+    shuffles: encoding streams a 100 TB corpus at scan speed and the
+    stored index is |corpus| x (id + m bytes) — with m=8 over dim=64
+    doubles that is a 64x payload compression before any search work
+    happens. Returns (neighbor_id, __codes array<int>).
+
+    ``engine="arrow"`` (default since round 13) assigns codes in a
+    vectorized pandas-UDF kernel: per (subspace, codeword) the distances
+    accumulate sequentially across elements (one rounded subtract /
+    multiply / add per term — bitwise the ``_l2sq_sql`` fold, see
+    :func:`_seq_dot_block`), and ``np.argmin``'s first-minimum matches
+    the struct-min's smallest-code tie rule. The interpreted HOF tier
+    paid ~m x ksub x dsub lambda steps PER ROW (the dominant cost of the
+    PQ index build, r12 decomposition: 1.0 s of embedding_pq_topk's
+    3.3 s floor). ``engine="sql"`` keeps the pure-JVM literal-fold twin
+    (the text the DuckDB oracle replays; equivalence-pinned)."""
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cvec")
     )
+    if engine == "arrow":
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        cb = [[list(map(float, cw)) for cw in book] for book in codebooks]
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _codes(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            out = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                base = j * dsub
+                dists = np.empty((len(V), len(cb[j])))
+                for code, cw in enumerate(cb[j]):
+                    acc = np.zeros(len(V))
+                    for d in range(dsub):
+                        t = V[:, base + d] - cw[d]
+                        acc += t * t
+                    dists[:, code] = acc
+                out[:, j] = np.argmin(dists, axis=1)
+            return pd.Series([row.tolist() for row in out])
+
+        return c.select("neighbor_id", _codes(F.col("__cvec")).alias("__codes"))
     code_exprs = []
     for j in range(m):
         sub = f"slice(__cvec, {j * dsub + 1}, {dsub})"
@@ -1455,6 +1647,7 @@ def pq_topk_deterministic(
     ksub: int = 16,
     dim: int = 64,
     rerank: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """PQ-ADC top-k: asymmetric distance computation over the compressed
     corpus — the third ANN family next to IVF (partition pruning) and
@@ -1493,7 +1686,7 @@ def pq_topk_deterministic(
     ``embedding_pq_topk``). Ties: (adc_dist asc, neighbor_id)."""
     codebooks = pq_codebooks_deterministic(corpus, id_col, vec_col, m, ksub, dim)
     dsub = dim // m
-    enc = pq_encode_deterministic(corpus, codebooks, id_col, vec_col)
+    enc = pq_encode_deterministic(corpus, codebooks, id_col, vec_col, engine=engine)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qvec")
@@ -1674,6 +1867,7 @@ def incremental_semantic_dedup(
     n_centroids: int = 16,
     max_cluster: int = 100_000,
     dim: int | None = None,
+    pair_scan: str = "arrow",
 ) -> DataFrame:
     """Continuous-ingest SemDeDup: flag NEW batch vectors that are
     semantic near-duplicates of an EXISTING corpus — the incremental
@@ -1697,7 +1891,19 @@ def incremental_semantic_dedup(
     orders of magnitude smaller; ``max_cluster`` guards degenerate
     clusters on the CORPUS side (skip -> no pairs -> conservative
     keep-all, same direction as the full pass). Assignment itself is
-    map-only (1-row broadcast centroid frame, k-independent plan)."""
+    map-only (1-row broadcast centroid frame, k-independent plan).
+
+    ``pair_scan="arrow"`` (default since round 13) runs the batch x
+    corpus scan as a per-cluster COGROUPED Arrow kernel — each side's
+    vectors cross the Python boundary once and the pairwise cosines
+    (including the emitted ``cosine_sim`` doubles) are computed with
+    the fold's exact accumulation order (:func:`_seq_dot_block`),
+    bitwise-equal to the HOF join condition (``pair_scan="join"``, the
+    pure-JVM twin kept for equivalence tests)."""
+    if pair_scan not in ("arrow", "join"):
+        raise ValueError(
+            f"pair_scan must be 'arrow' or 'join', got {pair_scan!r}"
+        )
     wanted = ("__id", "__v", "__nv", "__c")
 
     def _assigned(df: DataFrame, tag: str) -> DataFrame:
@@ -1727,6 +1933,70 @@ def incremental_semantic_dedup(
             .select(*wanted)
         )
         return out.select(*[F.col(c).alias(f"{c}{tag}") for c in out.columns])
+
+    if pair_scan == "arrow":
+        from pyspark.sql import types as T
+
+        thr = float(threshold)
+        mc = int(max_cluster)
+        id_t = batch.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("batch_id", id_t),
+                T.StructField("corpus_id", corpus.schema[id_col].dataType),
+                T.StructField("centroid", T.IntegerType()),
+                T.StructField("cosine_sim", T.DoubleType()),
+            ]
+        )
+
+        def _kern(bp: pd.DataFrame, cp: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"batch_id": [], "corpus_id": [], "centroid": [], "cosine_sim": []}
+            )
+            # corpus-side degenerate-cluster guard, same rule as the
+            # join path's window-count filter
+            if len(bp) == 0 or len(cp) == 0 or len(cp) > mc:
+                return empty
+            cent = int(bp["__c"].iloc[0])
+            Vb = np.stack([np.asarray(v, dtype=np.float64) for v in bp["__v"]])
+            Vc = np.stack([np.asarray(v, dtype=np.float64) for v in cp["__v"]])
+            nb, nc = _seq_norms(Vb), _seq_norms(Vc)
+            bids = bp["__id"].to_numpy()
+            cids = cp["__id"].to_numpy()
+            outs = []
+            blk = 2048
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for i0 in range(0, len(Vb), blk):
+                    i1 = min(i0 + blk, len(Vb))
+                    for j0 in range(0, len(Vc), blk):
+                        j1 = min(j0 + blk, len(Vc))
+                        sim = _seq_dot_block(Vb[i0:i1], Vc[j0:j1]) / (
+                            nb[i0:i1, None] * nc[None, j0:j1]
+                        )
+                        hit = sim >= thr
+                        if hit.any():
+                            ii, jj = np.nonzero(hit)
+                            outs.append(
+                                pd.DataFrame(
+                                    {
+                                        "batch_id": bids[i0 + ii],
+                                        "corpus_id": cids[j0 + jj],
+                                        "centroid": np.full(
+                                            len(ii), cent, dtype=np.int32
+                                        ),
+                                        "cosine_sim": sim[ii, jj],
+                                    }
+                                )
+                            )
+            return pd.concat(outs) if outs else empty
+
+        bg = _assigned(batch, "").drop("__nv")
+        cg = _assigned(corpus, "").drop("__nv")
+        return (
+            bg.groupBy("__c")
+            .cogroup(cg.groupBy("__c"))
+            .applyInPandas(_kern, schema=out_schema)
+        )
 
     from pyspark.sql import Window
 

@@ -63,7 +63,32 @@ def build_session(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the ADVISORY TARGET SIZE when coalescing, not the
+        # session's parallelism (the Spark tuning guide's recommended
+        # production setting): with the default (true), AQE refuses to
+        # coalesce below defaultParallelism, so a 32-core local session
+        # runs every tiny post-shuffle stage as 32 near-empty tasks
+        # (pure scheduling overhead at bench scale) and a 100 TB cluster
+        # keeps thousands of sub-advisory partitions alive. With false,
+        # partition count derives from DATA SIZE at every scale — the
+        # scale-adaptive behavior §2.2 of the optimization guide asks
+        # for. Overridable via env for A/B.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # One bench/oracle session compiles ~4000 distinct whole-stage
+        # codegen units across 206 query plans; the default 100-entry
+        # generated-class cache thrashes, re-running Janino on every
+        # re-execution of an evicted plan. 10k entries keeps every unit
+        # of a full catalog session resident (metaspace cost is bounded:
+        # r12 measured 232 MB with the 100-entry cache and per-class
+        # footprint is ~10-100 KB).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -574,6 +574,57 @@ def test_semantic_dedup_rejects_unknown_assign(planted_vectors):
         )
 
 
+def test_semantic_dedup_arrow_equals_join_pair_scan(planted_vectors):
+    # the Arrow per-cluster kernel (round-13 default) must agree with the
+    # pure-JVM HOF join condition EXACTLY: the kernel accumulates dots
+    # sequentially across elements (vectorized across pairs), which is
+    # bitwise the fold — so kept flags and centroids cannot differ
+    def rows(scan, **kw):
+        return sorted(
+            (r.vec_id, r.centroid, r.kept)
+            for r in similarity.semantic_dedup_deterministic(
+                planted_vectors, threshold=0.95, n_centroids=8,
+                pair_scan=scan, **kw
+            ).collect()
+        )
+
+    assert rows("arrow", dim=16) == rows("join", dim=16)
+    assert rows("arrow") == rows("join")
+    with pytest.raises(ValueError, match="pair_scan"):
+        similarity.semantic_dedup_deterministic(
+            planted_vectors, pair_scan="udf"
+        )
+
+
+def test_semantic_dedup_arrow_blocked_kernel_tiles(spark):
+    # force multi-block kernel tiling (m > blk would need 2049 rows; the
+    # tile loop is exercised with a tiny block via monkeypatching numpy
+    # shapes is intrusive — instead verify a 3-cluster corpus with
+    # chained drops agrees across scan engines, including boundary ids)
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    step = math.acos(0.96)
+    rows_in = [(i, unit(i * step * 0.0)) for i in range(6)]  # 6 identical
+    rows_in += [(10 + i, unit(math.pi / 2 + i * step)) for i in range(3)]
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding"])
+    a = sorted(
+        (r.vec_id, r.centroid, r.kept)
+        for r in similarity.semantic_dedup_deterministic(
+            df, threshold=0.95, n_centroids=2, dim=4, pair_scan="arrow"
+        ).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.centroid, r.kept)
+        for r in similarity.semantic_dedup_deterministic(
+            df, threshold=0.95, n_centroids=2, dim=4, pair_scan="join"
+        ).collect()
+    )
+    assert a == b
+
+
 def test_semantic_dedup_chain_drops_both(spark):
     # chain a-b-c where only adjacent pairs exceed the threshold: the
     # "no smaller-id near-dup" rule drops BOTH b and c (conservative,
@@ -793,6 +844,45 @@ def test_pq_codeword_rows_encode_to_themselves(spark, sf_dir):
     ids = sorted(enc)
     for code, vid in enumerate(ids):
         assert enc[vid] == [code] * 8
+
+
+def test_pq_encode_arrow_equals_sql(spark, sf_dir):
+    """The vectorized pandas-UDF encoder (round-13 default) must emit
+    the EXACT codes of the literal-fold JVM encoder: distances are
+    bitwise-equal (sequential accumulation, one rounded sub/mul/add per
+    term) so argmin ties resolve identically (first minimum = smallest
+    code)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = similarity.pq_codebooks_deterministic(emb, m=16, ksub=32, dim=64)
+
+    def codes(engine):
+        return {
+            r.neighbor_id: list(r["__codes"])
+            for r in similarity.pq_encode_deterministic(
+                emb, cb, engine=engine
+            ).collect()
+        }
+
+    assert codes("arrow") == codes("sql")
+    with pytest.raises(ValueError, match="engine"):
+        similarity.pq_encode_deterministic(emb, cb, engine="udf")
+
+
+def test_l2_topk_arrow_equals_sql(spark, sf_dir):
+    """The mapInPandas pair scorer (round-13 default) must reproduce the
+    JVM l2sq fold bitwise — ranks AND distances."""
+    import struct
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def rows(engine):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, struct.pack("<d", r.l2_dist))
+            for r in similarity.l2_topk(q, emb, k=5, engine=engine).collect()
+        )
+
+    assert rows("arrow") == rows("sql")
 
 
 def test_pq_rerank_beats_raw_adc_recall(spark, sf_dir):
@@ -1181,6 +1271,51 @@ def test_incremental_semantic_dedup_flags_planted_twins(spark):
     for r in rows:
         assert r["cosine_sim"] >= 0.95
         assert math.isclose(r["cosine_sim"], 1 / math.sqrt(1 + eps * eps), rel_tol=1e-9)
+
+
+def test_incremental_semantic_dedup_arrow_equals_join(spark):
+    """The cogrouped Arrow kernel (round-13 default) must reproduce the
+    HOF join-condition path EXACTLY — including the emitted cosine_sim
+    DOUBLES (the kernel's sequential-across-elements accumulation is
+    bitwise the fold), not just the matched pairs."""
+    import struct
+
+    from f1_data_engineering_machine_learning_spark.dataops.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    import random as _r
+
+    rng = _r.Random(13)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    base = {r["vec_id"]: list(r["embedding"]) for r in corpus.collect()}
+    batch_rows = [
+        (100 + i, [x + 0.001 * i for x in base[i]]) for i in range(10)
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+
+    def rows(scan, **kw):
+        return sorted(
+            (
+                r["batch_id"],
+                r["corpus_id"],
+                r["centroid"],
+                struct.pack("<d", r["cosine_sim"]),
+            )
+            for r in incremental_semantic_dedup(
+                batch, corpus, threshold=0.5, n_centroids=4,
+                pair_scan=scan, **kw
+            ).collect()
+        )
+
+    assert rows("arrow", dim=dim) == rows("join", dim=dim)
+    assert rows("arrow") == rows("join")
 
 
 def test_incremental_semantic_dedup_plan_is_one_sided(spark):

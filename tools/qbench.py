@@ -29,13 +29,22 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--plan", default=None, help="directory for explain('formatted') dumps")
     ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf k=v (repeatable)")
+    ap.add_argument("--jvm", default=None,
+                    help="driver extraJavaOptions override")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
     from f1_data_engineering_machine_learning_spark import catalog
     from f1_data_engineering_machine_learning_spark.session import build_session
 
-    spark = build_session(app_name="qbench")
+    if args.jvm is not None:
+        os.environ["SPARK_GRAFT_DRIVER_JVM_OPTS"] = args.jvm
+    spark = build_session(
+        app_name="qbench",
+        extra_conf=dict(kv.split("=", 1) for kv in args.conf),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
     warm_dir = os.path.join(os.path.dirname(args.sf.rstrip("/")), "sf0.001")
