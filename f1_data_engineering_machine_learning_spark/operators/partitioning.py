@@ -19,17 +19,62 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value (``"134217728b"``, ``"128m"``,
+    bare digits). Unknown shapes fall back to the 128 MB default."""
+    s = str(v).strip().lower()
+    num, mult = s, 1
+    for suf in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
+        if s.endswith(suf):
+            num, mult = s[: -len(suf)], _SUFFIX[suf[0]]
+            break
+    try:
+        return max(1, int(num) * mult)
+    except ValueError:
+        return 128 * 1024 * 1024
+
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: the session's
     ``defaultParallelism``) iff its current layout is narrower. Results are
-    repartition-invariant; only task parallelism changes."""
+    repartition-invariant; only task parallelism changes.
+
+    The narrowness check is PLAN-SIDE since round 13: estimated scan
+    splits = optimizer ``sizeInBytes`` / ``files.maxPartitionBytes``
+    (the scan packer's own ratio, ignoring the per-file open-cost
+    surcharge — an over-estimate of split size, i.e. an UNDER-estimate
+    of splits, which errs toward widening small inputs, the safe
+    direction). The previous ``df.rdd.getNumPartitions()`` forced full
+    physical planning + an RDD conversion on every dedup/similarity
+    call — measured 66 ms vs 21 ms per fresh frame at sf0.1, on a
+    driver-side path every such query pays. Both tests (estimated or
+    actual partitions vs target) agree wherever it matters: tiny inputs
+    widen, at-scale inputs short-circuit; the divergence zone is inputs
+    within ~2x of target*maxPartitionBytes, where either answer is
+    fine."""
     try:
         sc = df.sparkSession.sparkContext
         target = min_partitions or sc.defaultParallelism
-        current = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no sparkContext/rdd — leave layout alone
+    except Exception:  # Spark Connect: no sparkContext — leave layout alone
         return df
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        mpb = _parse_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        )
+        current = max(1, size // mpb)
+    except Exception:  # no classic-JVM plan access: fall back to the RDD
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     if current < target:
         return df.repartition(target)
     return df

@@ -750,3 +750,45 @@ def test_fuzz_assign_sessions_matches_python_replay(spark):
                 want[e] = sid
                 prev = ts
         assert got == want, f"trial={trial} gap={gap_min}"
+
+
+def test_ensure_min_parallelism_plan_side_heuristic(spark):
+    """Round-13 rewrite: the narrowness check reads optimizer stats (no
+    RDD conversion). Small inputs still widen to defaultParallelism;
+    inputs whose estimated split count reaches the target short-circuit
+    with NO added exchange; explicit min_partitions is honored."""
+    from f1_data_engineering_machine_learning_spark.operators.partitioning import (
+        _parse_bytes,
+        ensure_min_parallelism,
+    )
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 * 1024 * 1024
+    assert _parse_bytes("1k") == 1024
+    assert _parse_bytes("junk") == 128 * 1024 * 1024
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    target = spark.sparkContext.defaultParallelism
+    widened = ensure_min_parallelism(df)
+    assert widened.rdd.getNumPartitions() >= min(target, 1000)
+    assert sorted(r.v for r in widened.collect()) == sorted(
+        r.v for r in df.collect()
+    )
+    # force the estimate above the target: 1-byte max split size makes
+    # estimated splits = sizeInBytes >= target, so no repartition is
+    # added (the at-scale short-circuit, exercised without 100 TB)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+    try:
+        same = ensure_min_parallelism(df)
+        assert "Repartition" not in same._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # explicit floor below current width: no-op
+    assert (
+        "Repartition"
+        not in ensure_min_parallelism(df, min_partitions=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
