@@ -335,23 +335,22 @@ def test_entire_catalog_global_windows_are_bounded_whitelisted(spark):
     assert not stale, f"whitelist entries with no global window left: {stale}"
 
 
-def test_equidepth_rank_tail_is_single_scan_broadcast(spark, sf_dir):
-    """The rank-arm equidepth query's RETURNED frame: boundaries are a
-    one-row broadcast literal (computed by the bounded order-statistics
-    passes at construction), so the tail is one pruned fact scan + a
-    broadcast join + one n_bins-row aggregate — no Python stage, no
-    second fact scan."""
+def test_equidepth_rank_tail_reuses_ranged_materialization(spark, sf_dir):
+    """The rank-arm equidepth query's RETURNED frame (round-13 shape):
+    the count pass reuses the range pass's lineage-cut materialization of
+    the cast column — Scan ExistingRDD, ZERO parquet re-scans — and bins
+    with a codegen'd chain of DRIVER-LITERAL comparisons: no broadcast
+    join, no interpreted array-HOF fold, no Python stage in the tail.
+    One n_bins-row hash aggregate finishes it."""
     plan = _plan(catalog.lineitem_price_equidepth_hist_ranked(spark, sf_dir))
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    cols = {c.split(":")[0] for c in m.group(1).split(",")}
-    assert cols == {"l_extendedprice"}  # column pruning reached the scan
-    # exactly one fact scan node (formatted plans list each node twice:
-    # tree line + "(n) Scan parquet" detail line — count the details)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # tail reads the checkpointed ranged frame, never the parquet source
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert "MapInPandas" not in plan  # order-statistics pass not in tail
     assert "CartesianProduct" not in plan
-    # one-row broadcast literal feeds the bin tagging
-    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
-    # array-typed first() aggregates plan as SortAggregate — the n_bins-row
-    # group-by either way
+    assert "BroadcastNestedLoopJoin" not in plan  # literals replaced the
+    # one-row bounds broadcast; bin ids come from a CASE WHEN chain
+    assert re.search(r"CASE WHEN \(__v#\d+ > [0-9.E]+\) THEN 1 ELSE 0 END", plan)
+    assert "aggregate(" not in plan  # no interpreted HOF fold
+    # the n_bins-row count group-by
     assert re.search(r"(Hash|Sort)Aggregate", plan)

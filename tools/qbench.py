@@ -51,15 +51,31 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = args.sf
 
+    unknown = [n for n in args.queries if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        print(f"available: {sorted(qs)}")
+        sys.exit(2)
+
     for name in args.queries:
         fn = qs[name]
         if args.plan:
             outdir = Path(args.plan)
             outdir.mkdir(parents=True, exist_ok=True)
             df = fn(spark, args.sf)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
+            try:
+                # private API: classic local session only (no Spark Connect)
+                plan = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                )
+            except Exception:  # noqa: BLE001 - Connect/newer PySpark: public capture
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain(mode="formatted")
+                plan = buf.getvalue()
             (outdir / f"{name}.txt").write_text(plan)
         if not args.no_warm:
             spark.sparkContext.setJobDescription(f"warmup:{name}")
@@ -69,13 +85,21 @@ def main() -> None:
                 print(f"{name}: WARMUP ERROR {exc}")
             spark.catalog.clearCache()
         times = []
+        err = None
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"timed:{name}:{i}")
             t0 = time.time()
-            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - report, keep sweeping
+                err = str(exc).split("\n")[0][:200]
+                break
             times.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        print(f"{name}: runs={times} best={min(times)}")
+        if err is not None:
+            print(f"{name}: ERROR {err}")
+        else:
+            print(f"{name}: runs={times} best={min(times)}")
 
 
 if __name__ == "__main__":
