@@ -63,19 +63,24 @@ def build_session(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the ADVISORY TARGET SIZE when coalescing, not the
-        # session's parallelism (the Spark tuning guide's recommended
-        # production setting): with the default (true), AQE refuses to
-        # coalesce below defaultParallelism, so a 32-core local session
-        # runs every tiny post-shuffle stage as 32 near-empty tasks
-        # (pure scheduling overhead at bench scale) and a 100 TB cluster
-        # keeps thousands of sub-advisory partitions alive. With false,
-        # partition count derives from DATA SIZE at every scale — the
-        # scale-adaptive behavior §2.2 of the optimization guide asks
-        # for. Overridable via env for A/B.
+        # parallelismFirst stays at Spark's default (true): AQE then
+        # refuses to coalesce below defaultParallelism, trading a few
+        # near-empty tasks on tiny stages for guaranteed parallelism.
+        # The size-derived alternative (false, "respect the advisory
+        # size" — the tuning-guide production suggestion) was A/B'd as
+        # the session default and REVERTED: AQE's byte-size heuristic
+        # cannot see CPU DENSITY, so compute-dense small-byte stages
+        # (pair enumeration, fuzzy string similarity, itemset mining)
+        # coalesce to ONE task — measured 2-4x slower end-to-end
+        # (similar_customer_names 2.26 -> 9.00 s, copurchase_triangles
+        # 2.27 -> 4.21 s, part_association_rules 1.99 -> 3.67 s,
+        # ngram_jaccard_pairs_docs 1.82 -> 3.45 s; stage traces show
+        # (0+1)/1 vs (0+8)/8). The failure mode is scale-independent —
+        # a 100 TB run has the same byte-thin/CPU-heavy stages — so the
+        # env knob is for cluster-side experiments only.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # One bench/oracle session compiles ~4000 distinct whole-stage
