@@ -76,26 +76,26 @@ def test_dedup_keep_last_is_max_ts(spark, sf_dir):
 
 def test_gate_priority_queries_in_first_50():
     """The external correctness gate snapshots the first 50 queries() in
-    iteration order. Round 12 rotates by EVIDENCE FRESHNESS (the
+    iteration order. Round 13 rotates by EVIDENCE FRESHNESS (the
     standing convention since r10); the rotation is MACHINE-DERIVED:
-    GATE_BASIS_r12.json snapshots, for every oracled
+    GATE_BASIS_r13.json snapshots, for every oracled
     query in the catalog at rotation time, the newest driver round with
     a CORRECTNESS row (0 = never gated). The intended gate is exactly
     the first 50 of that basis sorted by (last_round, name). This test
     (a) re-validates the basis file against the committed
-    CORRECTNESS_r01..r11.json files, (b) recomputes the gate from the
+    CORRECTNESS_r01..r12.json files, (b) recomputes the gate from the
     basis and asserts ``_GATE_PRIORITY`` matches, and (c) asserts the
     gate occupies iteration positions 0-49 of ``queries()`` — so a
     hand-editing mistake can no longer silently waste a round of driver
     evidence. Queries added AFTER the rotation are deliberately outside
-    the basis (they queue for the r13 gate, the standing convention)."""
+    the basis (they queue for the r14 gate, the standing convention)."""
     import glob
     import json
     import re
 
     from f1_data_engineering_machine_learning_spark import catalog
 
-    basis_doc = json.load(open("GATE_BASIS_r12.json"))
+    basis_doc = json.load(open("GATE_BASIS_r13.json"))
     basis = basis_doc["basis"]
     n_slots = basis_doc["n_slots"]
     assert n_slots == 50
@@ -134,14 +134,13 @@ def test_gate_priority_queries_in_first_50():
     for n in names[:n_slots]:
         assert n in oracles, f"{n} in the 50-slot gate without a value oracle"
     assert "embedding_lsh_topk" not in names[:n_slots]
-    # slots 1-3 are the r11 verdict's prescribed head: the three-query
-    # r7-tier alphabetical spill from the round-11 gate
-    assert set(names[:3]) == {
-        "union_order_year_slices",
-        "user_session_incident_overlaps",
-        "vocabulary_top_terms",
+    # slots 1-2: the two queries added after the r12 rotation — their
+    # newest driver row is 0 (never gated), so staleness puts them first
+    assert set(names[:2]) == {
+        "lang_vocab_overlap_kmv",
+        "order_price_mrl_quantiles",
     }
-    # cumulative: after a green r11 gate only the rows-only entry and
+    # cumulative: after a green r12 gate only the rows-only entry and
     # post-rotation additions lack driver evidence
     ungated = {q for q in catalog._QUERIES if newest.get(q, 0) == 0}
     assert ungated - set(names[:n_slots]) - {"embedding_lsh_topk"} <= (
